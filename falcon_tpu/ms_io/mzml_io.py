@@ -1,0 +1,153 @@
+"""mzML reading.
+
+First-party streaming parser replacing ``pyteomics.mzml`` as used by the
+reference (``falcon/ms_io/mzml_io.py``).  Behavioral parity:
+
+- only spectra with MS level > 1 are yielded (reference ``mzml_io.py:33``).
+- identifier = the ``id`` attribute; retention time from
+  scanList/scan "scan start time" (absent -> -1)
+  (reference ``mzml_io.py:55-62``).
+- precursor charge from "charge state" or "possible charge state"; absent
+  -> ``None`` (reference ``mzml_io.py:67-72``).
+- individual malformed spectra are skipped silently; XML-level errors warn
+  and stop iteration over the file (reference ``mzml_io.py:33-38``).
+
+Binary peak arrays are decoded directly: base64 + optional zlib, 32/64-bit
+IEEE floats per the cvParam accessions.
+"""
+
+import base64
+import logging
+import struct
+import zlib
+from typing import IO, Iterator, Optional, Union
+
+import numpy as np
+
+try:
+    from lxml import etree
+except ImportError:  # pragma: no cover - lxml is available in this image
+    import xml.etree.ElementTree as etree
+
+from .containers import Spectrum
+
+logger = logging.getLogger("falcon_tpu")
+
+# cvParam accessions (PSI-MS controlled vocabulary).
+_ACC_MS_LEVEL = "MS:1000511"
+_ACC_MZ_ARRAY = "MS:1000514"
+_ACC_INT_ARRAY = "MS:1000515"
+_ACC_F64 = "MS:1000523"
+_ACC_F32 = "MS:1000521"
+_ACC_ZLIB = "MS:1000574"
+_ACC_SCAN_START = "MS:1000016"
+_ACC_SELECTED_MZ = "MS:1000744"
+_ACC_CHARGE = "MS:1000041"
+_ACC_POSSIBLE_CHARGE = "MS:1000633"
+
+
+def _local(tag) -> str:
+    tag = str(tag)
+    return tag.rsplit("}", 1)[-1]
+
+
+def _cv_params(element) -> dict:
+    """accession -> value for all direct cvParam children."""
+    out = {}
+    for child in element:
+        if _local(child.tag) == "cvParam":
+            out[child.get("accession")] = child.get("value", "")
+    return out
+
+
+def _decode_binary_array(bda) -> Optional[np.ndarray]:
+    """Decode one <binaryDataArray>; returns (kind, array) or None."""
+    dtype, compressed, kind, payload = np.float64, False, None, None
+    for child in bda.iter():
+        tag = _local(child.tag)
+        if tag == "cvParam":
+            acc = child.get("accession")
+            if acc == _ACC_F32:
+                dtype = np.float32
+            elif acc == _ACC_F64:
+                dtype = np.float64
+            elif acc == _ACC_ZLIB:
+                compressed = True
+            elif acc == _ACC_MZ_ARRAY:
+                kind = "mz"
+            elif acc == _ACC_INT_ARRAY:
+                kind = "intensity"
+        elif tag == "binary":
+            payload = child.text or ""
+    if kind is None or payload is None:
+        return None
+    data = base64.b64decode(payload)
+    if compressed:
+        data = zlib.decompress(data)
+    return kind, np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder("<"))
+
+
+def _parse_spectrum(elem) -> Optional[Spectrum]:
+    params = _cv_params(elem)
+    ms_level = int(params.get(_ACC_MS_LEVEL, -1))
+    if ms_level <= 1:
+        return None
+
+    spectrum_id = elem.get("id")
+    mz_array = intensity_array = None
+    retention_time = -1.0
+    precursor_mz, precursor_charge = None, None
+
+    for child in elem.iter():
+        tag = _local(child.tag)
+        if tag == "binaryDataArray":
+            decoded = _decode_binary_array(child)
+            if decoded is not None:
+                kind, arr = decoded
+                if kind == "mz":
+                    mz_array = arr
+                else:
+                    intensity_array = arr
+        elif tag == "scan":
+            scan_params = _cv_params(child)
+            if _ACC_SCAN_START in scan_params:
+                retention_time = float(scan_params[_ACC_SCAN_START])
+        elif tag == "selectedIon":
+            ion_params = _cv_params(child)
+            if _ACC_SELECTED_MZ in ion_params:
+                precursor_mz = float(ion_params[_ACC_SELECTED_MZ])
+            if _ACC_CHARGE in ion_params:
+                precursor_charge = int(ion_params[_ACC_CHARGE])
+            elif _ACC_POSSIBLE_CHARGE in ion_params:
+                precursor_charge = int(ion_params[_ACC_POSSIBLE_CHARGE])
+
+    if spectrum_id is None or mz_array is None or intensity_array is None \
+            or precursor_mz is None:
+        raise KeyError("incomplete spectrum")
+    return Spectrum(
+        spectrum_id,
+        precursor_mz,
+        precursor_charge,
+        mz_array,
+        intensity_array,
+        retention_time,
+    )
+
+
+def get_spectra(source: Union[IO, str]) -> Iterator[Spectrum]:
+    """Iterate over the MS/MS spectra (MS level > 1) in an mzML file."""
+    try:
+        for _, elem in etree.iterparse(source, events=("end",)):
+            if _local(elem.tag) != "spectrum":
+                continue
+            try:
+                spec = _parse_spectrum(elem)
+                if spec is not None:
+                    yield spec
+            except (ValueError, KeyError):
+                # Skip malformed spectra silently (mzml_io.py:33-36).
+                pass
+            finally:
+                elem.clear()
+    except etree.XMLSyntaxError as e:
+        logger.warning("Failed to read file %s: %s", source, e)

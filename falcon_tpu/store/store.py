@@ -1,0 +1,322 @@
+"""On-disk columnar spectrum store.
+
+First-party equivalent of the reference's per-charge Lance datasets
+(``falcon/falcon.py:143-157, 331-359, 446-480``): preprocessed spectra are
+appended in batches to per-charge datasets under ``work_dir/spectra/``,
+then read back column-projected for clustering and randomly accessed
+(``take``) for medoid export.
+
+Layout::
+
+    root/
+      spectra_charge_2/
+        shard_000000/
+          identifier.npy      (unicode)
+          filename.npy        (unicode)
+          precursor_mz.npy    (float32)
+          precursor_charge.npy(int16, NULL_CHARGE for None)
+          retention_time.npy  (float32)
+          peak_offsets.npy    (int64, n+1 ragged offsets)
+          mz.npy              (float32, flat)
+          intensity.npy       (float32, flat)
+        shard_000001/ ...
+
+Ragged peak arrays are stored flat + offsets so reads are zero-copy
+(``np.load(mmap_mode='r')``) and convert directly to the padded
+``(n, max_peaks)`` device layout used by the TPU kernels.
+"""
+
+import json
+import os
+import threading
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+NULL_CHARGE = np.int16(-(2**15))  # sentinel for a missing precursor charge
+
+_COLUMNS = (
+    "identifier",
+    "filename",
+    "precursor_mz",
+    "precursor_charge",
+    "retention_time",
+)
+
+
+def charge_key(charge: Optional[int]) -> str:
+    """Dataset name component for a charge (None-charge spectra get their
+    own bucket, mirroring reference ``falcon/falcon.py:432-434``)."""
+    return "None" if charge is None else str(int(charge))
+
+
+class ShardWriter:
+    """Buffers processed-spectrum dicts per charge and writes shards.
+
+    The reference buffers 10k rows per Lance append
+    (``falcon/falcon.py:435``); we default to the same batch size.
+    Thread-safe: a lock serializes shard-directory allocation per charge.
+    """
+
+    def __init__(self, root: str, batch_size: int = 10_000):
+        self.root = root
+        self.batch_size = batch_size
+        self._buffers: Dict[str, List[dict]] = {}
+        self._locks: Dict[str, threading.Lock] = {}
+        self._global_lock = threading.Lock()
+        os.makedirs(root, exist_ok=True)
+
+    def _charge_lock(self, key: str) -> threading.Lock:
+        with self._global_lock:
+            if key not in self._locks:
+                self._locks[key] = threading.Lock()
+            return self._locks[key]
+
+    def add(self, spec: dict) -> None:
+        key = charge_key(spec["precursor_charge"])
+        lock = self._charge_lock(key)
+        with lock:
+            buf = self._buffers.setdefault(key, [])
+            buf.append(spec)
+            if len(buf) >= self.batch_size:
+                self._flush_charge(key, buf)
+                self._buffers[key] = []
+
+    def add_many(self, specs: Iterable[dict]) -> None:
+        for spec in specs:
+            self.add(spec)
+
+    def close(self) -> List[str]:
+        """Flush all remaining buffers; returns the charge keys written."""
+        for key, buf in list(self._buffers.items()):
+            with self._charge_lock(key):
+                if buf:
+                    self._flush_charge(key, buf)
+                    self._buffers[key] = []
+        return sorted(self._buffers.keys())
+
+    def _flush_charge(self, key: str, rows: List[dict]) -> None:
+        dataset_dir = os.path.join(self.root, f"spectra_charge_{key}")
+        os.makedirs(dataset_dir, exist_ok=True)
+        existing = [d for d in os.listdir(dataset_dir)
+                    if d.startswith("shard_")]
+        shard_dir = os.path.join(
+            dataset_dir, f"shard_{len(existing):06d}"
+        )
+        tmp_dir = shard_dir + ".tmp"
+        os.makedirs(tmp_dir)
+        n = len(rows)
+        ident = np.array([r["identifier"] for r in rows])
+        fname = np.array([r["filename"] or "" for r in rows])
+        pmz = np.array([r["precursor_mz"] for r in rows], np.float32)
+        pch = np.array(
+            [NULL_CHARGE if r["precursor_charge"] is None
+             else r["precursor_charge"] for r in rows],
+            np.int16,
+        )
+        rt = np.array([r["retention_time"] for r in rows], np.float32)
+        lengths = np.array([len(r["mz"]) for r in rows], np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        mz_flat = np.concatenate([r["mz"] for r in rows]).astype(np.float32)
+        int_flat = np.concatenate(
+            [r["intensity"] for r in rows]
+        ).astype(np.float32)
+        np.save(os.path.join(tmp_dir, "identifier.npy"), ident)
+        np.save(os.path.join(tmp_dir, "filename.npy"), fname)
+        np.save(os.path.join(tmp_dir, "precursor_mz.npy"), pmz)
+        np.save(os.path.join(tmp_dir, "precursor_charge.npy"), pch)
+        np.save(os.path.join(tmp_dir, "retention_time.npy"), rt)
+        np.save(os.path.join(tmp_dir, "peak_offsets.npy"), offsets)
+        np.save(os.path.join(tmp_dir, "mz.npy"), mz_flat)
+        np.save(os.path.join(tmp_dir, "intensity.npy"), int_flat)
+        os.rename(tmp_dir, shard_dir)  # atomic publish
+
+
+class ChargeDataset:
+    """Read-only view over one per-charge dataset directory."""
+
+    def __init__(self, path: str):
+        self.path = path
+        if not os.path.isdir(path):
+            raise ValueError(f"Non-existing dataset {path}")
+        self.shards = sorted(
+            os.path.join(path, d)
+            for d in os.listdir(path)
+            if d.startswith("shard_") and not d.endswith(".tmp")
+        )
+
+    def count_rows(self) -> int:
+        total = 0
+        for shard in self.shards:
+            offsets = np.load(
+                os.path.join(shard, "peak_offsets.npy"), mmap_mode="r"
+            )
+            total += len(offsets) - 1
+        return total
+
+    def _load(self, shard: str, column: str, mmap: bool = True) -> np.ndarray:
+        return np.load(
+            os.path.join(shard, f"{column}.npy"),
+            mmap_mode="r" if mmap else None,
+            allow_pickle=False,
+        )
+
+    def read_metadata(self) -> Dict[str, np.ndarray]:
+        """All scalar columns, concatenated across shards."""
+        out: Dict[str, List[np.ndarray]] = {c: [] for c in _COLUMNS}
+        for shard in self.shards:
+            for c in _COLUMNS:
+                out[c].append(np.asarray(self._load(shard, c, mmap=False)))
+        return {c: np.concatenate(v) if v else np.empty(0)
+                for c, v in out.items()}
+
+    def read_peaks(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(offsets, mz_flat, intensity_flat) concatenated across shards."""
+        all_offsets, all_mz, all_int = [np.zeros(1, np.int64)], [], []
+        base = 0
+        for shard in self.shards:
+            offsets = np.asarray(self._load(shard, "peak_offsets"))
+            all_offsets.append(offsets[1:] + base)
+            base += offsets[-1]
+            all_mz.append(np.asarray(self._load(shard, "mz")))
+            all_int.append(np.asarray(self._load(shard, "intensity")))
+        return (
+            np.concatenate(all_offsets),
+            np.concatenate(all_mz) if all_mz else np.empty(0, np.float32),
+            np.concatenate(all_int) if all_int else np.empty(0, np.float32),
+        )
+
+    def take(self, indices: Sequence[int]) -> List[dict]:
+        """Random access by global row index (reference
+        ``falcon/falcon.py:200`` uses ``dataset.take(medoids)``)."""
+        indices = np.asarray(indices, np.int64)
+        # Build shard spans.
+        spans = []
+        start = 0
+        for shard in self.shards:
+            offsets = self._load(shard, "peak_offsets")
+            n = len(offsets) - 1
+            spans.append((start, start + n, shard))
+            start += n
+        rows: List[Optional[dict]] = [None] * len(indices)
+        order = np.argsort(indices, kind="stable")
+        si = 0
+        cache: Dict[str, dict] = {}
+        for pos in order:
+            idx = indices[pos]
+            while si < len(spans) and idx >= spans[si][1]:
+                si += 1
+            if si == len(spans) or idx < spans[si][0]:
+                # Restart scan (indices not monotone within shards).
+                si = next(
+                    i for i, (lo, hi, _) in enumerate(spans)
+                    if lo <= idx < hi
+                )
+            lo, _, shard = spans[si]
+            if shard not in cache:
+                cache[shard] = {
+                    c: self._load(shard, c, mmap=False) for c in _COLUMNS
+                }
+                cache[shard]["peak_offsets"] = self._load(
+                    shard, "peak_offsets"
+                )
+                cache[shard]["mz"] = self._load(shard, "mz")
+                cache[shard]["intensity"] = self._load(shard, "intensity")
+            cols = cache[shard]
+            local = int(idx - lo)
+            o0, o1 = cols["peak_offsets"][local], cols["peak_offsets"][local + 1]
+            charge = int(cols["precursor_charge"][local])
+            rows[pos] = {
+                "identifier": str(cols["identifier"][local]),
+                "filename": str(cols["filename"][local]),
+                "precursor_mz": float(cols["precursor_mz"][local]),
+                "precursor_charge": None if charge == NULL_CHARGE else charge,
+                "retention_time": float(cols["retention_time"][local]),
+                "mz": np.asarray(cols["mz"][o0:o1], np.float32),
+                "intensity": np.asarray(cols["intensity"][o0:o1], np.float32),
+            }
+        return rows
+
+
+class SpectrumStore:
+    """The ``work_dir/spectra`` root: per-charge datasets + charge cache.
+
+    The charge-set cache mirrors the reference's ``charges.joblib`` resume
+    point (``falcon/falcon.py:143-149``): if it exists and ``overwrite`` is
+    not set, ingest is skipped entirely.
+    """
+
+    CHARGES_FILE = "charges.json"
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def charges_path(self) -> str:
+        return os.path.join(self.root, self.CHARGES_FILE)
+
+    def load_charges(self) -> Optional[List[Optional[int]]]:
+        if not os.path.isfile(self.charges_path):
+            return None
+        with open(self.charges_path) as f:
+            return [None if c is None else int(c) for c in json.load(f)]
+
+    def save_charges(self, charges: Iterable[Optional[int]]) -> None:
+        with open(self.charges_path, "w") as f:
+            json.dump(list(charges), f)
+
+    def dataset(self, charge: Optional[int]) -> ChargeDataset:
+        return ChargeDataset(
+            os.path.join(self.root, f"spectra_charge_{charge_key(charge)}")
+        )
+
+    def writer(self, batch_size: int = 10_000) -> ShardWriter:
+        return ShardWriter(self.root, batch_size)
+
+    def clear(self) -> None:
+        """Remove all datasets (reference ``falcon/falcon.py:139-141``)."""
+        import shutil
+
+        for entry in os.listdir(self.root):
+            path = os.path.join(self.root, entry)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            else:
+                os.remove(path)
+
+
+def padded_peaks(
+    offsets: np.ndarray,
+    mz_flat: np.ndarray,
+    intensity_flat: np.ndarray,
+    max_peaks: int,
+    row_indices: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Convert ragged peaks to the padded device layout.
+
+    Returns ``(mz, intensity, n_peaks)`` with shapes ``(n, max_peaks)``,
+    ``(n, max_peaks)``, ``(n,)``.  Padding uses m/z = -1e6 (far outside any
+    fragment tolerance window) and intensity = 0 so padded entries can never
+    match, and never contribute to scores.
+    """
+    if row_indices is None:
+        row_indices = np.arange(len(offsets) - 1)
+    row_indices = np.asarray(row_indices, np.int64)
+    n = len(row_indices)
+    starts = offsets[row_indices]
+    lengths = (offsets[row_indices + 1] - starts).astype(np.int64)
+    max_len = int(lengths.max(initial=0))
+    if max_len > max_peaks:
+        raise ValueError(
+            f"spectrum with {max_len} peaks exceeds max_peaks={max_peaks}"
+        )
+    mz = np.full((n, max_peaks), -1e6, np.float32)
+    intensity = np.zeros((n, max_peaks), np.float32)
+    col = np.arange(max_peaks)[None, :]
+    valid = col < lengths[:, None]
+    flat_idx = (starts[:, None] + col)[valid]
+    mz[valid] = mz_flat[flat_idx]
+    intensity[valid] = intensity_flat[flat_idx]
+    return mz, intensity, lengths

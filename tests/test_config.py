@@ -1,0 +1,72 @@
+import os
+
+import pytest
+
+from falcon_tpu.config import Config
+
+
+def test_defaults_match_reference():
+    """Defaults must match reference falcon/config.py:52-183."""
+    cfg = Config()
+    cfg.parse(["in.mgf", "out"])
+    assert cfg.input_filenames == ["in.mgf"]
+    assert cfg.output_filename == "out"
+    assert cfg.work_dir is None
+    assert cfg.overwrite is False
+    assert cfg.export_representatives is False
+    assert cfg.precursor_tol == [20.0, "ppm"]
+    assert cfg.rt_tol is None
+    assert cfg.fragment_tol == 0.05
+    assert cfg.linkage == "complete"
+    assert cfg.distance_threshold == 0.1
+    assert cfg.min_matched_peaks == 0
+    assert cfg.batch_size == 2**15
+    assert cfg.min_peaks == 5
+    assert cfg.min_mz_range == 250.0
+    assert cfg.min_mz == 101.0
+    assert cfg.max_mz == 1500.0
+    assert cfg.remove_precursor_tol == 1.5
+    assert cfg.min_intensity == 0.01
+    assert cfg.max_peaks_used == 50
+    assert cfg.scaling == "off"
+    # Published-algorithm knobs restored (reference README.md:101-117).
+    assert cfg.backend == "exact"
+    assert cfg.eps == 0.1
+    assert cfg.low_dim == 400
+
+
+def test_cli_overrides():
+    cfg = Config()
+    cfg.parse(
+        "a.mgf b.mzML out --precursor_tol 0.5 Da --linkage single "
+        "--overwrite --max_peaks_used 25"
+    )
+    assert cfg.input_filenames == ["a.mgf", "b.mzML"]
+    assert cfg.precursor_tol == [0.5, "Da"]
+    assert cfg.linkage == "single"
+    assert cfg.overwrite is True
+    assert cfg.max_peaks_used == 25
+
+
+def test_config_file_precedence(tmp_path):
+    ini = tmp_path / "my.ini"
+    ini.write_text(
+        "fragment_tol = 0.02\n"
+        "linkage = average\n"
+        "overwrite = true\n"
+        "precursor_tol = 10 ppm\n"
+    )
+    cfg = Config()
+    cfg.parse(["-c", str(ini), "in.mgf", "out", "--linkage", "single"])
+    # File value applies...
+    assert cfg.fragment_tol == 0.02
+    assert cfg.overwrite is True
+    assert cfg.precursor_tol == [10.0, "ppm"]
+    # ...but the CLI wins over the file.
+    assert cfg.linkage == "single"
+
+
+def test_uninitialized_raises():
+    cfg = Config()
+    with pytest.raises(RuntimeError):
+        _ = cfg.fragment_tol

@@ -1,0 +1,216 @@
+import base64
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from falcon_tpu.ms_io import ms_io, mgf_io, mzml_io, mzxml_io
+from falcon_tpu.ms_io.containers import Spectrum
+
+
+MGF_TEXT = """BEGIN IONS
+TITLE=spectrum_1
+PEPMASS=500.25 1000.0
+CHARGE=2+
+RTINSECONDS=120.5
+100.1 10.0
+200.2 20.0
+300.3 5.0
+END IONS
+
+BEGIN IONS
+TITLE=spectrum_2
+PEPMASS=600.5
+150.0 1.0
+250.0 2.0
+END IONS
+
+BEGIN IONS
+PEPMASS=700.0
+100.0 1.0
+END IONS
+"""
+
+
+def test_mgf_parse(tmp_path):
+    path = tmp_path / "test.mgf"
+    path.write_text(MGF_TEXT)
+    spectra = list(mgf_io.get_spectra(str(path)))
+    # Third block has no TITLE -> skipped silently (reference mgf_io.py:27-30).
+    assert len(spectra) == 2
+    s1, s2 = spectra
+    assert s1.identifier == "spectrum_1"
+    assert s1.precursor_mz == 500.25
+    assert s1.precursor_charge == 2
+    assert s1.retention_time == 120.5
+    np.testing.assert_allclose(s1.mz, [100.1, 200.2, 300.3], rtol=1e-6)
+    np.testing.assert_allclose(s1.intensity, [10.0, 20.0, 5.0])
+    # Missing CHARGE -> None; missing RTINSECONDS -> -1.
+    assert s2.precursor_charge is None
+    assert s2.retention_time == -1
+
+
+def test_mgf_roundtrip(tmp_path):
+    spec = Spectrum(
+        "roundtrip", 432.1, 3, np.array([100.0, 200.0]),
+        np.array([1.0, 2.0]), 55.5,
+    )
+    spec_nocharge = Spectrum(
+        "nocharge", 500.0, None, np.array([150.0, 250.0]),
+        np.array([3.0, 4.0]), -1,
+    )
+    path = tmp_path / "out.mgf"
+    # None charge must not raise (divergence from reference mgf_io.py:104,
+    # documented in SURVEY.md §3.5).
+    mgf_io.write_spectra(str(path), [spec, spec_nocharge])
+    back = list(mgf_io.get_spectra(str(path)))
+    assert len(back) == 2
+    assert back[0].identifier == "roundtrip"
+    assert back[0].precursor_charge == 3
+    assert back[0].retention_time == 55.5
+    np.testing.assert_allclose(back[0].mz, spec.mz)
+    assert back[1].precursor_charge is None
+
+
+def _b64(array: np.ndarray, compress=False) -> str:
+    raw = array.tobytes()
+    if compress:
+        raw = zlib.compress(raw)
+    return base64.b64encode(raw).decode()
+
+
+def _make_mzml(spectra) -> str:
+    """Create a minimal mzML document."""
+    chunks = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        '<mzML xmlns="http://psi.hupo.org/ms/mzml" version="1.1.0">',
+        f'<run id="r"><spectrumList count="{len(spectra)}">',
+    ]
+    for i, spec in enumerate(spectra):
+        mz64 = _b64(np.asarray(spec["mz"], np.float64),
+                    spec.get("zlib", False))
+        int32_ = _b64(np.asarray(spec["intensity"], np.float32),
+                      spec.get("zlib", False))
+        comp = (
+            '<cvParam accession="MS:1000574" name="zlib compression"/>'
+            if spec.get("zlib")
+            else '<cvParam accession="MS:1000576" name="no compression"/>'
+        )
+        charge = (
+            f'<cvParam accession="MS:1000041" name="charge state" '
+            f'value="{spec["charge"]}"/>'
+            if spec.get("charge") is not None
+            else ""
+        )
+        chunks.append(f"""
+<spectrum index="{i}" id="{spec["id"]}" defaultArrayLength="{len(spec["mz"])}">
+  <cvParam accession="MS:1000511" name="ms level" value="{spec["ms_level"]}"/>
+  <scanList count="1"><scan>
+    <cvParam accession="MS:1000016" name="scan start time" value="{spec["rt"]}" unitName="second"/>
+  </scan></scanList>
+  <precursorList count="1"><precursor><selectedIonList count="1"><selectedIon>
+    <cvParam accession="MS:1000744" name="selected ion m/z" value="{spec["precursor_mz"]}"/>
+    {charge}
+  </selectedIon></selectedIonList></precursor></precursorList>
+  <binaryDataArrayList count="2">
+    <binaryDataArray>
+      <cvParam accession="MS:1000523" name="64-bit float"/>
+      {comp}
+      <cvParam accession="MS:1000514" name="m/z array"/>
+      <binary>{mz64}</binary>
+    </binaryDataArray>
+    <binaryDataArray>
+      <cvParam accession="MS:1000521" name="32-bit float"/>
+      {comp}
+      <cvParam accession="MS:1000515" name="intensity array"/>
+      <binary>{int32_}</binary>
+    </binaryDataArray>
+  </binaryDataArrayList>
+</spectrum>""")
+    chunks.append("</spectrumList></run></mzML>")
+    return "\n".join(chunks)
+
+
+def test_mzml_parse(tmp_path):
+    doc = _make_mzml([
+        dict(id="scan=1", ms_level=1, rt=10.0, precursor_mz=400.0,
+             charge=2, mz=[100.0, 200.0], intensity=[1.0, 2.0]),
+        dict(id="scan=2", ms_level=2, rt=20.0, precursor_mz=450.5,
+             charge=2, mz=[110.0, 210.0, 310.0],
+             intensity=[1.5, 2.5, 3.5], zlib=True),
+        dict(id="scan=3", ms_level=2, rt=30.0, precursor_mz=500.0,
+             charge=None, mz=[120.0], intensity=[4.0]),
+    ])
+    path = tmp_path / "test.mzml"
+    path.write_text(doc)
+    spectra = list(mzml_io.get_spectra(str(path)))
+    # MS1 scans are skipped (reference mzml_io.py:33).
+    assert [s.identifier for s in spectra] == ["scan=2", "scan=3"]
+    s = spectra[0]
+    assert s.precursor_mz == 450.5
+    assert s.precursor_charge == 2
+    assert s.retention_time == 20.0
+    np.testing.assert_allclose(s.mz, [110.0, 210.0, 310.0])
+    np.testing.assert_allclose(s.intensity, [1.5, 2.5, 3.5])
+    assert spectra[1].precursor_charge is None
+
+
+def _make_mzxml(scans) -> str:
+    chunks = [
+        '<?xml version="1.0" encoding="ISO-8859-1"?>',
+        '<mzXML xmlns="http://sashimi.sourceforge.net/schema_revision/mzXML_3.2">',
+        "<msRun>",
+    ]
+    for scan in scans:
+        pairs = np.empty(2 * len(scan["mz"]), np.float32)
+        pairs[0::2] = scan["mz"]
+        pairs[1::2] = scan["intensity"]
+        payload = base64.b64encode(
+            pairs.astype(">f4").tobytes()
+        ).decode()
+        charge_attr = (
+            f' precursorCharge="{scan["charge"]}"'
+            if scan.get("charge") is not None
+            else ""
+        )
+        chunks.append(f"""
+<scan num="{scan["num"]}" msLevel="{scan["ms_level"]}" retentionTime="PT{scan["rt"]}S" peaksCount="{len(scan["mz"])}">
+  <precursorMz{charge_attr}>{scan["precursor_mz"]}</precursorMz>
+  <peaks precision="32" byteOrder="network" contentType="m/z-int" compressionType="none">{payload}</peaks>
+</scan>""")
+    chunks.append("</msRun></mzXML>")
+    return "\n".join(chunks)
+
+
+def test_mzxml_parse(tmp_path):
+    doc = _make_mzxml([
+        dict(num=1, ms_level=1, rt=5.0, precursor_mz=0.0,
+             mz=[50.0], intensity=[1.0]),
+        dict(num=2, ms_level=2, rt=65.5, precursor_mz=432.1, charge=3,
+             mz=[100.0, 200.0], intensity=[10.0, 20.0]),
+        dict(num=3, ms_level=2, rt=70.0, precursor_mz=500.0,
+             mz=[150.0, 250.0], intensity=[1.0, 2.0]),
+    ])
+    path = tmp_path / "test.mzxml"
+    path.write_text(doc)
+    spectra = list(mzxml_io.get_spectra(str(path)))
+    assert [s.identifier for s in spectra] == ["2", "3"]
+    s = spectra[0]
+    assert s.precursor_mz == 432.1
+    assert s.precursor_charge == 3
+    assert s.retention_time == 65.5
+    np.testing.assert_allclose(s.mz, [100.0, 200.0])
+    np.testing.assert_allclose(s.intensity, [10.0, 20.0])
+    assert spectra[1].precursor_charge is None
+
+
+def test_dispatch_unknown_extension(tmp_path):
+    path = tmp_path / "spectra.raw"
+    path.write_text("")
+    with pytest.raises(ValueError, match="Unknown spectrum file type"):
+        list(ms_io.get_spectra(str(path)))
+    with pytest.raises(ValueError, match="Non-existing peak file"):
+        list(ms_io.get_spectra(str(tmp_path / "missing.mgf")))
+    with pytest.raises(ValueError, match="Unsupported peak file format"):
+        ms_io.write_spectra(str(tmp_path / "out.mzml"), [])

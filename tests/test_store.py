@@ -1,0 +1,86 @@
+import numpy as np
+
+from falcon_tpu.store.store import (
+    SpectrumStore, padded_peaks, NULL_CHARGE,
+)
+
+
+def _rows(n, charge=2, start=0):
+    rng = np.random.default_rng(start)
+    rows = []
+    for i in range(start, start + n):
+        k = int(rng.integers(5, 20))
+        mz = np.sort(rng.uniform(100, 1500, k)).astype(np.float32)
+        intensity = rng.uniform(0, 1, k).astype(np.float32)
+        rows.append({
+            "identifier": f"spec{i}",
+            "filename": "f.mgf",
+            "precursor_mz": 400.0 + i,
+            "precursor_charge": charge,
+            "retention_time": float(i),
+            "mz": mz,
+            "intensity": intensity,
+        })
+    return rows
+
+
+def test_write_read_roundtrip(tmp_path):
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    writer = store.writer(batch_size=7)
+    rows = _rows(20, charge=2) + _rows(5, charge=None, start=100)
+    writer.add_many(rows)
+    writer.close()
+
+    ds2 = store.dataset(2)
+    assert ds2.count_rows() == 20
+    meta = ds2.read_metadata()
+    assert list(meta["identifier"][:3]) == ["spec0", "spec1", "spec2"]
+    np.testing.assert_allclose(
+        meta["precursor_mz"], 400.0 + np.arange(20)
+    )
+    offsets, mz_flat, int_flat = ds2.read_peaks()
+    assert len(offsets) == 21
+    np.testing.assert_allclose(
+        mz_flat[offsets[3]:offsets[4]], rows[3]["mz"]
+    )
+
+    dsn = store.dataset(None)
+    assert dsn.count_rows() == 5
+    assert dsn.read_metadata()["precursor_charge"][0] == NULL_CHARGE
+
+
+def test_take_random_access(tmp_path):
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    writer = store.writer(batch_size=6)  # multiple shards
+    rows = _rows(17)
+    writer.add_many(rows)
+    writer.close()
+    ds = store.dataset(2)
+    out = ds.take([13, 2, 8])
+    assert [r["identifier"] for r in out] == ["spec13", "spec2", "spec8"]
+    np.testing.assert_allclose(out[1]["mz"], rows[2]["mz"])
+    assert out[0]["precursor_charge"] == 2
+
+
+def test_charges_cache_roundtrip(tmp_path):
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    assert store.load_charges() is None
+    store.save_charges([2, 3, None])
+    assert store.load_charges() == [2, 3, None]
+
+
+def test_padded_peaks():
+    offsets = np.array([0, 3, 5, 6], np.int64)
+    mz_flat = np.array([100, 200, 300, 150, 250, 400], np.float32)
+    int_flat = np.array([1, 2, 3, 4, 5, 6], np.float32)
+    mz, intensity, lengths = padded_peaks(offsets, mz_flat, int_flat, 4)
+    assert mz.shape == (3, 4)
+    np.testing.assert_array_equal(lengths, [3, 2, 1])
+    np.testing.assert_allclose(mz[0], [100, 200, 300, -1e6])
+    np.testing.assert_allclose(intensity[1], [4, 5, 0, 0])
+    # Row subsetting.
+    mz, intensity, lengths = padded_peaks(
+        offsets, mz_flat, int_flat, 4, row_indices=np.array([2, 0])
+    )
+    np.testing.assert_allclose(mz[0, :1], [400])
+    np.testing.assert_array_equal(lengths, [1, 3])

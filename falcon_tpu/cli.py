@@ -1,0 +1,301 @@
+"""Pipeline driver / CLI entry point.
+
+Reproduces the observable behavior of the reference's ``falcon.main``
+(``falcon/falcon.py:33-244``): logging setup, config echo, work-dir
+lifecycle, output-exists/overwrite gate (exit 1), ingest-resume via the
+charge cache, per-charge clustering with globally disjoint labels,
+natural-sorted CSV export with the full config header, and optional
+medoid-MGF export — with the clustering core dispatched to the TPU engine
+(``cluster/engine.py`` for the exact backend, ``cluster/ann_engine.py``
+for the published vectorize→hash→IVF→density algorithm).
+"""
+
+import logging
+import os
+import shutil
+import sys
+import tempfile
+import threading
+from typing import List, Optional, Union
+
+import numpy as np
+import pandas as pd
+
+from . import __version__, seed
+from .config import config
+from .store.store import SpectrumStore, NULL_CHARGE
+from .utils.natsort import natsort_key
+
+logger = logging.getLogger("falcon_tpu")
+
+seed.set_seeds()
+
+
+def main(args: Union[str, List[str], None] = None) -> int:
+    # Configure logging (reference falcon.py:34-50).
+    logging.captureWarnings(True)
+    root = logging.getLogger()
+    root.setLevel(logging.DEBUG)
+    handler = logging.StreamHandler(sys.stderr)
+    handler.setLevel(logging.DEBUG)
+    handler.setFormatter(
+        logging.Formatter(
+            "{asctime} {levelname} [{name}/{processName}] "
+            "{module}.{funcName} : {message}",
+            style="{",
+        )
+    )
+    root.addHandler(handler)
+    logging.getLogger("jax").setLevel(logging.WARNING)
+
+    config.parse(args)
+    logger.info("falcon-tpu version %s", str(__version__))
+    for key in (
+        "work_dir", "overwrite", "export_representatives", "precursor_tol",
+        "rt_tol", "fragment_tol", "linkage", "distance_threshold",
+        "min_matched_peaks", "batch_size", "min_peaks", "min_mz_range",
+        "min_mz", "max_mz", "remove_precursor_tol", "min_intensity",
+        "max_peaks_used", "scaling", "backend", "eps", "low_dim",
+        "n_neighbors", "n_neighbors_ann", "n_probe", "min_samples",
+    ):
+        logger.debug("%s = %s", key, config[key])
+
+    rm_work_dir = False
+    if config.work_dir is None:
+        config.work_dir = tempfile.mkdtemp()
+        rm_work_dir = True
+    elif os.path.isdir(config.work_dir):
+        logging.warning(
+            "Working directory %s already exists, previous results might "
+            "get overwritten", config.work_dir,
+        )
+    os.makedirs(config.work_dir, exist_ok=True)
+    os.makedirs(os.path.join(config.work_dir, "spectra"), exist_ok=True)
+
+    # Output-exists / overwrite gate (reference falcon.py:89-122).
+    exit_exists = False
+    for ext, desc in ((".csv", "cluster assignments"),
+                      (".mgf", "cluster representatives")):
+        path = f"{config.output_filename}{ext}"
+        if os.path.isfile(path):
+            if config.overwrite:
+                logger.warning(
+                    "Output file %s (%s) already exists and will be "
+                    "overwritten", path, desc,
+                )
+                os.remove(path)
+            else:
+                logger.error(
+                    "Output file %s (%s) already exists, aborting...",
+                    path, desc,
+                )
+                exit_exists = True
+    if exit_exists:
+        logging.shutdown()
+        return 1
+
+    from .preprocess import get_dim
+
+    _, mz_min, mz_max = get_dim(
+        config.min_mz, config.max_mz, config.fragment_tol
+    )
+    process_kwargs = dict(
+        min_peaks=config.min_peaks,
+        min_mz_range=config.min_mz_range,
+        mz_min=mz_min,
+        mz_max=mz_max,
+        remove_precursor_tolerance=config.remove_precursor_tol,
+        min_intensity=config.min_intensity,
+        max_peaks_used=config.max_peaks_used,
+        scaling=None if config.scaling == "off" else config.scaling,
+    )
+
+    store = SpectrumStore(os.path.join(config.work_dir, "spectra"))
+    if config.overwrite:
+        store.clear()
+
+    # Ingest-resume point (reference falcon.py:143-149).
+    charges = store.load_charges()
+    if charges is None:
+        from . import ingest
+
+        charges = ingest.prepare_spectra(
+            store, config.input_filenames, process_kwargs
+        )
+
+    # Import the engine lazily: it pulls in JAX (and on TPU hosts the
+    # exclusive chip), which ingest worker processes must never touch.
+    from .cluster import engine
+
+    if config.backend == "ann":
+        from .cluster import ann_engine
+
+    clusters_all, current_label, representatives = [], 0, []
+    for charge in charges:
+        try:
+            dataset = store.dataset(charge)
+        except ValueError:
+            logger.error("Failed to open dataset for charge %s", charge)
+            continue
+        if dataset.count_rows() == 0:
+            continue
+        meta = dataset.read_metadata()
+        if config.backend == "ann":
+            clusters, medoids = ann_engine.generate_clusters(
+                dataset,
+                eps=config.eps,
+                min_samples=config.min_samples,
+                min_matches=config.min_matched_peaks,
+                precursor_tol_mass=config.precursor_tol[0],
+                precursor_tol_mode=config.precursor_tol[1],
+                rt_tol=config.rt_tol,
+                fragment_tol=config.fragment_tol,
+                batch_size=config.batch_size,
+                low_dim=config.low_dim,
+                n_neighbors=config.n_neighbors,
+                n_neighbors_ann=config.n_neighbors_ann,
+                n_probe=config.n_probe,
+                hash_seed=config.hash_seed,
+                min_mz=mz_min,
+                max_mz=mz_max,
+                max_peaks=config.max_peaks_used,
+            )
+        else:
+            clusters, medoids = engine.generate_clusters(
+                dataset,
+                config.linkage,
+                config.distance_threshold,
+                config.min_matched_peaks,
+                config.precursor_tol[0],
+                config.precursor_tol[1],
+                config.rt_tol,
+                config.fragment_tol,
+                config.batch_size,
+                max_peaks=config.max_peaks_used,
+            )
+        # Globally disjoint labels across charges (reference
+        # falcon.py:189-193).
+        clusters = clusters + current_label
+        current_label = int(np.amax(clusters)) + 1
+
+        charges_col = meta["precursor_charge"].astype(np.float64)
+        # A missing charge is stored as the NULL_CHARGE sentinel; export it
+        # as NaN like the reference's nullable int8 column would.
+        charges_col[charges_col == float(NULL_CHARGE)] = np.nan
+        metadata = pd.DataFrame(
+            {
+                "filename": meta["filename"],
+                "spectrum_id": meta["identifier"],
+                "precursor_charge": pd.array(
+                    charges_col, dtype="Int64"
+                ),
+                "precursor_mz": meta["precursor_mz"],
+                "retention_time": meta["retention_time"],
+                "cluster": clusters,
+            }
+        )
+        clusters_all.append(metadata)
+        if config.export_representatives:
+            representatives.extend(dataset.take(medoids))
+
+    if not clusters_all:
+        logger.error("No spectra found to cluster")
+        logging.shutdown()
+        return 1
+
+    clusters_all = pd.concat(clusters_all, ignore_index=True)
+    # Natural sort by (filename, spectrum_id) (reference falcon.py:206-208).
+    sort_keys = [
+        (natsort_key(f), natsort_key(s))
+        for f, s in zip(clusters_all["filename"],
+                        clusters_all["spectrum_id"])
+    ]
+    clusters_all = clusters_all.iloc[
+        sorted(range(len(sort_keys)), key=sort_keys.__getitem__)
+    ]
+    logger.info(
+        "Export cluster assignments of %d spectra to %d unique clusters "
+        "to output file %s",
+        len(clusters_all), clusters_all["cluster"].nunique(),
+        f"{config.output_filename}.csv",
+    )
+    write_csv_worker = threading.Thread(
+        target=_write_cluster_info, args=(clusters_all,), daemon=True
+    )
+    write_csv_worker.start()
+    if config.export_representatives:
+        from .ms_io import ms_io
+        from .ms_io.containers import Spectrum
+
+        spectra = [
+            Spectrum(
+                r["identifier"], r["precursor_mz"], r["precursor_charge"],
+                r["mz"], r["intensity"], r["retention_time"],
+                r["filename"],
+            )
+            for r in representatives
+        ]
+        logger.info(
+            "Export %d cluster representative spectra to output file %s",
+            len(spectra), f"{config.output_filename}.mgf",
+        )
+        write_mgf_worker = threading.Thread(
+            target=ms_io.write_spectra,
+            args=(f"{config.output_filename}.mgf", spectra),
+            daemon=True,
+        )
+        write_mgf_worker.start()
+        write_mgf_worker.join()
+    write_csv_worker.join()
+
+    if rm_work_dir:
+        shutil.rmtree(config.work_dir)
+
+    logging.shutdown()
+    return 0
+
+
+def _write_cluster_info(clusters: pd.DataFrame) -> None:
+    """CSV export with the '#'-prefixed run-manifest header (reference
+    ``_write_cluster_info``, ``falcon/falcon.py:483-524``; same keys, same
+    order, same formatting)."""
+    with open(f"{config.output_filename}.csv", "a") as f_out:
+        f_out.write(f"# falcon-tpu version {__version__}\n")
+        f_out.write(f"# work_dir = {config.work_dir}\n")
+        f_out.write(f"# overwrite = {config.overwrite}\n")
+        f_out.write(
+            f"# export_representatives = {config.export_representatives}\n"
+        )
+        f_out.write(
+            f"# precursor_tol = {config.precursor_tol[0]:.2f} "
+            f"{config.precursor_tol[1]}\n"
+        )
+        f_out.write(f"# rt_tol = {config.rt_tol}\n")
+        f_out.write(f"# fragment_tol = {config.fragment_tol:.2f}\n")
+        f_out.write(f"# linkage = {config.linkage}\n")
+        f_out.write(
+            f"# distance_threshold = {config.distance_threshold:.3f}\n"
+        )
+        f_out.write(f"# min_matched_peaks = {config.min_matched_peaks}\n")
+        f_out.write(f"# batch_size = {config.batch_size}\n")
+        f_out.write(f"# min_peaks = {config.min_peaks}\n")
+        f_out.write(f"# min_mz_range = {config.min_mz_range:.2f}\n")
+        f_out.write(f"# min_mz = {config.min_mz:.2f}\n")
+        f_out.write(f"# max_mz = {config.max_mz:.2f}\n")
+        f_out.write(
+            f"# remove_precursor_tol = {config.remove_precursor_tol:.2f}\n"
+        )
+        f_out.write(f"# min_intensity = {config.min_intensity:.2f}\n")
+        f_out.write(f"# max_peaks_used = {config.max_peaks_used}\n")
+        f_out.write(f"# scaling = {config.scaling}\n")
+        # falcon-tpu additions (after the reference's 17 keys).
+        f_out.write(f"# backend = {config.backend}\n")
+        if config.backend == "ann":
+            f_out.write(f"# eps = {config.eps}\n")
+            f_out.write(f"# low_dim = {config.low_dim}\n")
+            f_out.write(f"# n_neighbors = {config.n_neighbors}\n")
+            f_out.write(f"# n_neighbors_ann = {config.n_neighbors_ann}\n")
+            f_out.write(f"# n_probe = {config.n_probe}\n")
+            f_out.write(f"# min_samples = {config.min_samples}\n")
+        f_out.write("#\n")
+        clusters.to_csv(f_out, index=False, chunksize=1000000)

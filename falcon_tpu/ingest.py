@@ -1,0 +1,110 @@
+"""Peak-file ingest: parallel parsing + preprocessing into the store.
+
+Mirrors the reference's ingest/partition subsystem
+(``falcon/falcon.py:247-480``): peak files are parsed and preprocessed by
+a pool of worker processes (one task per file, pool size
+min(#files, #cpus), reference ``falcon.py:267``), and the processed
+spectra are appended in 10k batches to per-charge datasets.
+
+This module deliberately imports no JAX so ingest worker processes never
+touch the TPU plugin (the chip is exclusive to the parent process).
+"""
+
+import glob
+import logging
+import multiprocessing
+import os
+from concurrent.futures import ProcessPoolExecutor, as_completed
+from typing import Callable, Dict, List, Optional, Tuple
+
+from .ms_io import ms_io
+from .preprocess import spectrum as prep
+from .store.store import SpectrumStore
+
+logger = logging.getLogger("falcon_tpu")
+
+
+def read_and_process_file(
+    filename: str, process_kwargs: Dict
+) -> Tuple[List[dict], int]:
+    """Parse one peak file and preprocess its spectra.
+
+    Returns (processed spectrum dicts, low-quality count).  Mirrors
+    reference ``_read_spectra`` (``falcon/falcon.py:362-392``), including
+    storing the absolute filename on each spectrum.
+    """
+    low_quality_counter = 0
+    spectra = []
+    filename = os.path.abspath(filename)
+    for spec in ms_io.get_spectra(filename):
+        spec.filename = filename
+        processed = prep.process_spectrum(spec, **process_kwargs)
+        if processed is None:
+            low_quality_counter += 1
+        else:
+            spectra.append(processed)
+    return spectra, low_quality_counter
+
+
+def prepare_spectra(
+    store: SpectrumStore,
+    input_patterns: List[str],
+    process_kwargs: Dict,
+    max_workers: Optional[int] = None,
+) -> List[Optional[int]]:
+    """Read all input files into per-charge datasets; returns the charges.
+
+    Mirrors reference ``_prepare_spectra`` (``falcon/falcon.py:247-328``):
+    glob expansion, process-parallel parsing, 10k-batch appends, per-charge
+    partitioning (a ``None`` charge gets its own bucket), and the
+    read/skip counters.
+    """
+    input_filenames = [
+        fn for pattern in input_patterns for fn in sorted(glob.glob(pattern))
+    ]
+    logger.info("Read spectra from %d peak file(s)", len(input_filenames))
+    if not input_filenames:
+        raise ValueError("No input peak files found")
+    if max_workers is None:
+        max_workers = min(len(input_filenames), multiprocessing.cpu_count())
+
+    writer = store.writer(batch_size=10_000)
+    charges = set()
+    low_quality_counter, n_spectra = 0, 0
+
+    def consume(result):
+        nonlocal low_quality_counter, n_spectra
+        spectra, lqc = result
+        low_quality_counter += lqc
+        n_spectra += len(spectra)
+        for spec in spectra:
+            charges.add(spec["precursor_charge"])
+            writer.add(spec)
+
+    if max_workers <= 1 or len(input_filenames) == 1:
+        for filename in input_filenames:
+            consume(read_and_process_file(filename, process_kwargs))
+    else:
+        # spawn (not fork): the parent may hold a live TPU client.
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(
+            max_workers=max_workers, mp_context=ctx
+        ) as pool:
+            futures = [
+                pool.submit(read_and_process_file, fn, process_kwargs)
+                for fn in input_filenames
+            ]
+            for future in as_completed(futures):
+                consume(future.result())
+    writer.close()
+
+    logger.info(
+        "Read %d spectra from %d peak files", n_spectra,
+        len(input_filenames),
+    )
+    logger.info("Skipped %d low-quality spectra", low_quality_counter)
+    charge_list = sorted(
+        charges, key=lambda c: (c is None, c if c is not None else 0)
+    )
+    store.save_charges(charge_list)
+    return charge_list

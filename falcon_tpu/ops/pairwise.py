@@ -1,0 +1,314 @@
+"""Blocked all-pairs spectrum similarity — the Pallas TPU kernel.
+
+This is the hot kernel of the exact backend: the reference evaluates
+``cosine_fast`` once per spectrum pair with one ThreadPoolExecutor future
+per pair (``falcon/cluster/cluster.py:630-637``, its hottest loop; SURVEY.md
+§3.2); here a single Pallas kernel computes a whole (rows × cols) panel of
+pair scores, keeping the per-pair (P × P) weight matrices resident in VMEM
+across the locally-dominant matching rounds (see ``ops/matching.py`` for
+the algorithm and its accuracy vs the Hungarian optimum).
+
+Layout: spectra are padded ``(n, P)`` m/z / intensity arrays.  The grid is
+(rows × column tiles); each kernel instance matches one row spectrum
+against TILE_J column spectra with a live ``(TILE_J, P, P)`` weight tensor
+(2 MB at the defaults) in VMEM.  Row spectra are fed peak-major
+``(n, P, 1)`` so their peaks sit on sublanes without any lane<->sublane
+relayout, and the kernel body contains no unrolled loops (Mosaic compile
+time stays low).
+
+For condensed (upper-triangle) distance computation the kernel skips
+column tiles entirely at-or-below the diagonal, using a scalar-prefetched
+global row offset so one compiled kernel serves every row panel.  Panel
+and column sizes are bucketed to powers of two so the number of distinct
+compiled shapes stays logarithmic in the largest interval.
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .matching import DEFAULT_ROUNDS, match_rounds_body, block_scores_xla
+
+TILE_J = 512   # columns per grid step (per output block)
+SUB = 16       # columns matched per inner-loop iteration (live W size)
+PAD_MZ = -1e6  # padding m/z: outside every tolerance window
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _pair_panel_kernel(
+    row_off_ref,  # scalar prefetch: (1,) global row offset of this panel
+    mz_i_ref,     # (1, P, 1)   one row spectrum, peak-major
+    int_i_ref,    # (1, P, 1)
+    mz_j_ref,     # (TILE_J, P) column spectra
+    int_j_ref,    # (TILE_J, P)
+    score_ref,    # (1, TILE_J, 1) f32 out
+    match_ref,    # (1, TILE_J, 1) i32 out, or None (match counts skipped)
+    *,
+    fragment_tol: float,
+    rounds: int,
+    upper_only: bool,
+    tile_j: int = TILE_J,
+    sub: int = SUB,
+    early_exit: bool = True,
+):
+    # NOTES:
+    # - every value is kept >= 2-D; Mosaic's layout inference aborts on
+    #   rank-1 vectors (observed on v5e);
+    # - the live weight tensor is only (SUB, P, P): Mosaic unrolls
+    #   elementwise ops to vreg granularity, so IR size (and compile time)
+    #   scales with the largest live value — the inner fori_loop over
+    #   column subtiles keeps the compiled body small while the grid step
+    #   still covers TILE_J columns;
+    # - with upper_only, subtiles entirely at-or-below the diagonal are
+    #   skipped by starting the loop at the first needed subtile; their
+    #   output region is left unwritten and the host never reads it.
+    i = pl.program_id(0)
+    j0 = pl.program_id(1) * tile_j
+    gi = row_off_ref[0] + i
+    n_sub = tile_j // sub
+    if upper_only:
+        # First subtile s whose max column index j0 + s*sub + sub-1 > gi.
+        s_start = jnp.maximum(0, (gi - j0 - sub + 1) // sub + 1)
+    else:
+        s_start = 0
+
+    mz_i = mz_i_ref[0][None, :, :]    # (1, P, 1)
+    int_i = int_i_ref[0][None, :, :]  # (1, P, 1)
+
+    def sub_body(s, _):
+        off = pl.multiple_of(s * sub, sub)
+        mz_j = mz_j_ref[pl.ds(off, sub), :][:, None, :]    # (SUB, 1, P)
+        int_j = int_j_ref[pl.ds(off, sub), :][:, None, :]  # (SUB, 1, P)
+        # (SUB, P_i, P_j) banded intensity products.
+        within = jnp.abs(mz_i - mz_j) <= fragment_tol
+        w = jnp.where(within, int_i * int_j, 0.0)
+
+        def round_body(carry):
+            w, score, matches, r = carry
+            w, selected, cand = match_rounds_body(w)
+            # Reduce (SUB, P, P) -> (SUB, 1) in two 2-D steps.
+            score = score + jnp.sum(
+                jnp.sum(selected, axis=-1), axis=-1, keepdims=True
+            )
+            matches = matches + jnp.sum(
+                jnp.sum(cand.astype(jnp.int32), axis=-1),
+                axis=-1, keepdims=True,
+            )
+            return w, score, matches, r + 1
+
+        def round_cond(carry):
+            w, _, _, r = carry
+            # Early exit once every weight in the subtile is consumed —
+            # real spectrum pairs typically finish in 1-2 rounds.
+            return jnp.logical_and(r < rounds, jnp.max(w) > 0)
+
+        score0 = jnp.zeros((w.shape[0], 1), jnp.float32)
+        match0 = jnp.zeros((w.shape[0], 1), jnp.int32)
+        if early_exit:
+            _, score, matches, _ = jax.lax.while_loop(
+                round_cond, round_body, (w, score0, match0, jnp.int32(0))
+            )
+        else:
+            _, score, matches, _ = jax.lax.fori_loop(
+                0, rounds,
+                lambda _, c: round_body(c),
+                (w, score0, match0, jnp.int32(0)),
+            )
+        score_ref[0, pl.ds(off, sub), :] = jnp.clip(score, 0.0, 1.0)
+        if match_ref is not None:
+            match_ref[0, pl.ds(off, sub), :] = matches
+        return 0
+
+    jax.lax.fori_loop(s_start, n_sub, sub_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fragment_tol", "rounds", "upper_only", "interpret",
+                     "tile_j", "sub", "with_matches", "early_exit"),
+)
+def panel_scores_pallas(
+    mz_rows: jnp.ndarray,
+    int_rows: jnp.ndarray,
+    mz_cols: jnp.ndarray,
+    int_cols: jnp.ndarray,
+    row_offset: jnp.ndarray,
+    fragment_tol: float,
+    rounds: int = DEFAULT_ROUNDS,
+    upper_only: bool = False,
+    interpret: bool = False,
+    tile_j: int = TILE_J,
+    sub: int = SUB,
+    with_matches: bool = True,
+    early_exit: bool = True,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Scores for every (row, col) spectrum pair of a panel.
+
+    ``mz_rows``/``int_rows``: (n_rows, P); ``mz_cols``/``int_cols``:
+    (n_cols, P) with n_cols % TILE_J == 0.  ``row_offset``: scalar int32 —
+    the global index of row 0, used with ``upper_only`` to skip
+    below-diagonal tiles.  Returns (scores, matches), each
+    (n_rows, n_cols); ``matches`` is None when ``with_matches`` is False
+    (saves compute and halves the device->host transfer — the default
+    ``min_matched_peaks = 0`` never reads it).
+    """
+    n_rows, p = mz_rows.shape
+    n_cols = mz_cols.shape[0]
+    grid = (n_rows, n_cols // tile_j)
+    impl = functools.partial(
+        _pair_panel_kernel,
+        fragment_tol=float(fragment_tol),
+        rounds=int(rounds),
+        upper_only=bool(upper_only),
+        tile_j=int(tile_j),
+        sub=int(sub),
+        early_exit=bool(early_exit),
+    )
+    if with_matches:
+        kernel = impl
+    else:
+        def kernel(row_off_ref, mzi, inti, mzj, intj, score_ref):
+            impl(row_off_ref, mzi, inti, mzj, intj, score_ref, None)
+
+    out_spec = pl.BlockSpec((1, tile_j, 1), lambda i, j, s: (i, j, 0))
+    score_shape = jax.ShapeDtypeStruct((n_rows, n_cols, 1), jnp.float32)
+    match_shape = jax.ShapeDtypeStruct((n_rows, n_cols, 1), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, p, 1), lambda i, j, s: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, j, s: (i, 0, 0)),
+            pl.BlockSpec((tile_j, p), lambda i, j, s: (j, 0)),
+            pl.BlockSpec((tile_j, p), lambda i, j, s: (j, 0)),
+        ],
+        out_specs=[out_spec, out_spec] if with_matches else [out_spec],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            [score_shape, match_shape] if with_matches else [score_shape]
+        ),
+        # The matching rounds keep a few (SUB, P, P) temporaries live at
+        # once, which can exceed the 16 MB default scoped-VMEM budget at
+        # larger subtile sizes; v5e has 128 MB physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(row_offset, jnp.int32).reshape(1),
+        mz_rows[:, :, None], int_rows[:, :, None], mz_cols, int_cols,
+    )
+    scores = outs[0][:, :, 0]
+    matches = outs[1][:, :, 0] if with_matches else None
+    return scores, matches
+
+
+def _pad_rows(a: np.ndarray, target: int, fill: float) -> np.ndarray:
+    n = a.shape[0]
+    if n == target:
+        return a
+    return np.concatenate(
+        [a, np.full((target - n,) + a.shape[1:], fill, a.dtype)], axis=0
+    )
+
+
+def _bucket_size(n: int, minimum: int = TILE_J) -> int:  # noqa: D401
+    """Next power of two >= n (at least ``minimum``), so the number of
+    distinct compiled kernel shapes stays logarithmic."""
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+def use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def condensed_distances(
+    mz: np.ndarray,
+    intensity: np.ndarray,
+    fragment_tol: float,
+    min_matches: int = 0,
+    rounds: int = DEFAULT_ROUNDS,
+    panel_rows: int = 2048,
+    backend: Optional[str] = None,
+) -> np.ndarray:
+    """Condensed upper-triangle distance matrix for one block of spectra.
+
+    Semantics of reference ``compute_condensed_distance_matrix``
+    (``falcon/cluster/cluster.py:593-639``): distance = 1 - similarity,
+    with similarity forced to 0 when fewer than ``min_matches`` peaks
+    match.  Row panels are streamed through the device so HBM usage is
+    O(panel_rows * n) rather than O(n^2).
+
+    ``backend``: None -> auto (Pallas on TPU, XLA elsewhere);
+    "pallas_interpret" forces the Pallas kernel in interpreter mode (for
+    CPU testing of the kernel itself); "xla" forces the XLA fallback.
+    """
+    n = mz.shape[0]
+    if n < 2:
+        return np.zeros(0, np.float32)
+    if backend is None:
+        backend = "pallas" if use_pallas() else "xla"
+
+    out = np.ones(n * (n - 1) // 2, np.float32)
+
+    if backend == "xla":
+        scores, matches = block_scores_xla(
+            jnp.asarray(mz), jnp.asarray(intensity), float(fragment_tol),
+            rounds,
+        )
+        scores = np.asarray(scores)
+        if min_matches > 0:
+            scores = np.where(np.asarray(matches) >= min_matches,
+                              scores, 0.0)
+        iu = np.triu_indices(n, k=1)
+        out[:] = 1.0 - scores[iu]
+        return out
+
+    interpret = backend == "pallas_interpret"
+    n_cols = _bucket_size(n)
+    mz_cols = jnp.asarray(
+        _pad_rows(np.asarray(mz, np.float32), n_cols, PAD_MZ)
+    )
+    int_cols = jnp.asarray(
+        _pad_rows(np.asarray(intensity, np.float32), n_cols, 0.0)
+    )
+    panel = min(panel_rows, n_cols)
+
+    with_matches = min_matches > 0
+    for r0 in range(0, n - 1, panel):
+        r1 = min(r0 + panel, n)
+        mz_rows = _pad_rows(mz[r0:r1].astype(np.float32), panel, PAD_MZ)
+        int_rows = _pad_rows(intensity[r0:r1].astype(np.float32), panel,
+                             0.0)
+        scores, matches = panel_scores_pallas(
+            jnp.asarray(mz_rows), jnp.asarray(int_rows),
+            mz_cols, int_cols,
+            jnp.int32(r0), float(fragment_tol), rounds,
+            upper_only=True, interpret=interpret,
+            with_matches=with_matches,
+        )
+        scores = np.asarray(scores)[: r1 - r0, :n]
+        if with_matches:
+            matches = np.asarray(matches)[: r1 - r0, :n]
+            scores = np.where(matches >= min_matches, scores, 0.0)
+        for local_i in range(r1 - r0):
+            gi = r0 + local_i
+            if gi + 1 >= n:
+                continue
+            # Condensed row slice for row gi: indices of (gi, gi+1..n-1).
+            start = n * gi - gi * (gi + 1) // 2
+            out[start:start + (n - 1 - gi)] = (
+                1.0 - scores[local_i, gi + 1:]
+            )
+    return out

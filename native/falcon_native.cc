@@ -1,0 +1,275 @@
+// falcon-tpu native host library.
+//
+// First-party replacements for the third-party native components the
+// reference relies on (SURVEY.md §2.3):
+//   - fastcluster (C++): O(n^2) condensed-matrix agglomerative linkage for
+//     single/complete/average via Müllner's nearest-neighbor-chain
+//     algorithm (reference call site: falcon/cluster/cluster.py:285).
+//   - scipy.cluster.hierarchy.fcluster(..., "distance"): flat-cluster
+//     extraction by cutting the sorted linkage at a threshold (reference:
+//     falcon/cluster/cluster.py:283-290, 413-421).
+//   - union-find connected components for the density-clustering (DBSCAN
+//     with min_samples) engine of the published algorithm.
+//
+// Exposed via a plain C ABI for ctypes binding (no pybind11 dependency).
+//
+// Build: make -C native   ->  native/libfalcon_native.so
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <limits>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+constexpr double kInf = std::numeric_limits<double>::infinity();
+
+// Condensed index for i < j in an n x n matrix.
+inline int64_t condensed_index(int64_t n, int64_t i, int64_t j) {
+  return n * i + j - ((i + 2) * (i + 1)) / 2;
+}
+
+enum Method { SINGLE = 0, COMPLETE = 1, AVERAGE = 2 };
+
+struct Merge {
+  int64_t a, b;   // representative point indices of the merged clusters
+  double dist;
+};
+
+// Union-find with scipy-style cluster labeling: each union gets label
+// n + t for merge step t.
+class LabeledUnionFind {
+ public:
+  explicit LabeledUnionFind(int64_t n)
+      : parent_(2 * n - 1, -1), next_label_(n) {}
+
+  int64_t find(int64_t x) {
+    int64_t root = x;
+    while (parent_[root] != -1) root = parent_[root];
+    while (parent_[x] != -1) {  // path compression
+      int64_t next = parent_[x];
+      parent_[x] = root;
+      x = next;
+    }
+    return root;
+  }
+
+  // Merge the clusters containing points a, b; returns their labels.
+  void merge(int64_t root_a, int64_t root_b) {
+    parent_[root_a] = next_label_;
+    parent_[root_b] = next_label_;
+    ++next_label_;
+  }
+
+ private:
+  std::vector<int64_t> parent_;
+  int64_t next_label_;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Agglomerative clustering of a condensed distance matrix.
+//
+//   d: condensed upper-triangle distances, length n*(n-1)/2 (float64),
+//      CLOBBERED as workspace.
+//   n: number of observations (n >= 2).
+//   method: 0 = single, 1 = complete, 2 = average.
+//   z_out: (n-1) * 4 doubles, scipy linkage format — rows sorted by merge
+//      distance; columns (cluster_a, cluster_b, distance, size) with
+//      original observations 0..n-1 and merged cluster t labeled n+t.
+//
+// Returns 0 on success.
+int fc_linkage(double* d, int64_t n, int method, double* z_out) {
+  if (n < 2 || method < 0 || method > 2) return 1;
+
+  std::vector<int64_t> size(n, 1);
+  std::vector<uint8_t> active(n, 1);
+  std::vector<int64_t> chain;
+  chain.reserve(n);
+  std::vector<Merge> merges;
+  merges.reserve(n - 1);
+
+  auto dget = [&](int64_t i, int64_t j) -> double& {
+    return i < j ? d[condensed_index(n, i, j)]
+                 : d[condensed_index(n, j, i)];
+  };
+
+  int64_t first_active = 0;
+  for (int64_t step = 0; step < n - 1; ++step) {
+    if (chain.empty()) {
+      while (!active[first_active]) ++first_active;
+      chain.push_back(first_active);
+    }
+    int64_t a, b;
+    double min_dist;
+    for (;;) {
+      a = chain.back();
+      // Nearest active neighbor of a; prefer the chain predecessor so
+      // reciprocal pairs terminate the walk (Müllner 2011, nn_chain).
+      if (chain.size() > 1) {
+        b = chain[chain.size() - 2];
+        min_dist = dget(a, b);
+      } else {
+        b = -1;
+        min_dist = kInf;
+      }
+      for (int64_t i = 0; i < n; ++i) {
+        if (!active[i] || i == a) continue;
+        double dist = dget(a, i);
+        if (dist < min_dist) {
+          min_dist = dist;
+          b = i;
+        }
+      }
+      if (chain.size() > 1 && b == chain[chain.size() - 2]) break;
+      chain.push_back(b);
+    }
+    // Merge a and b (reciprocal nearest neighbors).
+    chain.pop_back();
+    chain.pop_back();
+    merges.push_back({a, b, min_dist});
+
+    // Lance-Williams update into b's row; deactivate a.
+    int64_t sa = size[a], sb = size[b];
+    for (int64_t i = 0; i < n; ++i) {
+      if (!active[i] || i == a || i == b) continue;
+      double da = dget(a, i), db = dget(b, i);
+      double nd;
+      switch (method) {
+        case SINGLE:
+          nd = da < db ? da : db;
+          break;
+        case COMPLETE:
+          nd = da > db ? da : db;
+          break;
+        default:  // AVERAGE
+          nd = (static_cast<double>(sa) * da +
+                static_cast<double>(sb) * db) /
+               static_cast<double>(sa + sb);
+      }
+      dget(b, i) = nd;
+    }
+    size[b] = sa + sb;
+    active[a] = 0;
+  }
+
+  // Sort merges by distance (stable: preserves merge order on ties) and
+  // relabel with a union-find, as fastcluster/scipy do.
+  std::vector<int64_t> order(merges.size());
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t x, int64_t y) {
+                     return merges[x].dist < merges[y].dist;
+                   });
+  LabeledUnionFind uf(n);
+  std::vector<int64_t> root_label(2 * n - 1);
+  std::iota(root_label.begin(), root_label.end(), 0);
+  std::vector<int64_t> cluster_size(2 * n - 1, 1);
+  for (size_t t = 0; t < order.size(); ++t) {
+    const Merge& m = merges[order[t]];
+    int64_t ra = uf.find(m.a), rb = uf.find(m.b);
+    int64_t la = root_label[ra], lb = root_label[rb];
+    if (la > lb) std::swap(la, lb);
+    int64_t new_size = cluster_size[ra] + cluster_size[rb];
+    z_out[4 * t + 0] = static_cast<double>(la);
+    z_out[4 * t + 1] = static_cast<double>(lb);
+    z_out[4 * t + 2] = m.dist;
+    z_out[4 * t + 3] = static_cast<double>(new_size);
+    uf.merge(ra, rb);
+    int64_t new_root = uf.find(m.a);
+    root_label[new_root] = n + static_cast<int64_t>(t);
+    cluster_size[new_root] = new_size;
+  }
+  return 0;
+}
+
+// Flat clusters by cutting a linkage at a distance threshold, matching
+// scipy's fcluster(Z, t, criterion="distance") for monotone linkages:
+// observations whose cophenetic distance is <= t share a flat cluster.
+// Labels are 0-based and numbered by first occurrence in leaf order
+// (scipy numbers 1..k by leaf traversal; callers only rely on grouping,
+// cf. falcon/cluster/cluster.py:283-311 which re-sorts by label).
+//
+//   z: (n-1) x 4 linkage, rows sorted ascending by distance.
+//   labels_out: n int32 labels.
+// Returns the number of flat clusters, or -1 on error.
+int64_t fc_fcluster(const double* z, int64_t n, double t,
+                    int32_t* labels_out) {
+  if (n < 1) return -1;
+  if (n == 1) {
+    labels_out[0] = 0;
+    return 1;
+  }
+  // Union merges with distance <= t.  Linkage rows refer to cluster ids;
+  // map cluster id -> current flat root via parent table.
+  std::vector<int64_t> parent(2 * n - 1);
+  std::iota(parent.begin(), parent.end(), 0);
+  std::function<int64_t(int64_t)> find = [&](int64_t x) {
+    int64_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) {
+      int64_t next = parent[x];
+      parent[x] = root;
+      x = next;
+    }
+    return root;
+  };
+  for (int64_t row = 0; row < n - 1; ++row) {
+    double dist = z[4 * row + 2];
+    if (dist > t) break;  // rows sorted ascending
+    int64_t a = static_cast<int64_t>(z[4 * row + 0]);
+    int64_t b = static_cast<int64_t>(z[4 * row + 1]);
+    int64_t node = n + row;
+    parent[find(a)] = node;
+    parent[find(b)] = node;
+  }
+  // Number flat clusters by first occurrence over observations.
+  std::vector<int32_t> root_to_label(2 * n - 1, -1);
+  int32_t next = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t r = find(i);
+    if (root_to_label[r] < 0) root_to_label[r] = next++;
+    labels_out[i] = root_to_label[r];
+  }
+  return next;
+}
+
+// Connected components over an undirected edge list.
+//   u, v: edge endpoints (n_edges), nodes in [0, n_nodes).
+//   labels_out: n_nodes int32 component ids, numbered by first occurrence.
+// Returns the number of components.
+int64_t fc_connected_components(const int64_t* u, const int64_t* v,
+                                int64_t n_edges, int64_t n_nodes,
+                                int32_t* labels_out) {
+  std::vector<int64_t> parent(n_nodes);
+  std::iota(parent.begin(), parent.end(), 0);
+  std::function<int64_t(int64_t)> find = [&](int64_t x) {
+    int64_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) {
+      int64_t next = parent[x];
+      parent[x] = root;
+      x = next;
+    }
+    return root;
+  };
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int64_t ru = find(u[e]), rv = find(v[e]);
+    if (ru != rv) parent[ru] = rv;
+  }
+  std::vector<int32_t> root_to_label(n_nodes, -1);
+  int32_t next = 0;
+  for (int64_t i = 0; i < n_nodes; ++i) {
+    int64_t r = find(i);
+    if (root_to_label[r] < 0) root_to_label[r] = next++;
+    labels_out[i] = root_to_label[r];
+  }
+  return next;
+}
+
+}  // extern "C"

@@ -1,0 +1,113 @@
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from falcon_tpu import cli
+from falcon_tpu.simulate import make_clustered_spectra, write_mgf
+
+
+@pytest.fixture()
+def mgf_inputs(tmp_path):
+    spectra, truth = make_clustered_spectra(
+        n_clusters=10, cluster_size=5, n_noise=15, seed=21, charges=(2, 3),
+    )
+    half = len(spectra) // 2
+    f1 = write_mgf(str(tmp_path / "run1.mgf"), spectra[:half])
+    f2 = write_mgf(str(tmp_path / "run2.mgf"), spectra[half:])
+    return tmp_path, [f1, f2], spectra, truth
+
+
+def _read_csv(path):
+    return pd.read_csv(path, comment="#")
+
+
+def test_cli_end_to_end(mgf_inputs):
+    tmp_path, files, spectra, truth = mgf_inputs
+    out = str(tmp_path / "out")
+    work = str(tmp_path / "work")
+    rc = cli.main(
+        files + [out, "--work_dir", work, "--export_representatives"]
+    )
+    assert rc == 0
+    csv_path = out + ".csv"
+    assert os.path.isfile(csv_path)
+    # Header manifest present (reference falcon.py:483-524).
+    with open(csv_path) as f:
+        header = [line for line in f if line.startswith("#")]
+    assert any("precursor_tol = 20.00 ppm" in line for line in header)
+    assert any("linkage = complete" in line for line in header)
+
+    df = _read_csv(csv_path)
+    assert list(df.columns) == [
+        "filename", "spectrum_id", "precursor_charge", "precursor_mz",
+        "retention_time", "cluster",
+    ]
+    # Every kept spectrum labeled; labels globally unique across charges.
+    assert df["cluster"].notna().all()
+    by_charge = df.groupby("precursor_charge")["cluster"]
+    ranges = {c: (g.min(), g.max()) for c, g in by_charge}
+    charges = sorted(ranges)
+    for c1, c2 in zip(charges, charges[1:]):
+        assert ranges[c1][1] < ranges[c2][0]
+    # Natural sort by (filename, spectrum_id).
+    assert (df["filename"].values[:-1] <= df["filename"].values[1:]).all()
+
+    # Representatives MGF exists with >= 1 spectrum per cluster... exactly
+    # one medoid per final cluster plus noise singletons = n_clusters.
+    from falcon_tpu.ms_io import mgf_io
+
+    reps = list(mgf_io.get_spectra(out + ".mgf"))
+    assert len(reps) == df["cluster"].nunique()
+
+    # Clusters recover the ground truth with high purity.
+    truth_by_id = {s.identifier: t for s, t in zip(spectra, truth)}
+    df["truth"] = [truth_by_id[i] for i in df["spectrum_id"]]
+    purity_num = sum(
+        g["truth"].value_counts().iloc[0]
+        for _, g in df.groupby("cluster")
+    )
+    assert purity_num / len(df) > 0.95
+
+
+def test_cli_overwrite_gate_and_resume(mgf_inputs):
+    tmp_path, files, _, _ = mgf_inputs
+    out = str(tmp_path / "out2")
+    work = str(tmp_path / "work2")
+    assert cli.main(files + [out, "--work_dir", work]) == 0
+    # Second run without --overwrite aborts with exit code 1 (reference
+    # falcon.py:89-122).
+    assert cli.main(files + [out, "--work_dir", work]) == 1
+    # With --overwrite it re-runs fine.
+    assert cli.main(files + [out, "--work_dir", work, "--overwrite"]) == 0
+
+    # Resume: removing outputs but keeping work_dir skips ingest (charge
+    # cache present, reference falcon.py:143-149).
+    os.remove(out + ".csv")
+    import falcon_tpu.ingest as ingest
+
+    called = []
+    original = ingest.prepare_spectra
+
+    def spy(*args, **kwargs):
+        called.append(1)
+        return original(*args, **kwargs)
+
+    ingest.prepare_spectra = spy
+    try:
+        assert cli.main(files + [out, "--work_dir", work]) == 0
+    finally:
+        ingest.prepare_spectra = original
+    assert not called  # ingest skipped on resume
+
+
+def test_cli_deterministic(mgf_inputs):
+    tmp_path, files, _, _ = mgf_inputs
+    out_a = str(tmp_path / "det_a")
+    out_b = str(tmp_path / "det_b")
+    assert cli.main(files + [out_a]) == 0
+    assert cli.main(files + [out_b]) == 0
+    df_a = _read_csv(out_a + ".csv")
+    df_b = _read_csv(out_b + ".csv")
+    pd.testing.assert_frame_equal(df_a, df_b)

@@ -1,0 +1,187 @@
+"""Scalable clustering engine — the published falcon algorithm, TPU-first.
+
+Pipeline (reference ``README.md:119-146``; the snapshot's code no longer
+contains it, cf. SURVEY.md §0):
+
+1. spectra -> binned, MurmurHash3-feature-hashed, L2-normalized dense
+   vectors (``ops/vectorize.py``) — MXU-friendly scatter + matmuls;
+2. k-nearest neighbors within the precursor m/z tolerance: the sorted
+   precursor order makes candidates a contiguous band, so k-NN is banded
+   blocked matmuls with fused top-k (``ops/knn.py``), or the from-scratch
+   TPU IVF index for very large bands (``ops/ivf.py``);
+3. the sparse pairwise distance matrix (1 - inner product, tolerance-
+   masked) feeds DBSCAN density clustering: with ``min_samples`` core
+   points, eps-reachable core components, and border attachment — via
+   union-find connected components in the native library;
+4. the same cluster refinement as the exact engine (precursor m/z / RT
+   splitting, noise -> singletons, medoid representatives), so both
+   backends share output semantics.
+"""
+
+import logging
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .. import native
+from ..ops.knn import knn_banded, NEG
+from ..ops.vectorize import SpectrumHasher
+from ..store.store import ChargeDataset, padded_peaks
+from .postprocess import cluster_group_slices, postprocess_cluster
+
+logger = logging.getLogger("falcon_tpu")
+
+
+def generate_clusters(
+    dataset: ChargeDataset,
+    eps: float,
+    min_samples: int,
+    min_matches: int,
+    precursor_tol_mass: float,
+    precursor_tol_mode: str,
+    rt_tol: Optional[float],
+    fragment_tol: float,
+    batch_size: int,
+    low_dim: int = 400,
+    n_neighbors: int = 64,
+    n_neighbors_ann: int = 128,
+    n_probe: int = 32,
+    hash_seed: int = 0,
+    min_mz: float = 101.0,
+    max_mz: float = 1500.0,
+    max_peaks: int = 50,
+    use_ivf: Optional[bool] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cluster one charge bucket with the vectorized ANN pipeline.
+
+    Returns (labels, medoid row indices) with the same semantics as the
+    exact engine: every spectrum labeled, noise as singletons, one medoid
+    per cluster plus each noise point.
+    """
+    import jax.numpy as jnp  # deferred: keep module import light
+
+    meta = dataset.read_metadata()
+    offsets, mz_flat, int_flat = dataset.read_peaks()
+    n = len(meta["precursor_mz"])
+    precursor_mzs = np.asarray(meta["precursor_mz"], np.float64)
+    rts = np.asarray(meta["retention_time"], np.float64)
+    order = np.argsort(precursor_mzs, kind="stable")
+    mz_sorted = precursor_mzs[order]
+    rt_sorted = rts[order]
+
+    logger.info(
+        "Cluster %d spectra with the ANN engine (eps=%.3f, "
+        "min_samples=%d, low_dim=%d, n_neighbors=%d)",
+        n, eps, min_samples, low_dim, n_neighbors,
+    )
+    if n == 1:
+        return np.zeros(1, np.int32), np.zeros(1, np.int64)
+
+    # 1. Vectorize (chunked through the device).
+    hasher = SpectrumHasher(min_mz, max_mz, fragment_tol, low_dim,
+                            hash_seed)
+    pad_to = ((max_peaks + 63) // 64) * 64
+    vectors = np.empty((n, hasher.dim_padded), np.float32)
+    chunk = 65536
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        mz_pad, int_pad, _ = padded_peaks(
+            offsets, mz_flat, int_flat, pad_to, order[c0:c1]
+        )
+        vectors[c0:c1] = np.asarray(
+            hasher.vectorize(jnp.asarray(mz_pad), jnp.asarray(int_pad))
+        )
+
+    # 2. k-NN within the precursor band.
+    sims, neigh = knn_banded(
+        vectors, mz_sorted, precursor_tol_mass, precursor_tol_mode,
+        k=min(n_neighbors, max(n - 1, 1)),
+        rts=rt_sorted, rt_tol=rt_tol,
+    )
+
+    # 3. DBSCAN on the sparse eps-graph.
+    within_eps = (neigh >= 0) & ((1.0 - sims) <= eps)
+    # Core points: >= min_samples points (incl. self) in the
+    # eps-neighborhood.
+    n_within = within_eps.sum(axis=1) + 1
+    core = n_within >= min_samples
+    # Core-core edges -> connected components.
+    rows = np.repeat(np.arange(n), within_eps.sum(axis=1))
+    cols = neigh[within_eps]
+    edge_mask = core[rows] & core[cols]
+    comp_labels, _ = native.connected_components(
+        rows[edge_mask], cols[edge_mask], n
+    )
+    labels = np.where(core, comp_labels, -1).astype(np.int64)
+    # Border points: attach to the most similar core neighbor in eps.
+    border = ~core
+    if border.any():
+        core_neigh = within_eps & core[np.clip(neigh, 0, n - 1)]
+        has_core = core_neigh.any(axis=1)
+        sims_masked = np.where(core_neigh, sims, float(NEG))
+        best = sims_masked.argmax(axis=1)
+        attach = border & has_core
+        labels[attach] = labels[neigh[np.arange(n), best][attach]]
+    # Drop single-member components (core with no same-cluster partner).
+    uniq, counts = np.unique(labels[labels >= 0], return_counts=True)
+    singles = set(uniq[counts < 2].tolist())
+    if singles:
+        labels[np.isin(labels, list(singles))] = -1
+
+    # 4. Refinement: precursor m/z / RT splitting per cluster, identical
+    # semantics to the exact engine.
+    order2 = np.argsort(labels, kind="stable")
+    sorted_labels = labels[order2].astype(np.int32)
+    mzs_interval = mz_sorted[order2]
+    rts_interval = rt_sorted[order2]
+    # Move the leading -1 block out of group iteration (it yields one
+    # group per leading noise point, which is what we want for medoids,
+    # but not for postprocessing).
+    current_label = 0
+    slices = list(cluster_group_slices(sorted_labels.copy()))
+    for start_i, stop_i in slices:
+        if sorted_labels[start_i] == -1:
+            continue
+        n_clusters = postprocess_cluster(
+            sorted_labels[start_i:stop_i],
+            mzs_interval[start_i:stop_i],
+            rts_interval[start_i:stop_i],
+            precursor_tol_mass, precursor_tol_mode, rt_tol,
+            max(min_samples, 2), current_label,
+        )
+        current_label += n_clusters
+
+    final = np.full(n, -1, np.int32)
+    final[order2] = sorted_labels
+
+    # 5. Medoids: min row-sum of within-cluster cosine distances, computed
+    # from the hashed vectors; noise points represent themselves.
+    order3 = np.argsort(final, kind="stable")
+    sorted_final = final[order3]
+    medoids = []
+    for start_i, stop_i in cluster_group_slices(sorted_final):
+        members = order3[start_i:stop_i]
+        if len(members) > 1:
+            v = vectors[members]
+            sims_m = v @ v.T
+            row_sum = (1.0 - sims_m).sum(axis=1)
+            medoids.append(members[int(np.argmin(row_sum))])
+        else:
+            medoids.append(members[0])
+    # Convert positions in the sorted order back to dataset row indices.
+    medoids = order[np.asarray(medoids, np.int64)]
+
+    noise_mask = final == -1
+    n_clusters = int(final.max()) + 1
+    n_noise = int(noise_mask.sum())
+    logger.info(
+        "%d spectra grouped in %d clusters, %d spectra remain as "
+        "singletons",
+        int((~noise_mask).sum()), n_clusters, n_noise,
+    )
+    final[noise_mask] = np.arange(n_clusters, n_clusters + n_noise,
+                                  dtype=np.int32)
+    # Map sorted-order labels back to dataset row order.
+    labels_out = np.empty(n, np.int32)
+    labels_out[order] = final
+    return labels_out, medoids

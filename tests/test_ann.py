@@ -1,0 +1,179 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from falcon_tpu.ops.hashing import murmurhash3_32, hash_bin_mapping
+from falcon_tpu.ops.vectorize import SpectrumHasher
+from falcon_tpu.ops.knn import knn_banded
+from falcon_tpu.cluster import ann_engine
+from falcon_tpu.preprocess import process_spectrum
+from falcon_tpu.simulate import make_clustered_spectra
+from falcon_tpu.store.store import SpectrumStore, padded_peaks
+
+
+def test_murmurhash3_known_values():
+    # Reference values from the canonical MurmurHash3_x86_32 of the
+    # 4-byte little-endian integer encodings.
+    assert murmurhash3_32(np.array([0]), 0)[0] == 0x2362F9DE
+    # Determinism + seed sensitivity + spread.
+    h1 = murmurhash3_32(np.arange(1000), 0)
+    h2 = murmurhash3_32(np.arange(1000), 0)
+    h3 = murmurhash3_32(np.arange(1000), 42)
+    np.testing.assert_array_equal(h1, h2)
+    assert (h1 != h3).any()
+    assert len(np.unique(h1 % 400)) > 350  # near-uniform over 400 dims
+
+
+def test_hash_mapping_stable():
+    m1 = hash_bin_mapping(27981, 400, 0)
+    m2 = hash_bin_mapping(27981, 400, 0)
+    np.testing.assert_array_equal(m1, m2)
+    assert m1.min() >= 0 and m1.max() < 400
+
+
+@pytest.fixture(scope="module")
+def processed_rows():
+    spectra, truth = make_clustered_spectra(
+        n_clusters=20, cluster_size=6, n_noise=40, seed=33, charges=(2,),
+    )
+    rows, kept = [], []
+    for s, t in zip(spectra, truth):
+        out = process_spectrum(s, 5, 250, 101.0, 1500.0, 1.5, 0.01, 50,
+                               None)
+        if out is not None:
+            rows.append(out)
+            kept.append(t)
+    return rows, np.asarray(kept)
+
+
+def _padded(rows):
+    offsets = np.zeros(len(rows) + 1, np.int64)
+    offsets[1:] = np.cumsum([len(r["mz"]) for r in rows])
+    mz_flat = np.concatenate([r["mz"] for r in rows])
+    int_flat = np.concatenate([r["intensity"] for r in rows])
+    return padded_peaks(offsets, mz_flat, int_flat, 64)
+
+
+def test_vectorize_matches_direct_binning(processed_rows):
+    rows, _ = processed_rows
+    hasher = SpectrumHasher(101.0, 1500.0, 0.05, low_dim=400, seed=0)
+    mz, intensity, lengths = _padded(rows[:32])
+    vectors = np.asarray(
+        hasher.vectorize(jnp.asarray(mz), jnp.asarray(intensity))
+    )
+    # Direct host reference: bin each real peak, accumulate, normalize.
+    for i in range(8):
+        ref = np.zeros(hasher.dim_padded, np.float32)
+        for mz_p, int_p in zip(mz[i][: lengths[i]],
+                               intensity[i][: lengths[i]]):
+            b = int(np.floor((mz_p - hasher.min_bound) / hasher.bin_size))
+            ref[hasher.mapping[b]] += int_p
+        ref /= np.linalg.norm(ref)
+        np.testing.assert_allclose(vectors[i], ref, atol=1e-6)
+    # Unit norm; nothing outside low_dim.
+    np.testing.assert_allclose(
+        np.linalg.norm(vectors, axis=1), 1.0, atol=1e-5
+    )
+    assert np.abs(vectors[:, 400:]).max() == 0.0
+
+
+def test_knn_banded_exact_within_band(processed_rows):
+    rows, _ = processed_rows
+    hasher = SpectrumHasher(101.0, 1500.0, 0.05, low_dim=400, seed=0)
+    mz, intensity, _ = _padded(rows)
+    vectors = np.asarray(
+        hasher.vectorize(jnp.asarray(mz), jnp.asarray(intensity))
+    )
+    pmz = np.asarray([r["precursor_mz"] for r in rows])
+    order = np.argsort(pmz, kind="stable")
+    vectors, pmz = vectors[order], pmz[order]
+    k = 8
+    sims, neigh = knn_banded(vectors, pmz, 20.0, "ppm", k,
+                             block_rows=64, block_cols=128)
+    # Brute-force reference.
+    full = vectors @ vectors.T
+    n = len(pmz)
+    for i in range(n):
+        mask = np.abs((pmz[i] - pmz) / pmz * 1e6) <= 20.0
+        mask[i] = False
+        cand = np.flatnonzero(mask)
+        got = neigh[i][neigh[i] >= 0]
+        want = cand[np.argsort(-full[i, cand], kind="stable")][:k]
+        assert len(got) == min(k, len(cand))
+        # Same similarity multiset (ties can reorder indices).
+        np.testing.assert_allclose(
+            np.sort(sims[i][: len(got)])[::-1],
+            np.sort(full[i, want])[::-1],
+            atol=1e-5,
+        )
+
+
+def test_ann_engine_end_to_end(processed_rows, tmp_path):
+    rows, truth = processed_rows
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    w = store.writer()
+    w.add_many(rows)
+    w.close()
+    dataset = store.dataset(2)
+    labels, medoids = ann_engine.generate_clusters(
+        dataset, eps=0.3, min_samples=2, min_matches=0,
+        precursor_tol_mass=20.0, precursor_tol_mode="ppm", rt_tol=None,
+        fragment_tol=0.05, batch_size=2**15, low_dim=400, n_neighbors=16,
+        min_mz=101.0, max_mz=1500.0, max_peaks=50,
+    )
+    assert len(labels) == len(rows)
+    assert (labels >= 0).all()
+    assert len(medoids) == len(np.unique(labels))
+    # Purity vs ground truth.
+    purity_num = sum(
+        np.bincount(truth[labels == lab]).max()
+        for lab in np.unique(labels)
+    )
+    assert purity_num / len(truth) > 0.95
+    # Completeness: the 20 true clusters should mostly be recovered.
+    from collections import Counter
+
+    comp = sum(
+        Counter(labels[truth == t]).most_common(1)[0][1]
+        for t in np.unique(truth)
+    ) / len(truth)
+    # The simulator's jitter puts some true members past eps=0.3 in
+    # hashed-cosine space; purity is the strict gate above.
+    assert comp > 0.8
+
+
+def test_ann_vs_exact_nn_recall(processed_rows):
+    """NN recall@k of hashed vectors vs the exact peak-matching cosine
+    ranking (the BASELINE.json quality metric)."""
+    from falcon_tpu.cluster.oracle import cosine_exact
+
+    rows, _ = processed_rows
+    hasher = SpectrumHasher(101.0, 1500.0, 0.05, low_dim=400, seed=0)
+    mz, intensity, lengths = _padded(rows)
+    vectors = np.asarray(
+        hasher.vectorize(jnp.asarray(mz), jnp.asarray(intensity))
+    )
+    hashed_sims = vectors @ vectors.T
+    n = len(rows)
+    rng = np.random.default_rng(0)
+    hits = total = 0
+    k = 5
+    for i in rng.choice(n, 25, replace=False):
+        exact = np.array([
+            cosine_exact(mz[i][: lengths[i]], intensity[i][: lengths[i]],
+                         mz[j][: lengths[j]], intensity[j][: lengths[j]],
+                         0.05)[0]
+            if j != i else -1.0
+            for j in range(n)
+        ])
+        want = set(np.argsort(-exact, kind="stable")[:k][exact[
+            np.argsort(-exact, kind="stable")[:k]] > 0.2].tolist())
+        if not want:
+            continue
+        got_order = np.argsort(-hashed_sims[i], kind="stable")
+        got = set(got_order[got_order != i][:k].tolist())
+        hits += len(want & got)
+        total += len(want)
+    assert total > 0
+    recall = hits / total
+    assert recall >= 0.9, recall

@@ -111,3 +111,24 @@ def test_cli_deterministic(mgf_inputs):
     df_a = _read_csv(out_a + ".csv")
     df_b = _read_csv(out_b + ".csv")
     pd.testing.assert_frame_equal(df_a, df_b)
+
+
+def test_cli_ann_backend(mgf_inputs):
+    tmp_path, files, spectra, truth = mgf_inputs
+    out = str(tmp_path / "out_ann")
+    rc = cli.main(files + [out, "--backend", "ann", "--eps", "0.3",
+                           "--export_representatives"])
+    assert rc == 0
+    df = _read_csv(out + ".csv")
+    assert len(df) == len(spectra)
+    with open(out + ".csv") as f:
+        header = [line for line in f if line.startswith("#")]
+    assert any("backend = ann" in line for line in header)
+    assert any("eps = 0.3" in line for line in header)
+    truth_by_id = {s.identifier: t for s, t in zip(spectra, truth)}
+    df["truth"] = [truth_by_id[i] for i in df["spectrum_id"]]
+    purity_num = sum(
+        g["truth"].value_counts().iloc[0]
+        for _, g in df.groupby("cluster")
+    )
+    assert purity_num / len(df) > 0.95

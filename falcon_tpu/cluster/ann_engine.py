@@ -92,12 +92,36 @@ def generate_clusters(
             hasher.vectorize(jnp.asarray(mz_pad), jnp.asarray(int_pad))
         )
 
-    # 2. k-NN within the precursor band.
-    sims, neigh = knn_banded(
-        vectors, mz_sorted, precursor_tol_mass, precursor_tol_mode,
-        k=min(n_neighbors, max(n - 1, 1)),
-        rts=rt_sorted, rt_tol=rt_tol,
-    )
+    # 2. k-NN within the precursor band: banded brute force (exact within
+    # the band) by default, or the from-scratch TPU IVF index for very
+    # large buckets where the O(n * band) matmuls outgrow the budget.
+    if use_ivf is None:
+        use_ivf = n > 200_000
+    if use_ivf:
+        from ..ops.ivf import IVFIndex
+
+        index = IVFIndex(vectors, mz_sorted, n_lists=None, seed=42)
+        k_ann = min(n_neighbors_ann, max(n - 1, 1))
+        sims, neigh = index.search(
+            vectors, mz_sorted, np.arange(n, dtype=np.int32), k_ann,
+            n_probe=n_probe, tol_mass=precursor_tol_mass,
+            tol_mode=precursor_tol_mode,
+        )
+        k_keep = min(n_neighbors, k_ann)
+        sims, neigh = sims[:, :k_keep], neigh[:, :k_keep]
+        if rt_tol is not None:
+            neigh_rt = np.where(
+                neigh >= 0, rt_sorted[np.clip(neigh, 0, n - 1)], np.inf
+            )
+            bad = np.abs(neigh_rt - rt_sorted[:, None]) > rt_tol
+            sims = np.where(bad, float(NEG), sims)
+            neigh = np.where(bad, -1, neigh)
+    else:
+        sims, neigh = knn_banded(
+            vectors, mz_sorted, precursor_tol_mass, precursor_tol_mode,
+            k=min(n_neighbors, max(n - 1, 1)),
+            rts=rt_sorted, rt_tol=rt_tol,
+        )
 
     # 3. DBSCAN on the sparse eps-graph.
     within_eps = (neigh >= 0) & ((1.0 - sims) <= eps)

@@ -285,6 +285,16 @@ class Config:
             "(default: %(default)s).",
         )
         p.add_argument(
+            "--ann_index",
+            default="auto",
+            type=str,
+            choices=["auto", "brute", "ivf"],
+            help="[ann backend] Nearest-neighbor index: 'brute' = exact "
+            "banded matmul search, 'ivf' = TPU IVF (k-means coarse "
+            "quantizer + n_probe list scans), 'auto' = ivf for very "
+            "large charge buckets (default: %(default)s).",
+        )
+        p.add_argument(
             "--hash_seed",
             default=0,
             type=int,

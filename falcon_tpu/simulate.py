@@ -31,14 +31,28 @@ def make_clustered_spectra(
     intensity_jitter: float = 0.15,
     dropout: float = 0.1,
     rt_range: Tuple[float, float] = (0.0, 3600.0),
+    precursor_classes: Optional[int] = None,
     seed: int = 42,
 ) -> Tuple[List[Spectrum], np.ndarray]:
     """Generate clustered spectra with ground-truth labels.
 
     Returns (spectra, labels); noise spectra get unique labels after the
-    cluster ids.
+    cluster ids.  ``precursor_classes`` concentrates precursor m/z around
+    that many discrete mass classes (as tryptic peptide masses cluster in
+    practice), producing realistically sized precursor-tolerance buckets;
+    None draws precursors uniformly.
     """
     rng = np.random.default_rng(seed)
+    if precursor_classes is not None:
+        class_mzs = rng.uniform(*precursor_mz_range, precursor_classes)
+
+        def draw_precursor():
+            # Within +-8 ppm of a mass class (inside the 20 ppm default).
+            base = float(rng.choice(class_mzs))
+            return base * (1.0 + rng.normal(0, 4e-6))
+    else:
+        def draw_precursor():
+            return float(rng.uniform(*precursor_mz_range))
     spectra: List[Spectrum] = []
     labels: List[int] = []
     scan = 0
@@ -57,7 +71,7 @@ def make_clustered_spectra(
 
     for c in range(n_clusters):
         template_mz, template_int = random_template()
-        precursor_mz = float(rng.uniform(*precursor_mz_range))
+        precursor_mz = draw_precursor()
         charge = int(rng.choice(charges))
         rt = float(rng.uniform(*rt_range))
         for m in range(cluster_size):
@@ -88,7 +102,7 @@ def make_clustered_spectra(
         spectra.append(
             Spectrum(
                 f"noise{i}_scan{scan}",
-                float(rng.uniform(*precursor_mz_range)),
+                draw_precursor(),
                 int(rng.choice(charges)),
                 mz,
                 intensity,

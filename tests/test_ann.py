@@ -177,3 +177,26 @@ def test_ann_vs_exact_nn_recall(processed_rows):
     assert total > 0
     recall = hits / total
     assert recall >= 0.9, recall
+
+
+def test_ann_engine_ivf_path(processed_rows, tmp_path):
+    """The IVF index path produces the same high-purity clustering."""
+    rows, truth = processed_rows
+    store = SpectrumStore(str(tmp_path / "spectra_ivf"))
+    w = store.writer()
+    w.add_many(rows)
+    w.close()
+    dataset = store.dataset(2)
+    labels, medoids = ann_engine.generate_clusters(
+        dataset, eps=0.3, min_samples=2, min_matches=0,
+        precursor_tol_mass=20.0, precursor_tol_mode="ppm", rt_tol=None,
+        fragment_tol=0.05, batch_size=2**15, low_dim=400, n_neighbors=16,
+        n_neighbors_ann=32, n_probe=8,
+        min_mz=101.0, max_mz=1500.0, max_peaks=50, use_ivf=True,
+    )
+    assert (labels >= 0).all()
+    purity_num = sum(
+        np.bincount(truth[labels == lab]).max()
+        for lab in np.unique(labels)
+    )
+    assert purity_num / len(truth) > 0.95

@@ -32,6 +32,24 @@ seed.set_seeds()
 
 
 def main(args: Union[str, List[str], None] = None) -> int:
+    # Persistent XLA compilation cache: compiled kernels (whose shapes are
+    # deliberately bucketed to powers of two throughout ops/) are reused
+    # across runs, so only the first-ever run on a machine pays compile
+    # time.  Must be set before jax is imported anywhere.
+    cache_dir = os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "falcon_tpu",
+                     "jax_cache"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    try:  # jax may already be imported (TPU plugin sitecustomize) —
+        # the env vars above would then be read too late.
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
     # Configure logging (reference falcon.py:34-50).
     logging.captureWarnings(True)
     root = logging.getLogger()

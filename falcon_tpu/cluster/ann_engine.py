@@ -31,6 +31,43 @@ from .postprocess import cluster_group_slices, postprocess_cluster
 
 logger = logging.getLogger("falcon_tpu")
 
+_medoid_scores_jit = None
+
+
+def _medoid_scores(vectors_dev, seg: np.ndarray, n_seg: int) -> np.ndarray:
+    """Per-row medoid scores v_i . sum_{j in segment(i)} v_j on device.
+
+    Shapes are bucketed to powers of two (rows and segment count) so the
+    kernel compiles once per size class.
+    """
+    global _medoid_scores_jit
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    if _medoid_scores_jit is None:
+        @functools.partial(jax.jit, static_argnames=("n_seg_pad",))
+        def fn(v, seg_idx, n_seg_pad):
+            sums = jnp.zeros((n_seg_pad, v.shape[1]), jnp.float32)
+            sums = sums.at[seg_idx].add(v)
+            return jnp.einsum("nd,nd->n", v, sums[seg_idx])
+
+        _medoid_scores_jit = fn
+
+    n = vectors_dev.shape[0]
+    n_pad = 512
+    while n_pad < n:
+        n_pad *= 2
+    n_seg_pad = 256
+    while n_seg_pad < n_seg:
+        n_seg_pad *= 2
+    v = jnp.pad(jnp.asarray(vectors_dev), ((0, n_pad - n), (0, 0)))
+    seg_pad = np.zeros(n_pad, np.int32)
+    seg_pad[:n] = seg
+    out = _medoid_scores_jit(v, jnp.asarray(seg_pad), n_seg_pad)
+    return np.asarray(out[:n])
+
 
 def generate_clusters(
     dataset: ChargeDataset,
@@ -77,20 +114,41 @@ def generate_clusters(
     if n == 1:
         return np.zeros(1, np.int32), np.zeros(1, np.int64)
 
-    # 1. Vectorize (chunked through the device).
+    # 1. Vectorize (chunked through the device).  Chunk row counts are
+    # bucketed to powers of two so compiled shapes are reused across
+    # charge buckets and runs.  Vectors stay DEVICE-RESIDENT end to end
+    # (k-NN consumes them in place, medoids reduce them on device):
+    # device->host readback of computed arrays is the scarce resource on
+    # a tunneled TPU, and 20 MB of hashed vectors per charge is the
+    # single largest avoidable transfer.
     hasher = SpectrumHasher(min_mz, max_mz, fragment_tol, low_dim,
                             hash_seed)
     pad_to = ((max_peaks + 63) // 64) * 64
-    vectors = np.empty((n, hasher.dim_padded), np.float32)
     chunk = 65536
+    chunks = []
     for c0 in range(0, n, chunk):
         c1 = min(c0 + chunk, n)
         mz_pad, int_pad, _ = padded_peaks(
             offsets, mz_flat, int_flat, pad_to, order[c0:c1]
         )
-        vectors[c0:c1] = np.asarray(
-            hasher.vectorize(jnp.asarray(mz_pad), jnp.asarray(int_pad))
+        bucket = 512
+        while bucket < c1 - c0:
+            bucket *= 2
+        if bucket > c1 - c0:
+            pad_rows = bucket - (c1 - c0)
+            mz_pad = np.concatenate(
+                [mz_pad, np.full((pad_rows, pad_to), -1e6, np.float32)]
+            )
+            int_pad = np.concatenate(
+                [int_pad, np.zeros((pad_rows, pad_to), np.float32)]
+            )
+        chunks.append(
+            hasher.vectorize(jnp.asarray(mz_pad), jnp.asarray(int_pad))[
+                : c1 - c0
+            ]
         )
+    vectors_dev = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+    del chunks
 
     # 2. k-NN within the precursor band: banded brute force (exact within
     # the band) by default, or the from-scratch TPU IVF index for very
@@ -100,6 +158,7 @@ def generate_clusters(
     if use_ivf:
         from ..ops.ivf import IVFIndex
 
+        vectors = np.asarray(vectors_dev)
         index = IVFIndex(vectors, mz_sorted, n_lists=None, seed=42)
         k_ann = min(n_neighbors_ann, max(n - 1, 1))
         sims, neigh = index.search(
@@ -118,7 +177,7 @@ def generate_clusters(
             neigh = np.where(bad, -1, neigh)
     else:
         sims, neigh = knn_banded(
-            vectors, mz_sorted, precursor_tol_mass, precursor_tol_mode,
+            vectors_dev, mz_sorted, precursor_tol_mass, precursor_tol_mode,
             k=min(n_neighbors, max(n - 1, 1)),
             rts=rt_sorted, rt_tol=rt_tol,
         )
@@ -178,18 +237,23 @@ def generate_clusters(
     final = np.full(n, -1, np.int32)
     final[order2] = sorted_labels
 
-    # 5. Medoids: min row-sum of within-cluster cosine distances, computed
-    # from the hashed vectors; noise points represent themselves.
+    # 5. Medoids: min row-sum of within-cluster cosine distances.  Since
+    # distance = 1 - inner product, row_sum_i = |C| - v_i . sum_C(v), so
+    # the medoid is argmax_i v_i . s_C — ONE device segment-sum + dot,
+    # fetching only n float32 scores instead of the full vector matrix.
     order3 = np.argsort(final, kind="stable")
     sorted_final = final[order3]
+    n_seg = int(final.max()) + 1 if final.max() >= 0 else 1
+    # Noise points go to a dedicated spill segment (n_seg) so they never
+    # pollute a real cluster's sum; their argmax below is trivially the
+    # single member anyway.
+    seg = np.where(final >= 0, final, n_seg).astype(np.int32)
+    scores = _medoid_scores(vectors_dev, seg, n_seg + 1)
     medoids = []
     for start_i, stop_i in cluster_group_slices(sorted_final):
         members = order3[start_i:stop_i]
         if len(members) > 1:
-            v = vectors[members]
-            sims_m = v @ v.T
-            row_sum = (1.0 - sims_m).sum(axis=1)
-            medoids.append(members[int(np.argmin(row_sum))])
+            medoids.append(members[int(np.argmax(scores[members]))])
         else:
             medoids.append(members[0])
     # Convert positions in the sorted order back to dataset row indices.

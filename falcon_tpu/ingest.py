@@ -15,7 +15,9 @@ import logging
 import multiprocessing
 import os
 from concurrent.futures import ProcessPoolExecutor, as_completed
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
 
 from .ms_io import ms_io
 from .preprocess import spectrum as prep
@@ -23,19 +25,33 @@ from .store.store import SpectrumStore
 
 logger = logging.getLogger("falcon_tpu")
 
+FileResult = Tuple[Union[List[dict], Dict[str, np.ndarray]], int]
+
 
 def read_and_process_file(
-    filename: str, process_kwargs: Dict
-) -> Tuple[List[dict], int]:
+    filename: str, process_kwargs: Dict, allow_native: bool = True
+) -> FileResult:
     """Parse one peak file and preprocess its spectra.
 
-    Returns (processed spectrum dicts, low-quality count).  Mirrors
-    reference ``_read_spectra`` (``falcon/falcon.py:362-392``), including
-    storing the absolute filename on each spectrum.
+    Returns (result, low-quality count) where result is either a columnar
+    batch dict (the native C++ fast path, MGF only — parse + the full
+    preprocessing chain in ``native/falcon_ingest.cc``) or a list of
+    processed spectrum dicts (the Python path for mzML/mzXML, and the MGF
+    fallback when the native library is unavailable).  Mirrors reference
+    ``_read_spectra`` (``falcon/falcon.py:362-392``), including storing
+    the absolute filename on each spectrum.
     """
+    filename = os.path.abspath(filename)
+    if allow_native and filename.lower().endswith(".mgf"):
+        from . import native
+
+        batch = native.mgf_ingest(filename, **process_kwargs)
+        if batch is not None:
+            n = len(batch["precursor_mz"])
+            batch["filename"] = np.repeat(np.array([filename]), n)
+            return batch, batch["n_low_quality"]
     low_quality_counter = 0
     spectra = []
-    filename = os.path.abspath(filename)
     for spec in ms_io.get_spectra(filename):
         spec.filename = filename
         processed = prep.process_spectrum(spec, **process_kwargs)
@@ -76,10 +92,15 @@ def prepare_spectra(
         nonlocal low_quality_counter, n_spectra
         spectra, lqc = result
         low_quality_counter += lqc
-        n_spectra += len(spectra)
-        for spec in spectra:
-            charges.add(spec["precursor_charge"])
-            writer.add(spec)
+        if isinstance(spectra, dict):  # columnar batch (native fast path)
+            n_spectra += len(spectra["precursor_mz"])
+            for key in writer.add_batch(spectra):
+                charges.add(None if key == "None" else int(key))
+        else:
+            n_spectra += len(spectra)
+            for spec in spectra:
+                charges.add(spec["precursor_charge"])
+                writer.add(spec)
 
     if max_workers <= 1 or len(input_filenames) == 1:
         for filename in input_filenames:

@@ -45,6 +45,7 @@ def get_spectra(source: Union[IO, str]) -> Iterator[Spectrum]:
 
 def _iter_mgf(f_in: IO) -> Iterator[Spectrum]:
     in_ions = False
+    malformed = False
     params, mz, intensity = {}, [], []
     for raw in f_in:
         line = raw.strip()
@@ -53,8 +54,9 @@ def _iter_mgf(f_in: IO) -> Iterator[Spectrum]:
         upper = line.upper()
         if upper.startswith("BEGIN IONS"):
             in_ions, params, mz, intensity = True, {}, [], []
+            malformed = False
         elif upper.startswith("END IONS"):
-            if in_ions:
+            if in_ions and not malformed:
                 spec = _make_spectrum(params, mz, intensity)
                 if spec is not None:
                     yield spec
@@ -67,10 +69,16 @@ def _iter_mgf(f_in: IO) -> Iterator[Spectrum]:
                 tokens = line.split()
                 if len(tokens) >= 2:
                     try:
-                        mz.append(float(tokens[0]))
-                        intensity.append(float(tokens[1]))
+                        m, i = float(tokens[0]), float(tokens[1])
                     except ValueError:
-                        pass
+                        # An unparseable peak line invalidates the whole
+                        # spectrum, like pyteomics raising inside the
+                        # reference's parse loop (skipped silently,
+                        # reference mgf_io.py:27-30).
+                        malformed = True
+                    else:
+                        mz.append(m)
+                        intensity.append(i)
 
 
 def _make_spectrum(params: dict, mz: List[float],

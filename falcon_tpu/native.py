@@ -72,6 +72,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.fc_mgf_ingest.restype = ctypes.c_void_p
+        lib.fc_mgf_ingest.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fc_mgf_result_copy.restype = ctypes.c_int
+        lib.fc_mgf_result_copy.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_char),
+        ]
+        lib.fc_mgf_result_free.restype = None
+        lib.fc_mgf_result_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -137,6 +154,110 @@ def fcluster(z: np.ndarray, t: float, n: Optional[int] = None) -> np.ndarray:
     if k < 0:
         raise RuntimeError("fc_fcluster failed")
     return labels
+
+
+_NULL_CHARGE_I32 = -(2**31)  # C++ kNullCharge sentinel
+_SCALING_CODES = {None: 0, "off": 0, "root": 1, "log": 2, "rank": 3}
+
+
+def mgf_ingest(
+    filename: str,
+    min_peaks: int,
+    min_mz_range: float,
+    mz_min: Optional[float] = None,
+    mz_max: Optional[float] = None,
+    remove_precursor_tolerance: Optional[float] = None,
+    min_intensity: Optional[float] = None,
+    max_peaks_used: Optional[int] = None,
+    scaling: Optional[str] = None,
+) -> Optional[dict]:
+    """Parse + preprocess an entire MGF file in the native library.
+
+    Returns a columnar batch (same preprocessing semantics as
+    ``preprocess.process_spectrum`` over ``ms_io.get_spectra``; parity
+    enforced by tests/test_native_ingest.py)::
+
+        {"identifier": unicode (n,), "precursor_mz": f64 (n,),
+         "precursor_charge": i32 (n,) with _NULL_CHARGE_I32 for None,
+         "retention_time": f64 (n,), "peak_offsets": i64 (n+1,),
+         "mz": f32 flat, "intensity": f32 flat,
+         "n_read": int, "n_low_quality": int}
+
+    or None when the native library (or the file) is unavailable — the
+    caller falls back to the Python path.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fc_mgf_ingest"):
+        return None
+    counts = (ctypes.c_int64 * 5)()
+    nan = float("nan")
+    handle = lib.fc_mgf_ingest(
+        os.fsencode(filename),
+        ctypes.c_int(min_peaks),
+        ctypes.c_double(min_mz_range),
+        ctypes.c_double(nan if mz_min is None else mz_min),
+        ctypes.c_double(nan if mz_max is None else mz_max),
+        ctypes.c_double(
+            nan if remove_precursor_tolerance is None
+            else remove_precursor_tolerance
+        ),
+        ctypes.c_double(nan if min_intensity is None else min_intensity),
+        ctypes.c_int(0 if max_peaks_used is None else max_peaks_used),
+        ctypes.c_int(_SCALING_CODES[scaling]),
+        counts,
+    )
+    if not handle:
+        return None
+    try:
+        n, n_peaks, title_bytes, n_read, n_low_quality = (
+            int(c) for c in counts
+        )
+        precursor_mz = np.empty(n, np.float64)
+        charge = np.empty(n, np.int32)
+        rt = np.empty(n, np.float64)
+        peak_offsets = np.empty(n + 1, np.int64)
+        mz = np.empty(n_peaks, np.float32)
+        intensity = np.empty(n_peaks, np.float32)
+        title_offsets = np.empty(n + 1, np.int64)
+        titles = ctypes.create_string_buffer(max(title_bytes, 1))
+        rc = lib.fc_mgf_result_copy(
+            handle,
+            _as_double_ptr(precursor_mz),
+            charge.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _as_double_ptr(rt),
+            peak_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            mz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            intensity.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            title_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            titles,
+        )
+        if rc != 0:
+            raise RuntimeError("fc_mgf_result_copy failed")
+    finally:
+        lib.fc_mgf_result_free(handle)
+    raw = titles.raw[:title_bytes]
+    identifiers = np.array(
+        [
+            raw[title_offsets[i]:title_offsets[i + 1]].decode(
+                "utf-8", "replace"
+            )
+            for i in range(n)
+        ],
+        dtype=object if n == 0 else None,
+    )
+    if n == 0:
+        identifiers = np.empty(0, dtype="U1")
+    return {
+        "identifier": identifiers,
+        "precursor_mz": precursor_mz,
+        "precursor_charge": charge,
+        "retention_time": rt,
+        "peak_offsets": peak_offsets,
+        "mz": mz,
+        "intensity": intensity,
+        "n_read": n_read,
+        "n_low_quality": n_low_quality,
+    }
 
 
 def connected_components(

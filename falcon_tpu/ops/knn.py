@@ -5,9 +5,16 @@ among spectra within the precursor m/z tolerance (reference
 ``README.md:132-142``; per-bucket Faiss IVF indexes).  TPU-native design:
 spectra are already sorted by precursor m/z, so the tolerance constraint
 makes the candidate set a contiguous *band* around the diagonal — k-NN
-becomes banded blocked matmuls on the MXU with a fused running top-k, no
-inverted index needed until bands outgrow HBM (see ``ops/ivf.py`` for
-that regime).
+becomes banded blocked matmuls on the MXU with a fused top-k, no inverted
+index needed until bands outgrow HBM (see ``ops/ivf.py`` for that
+regime).
+
+The whole search is ONE jitted ``lax.scan`` over row blocks: each step
+dynamic-slices a fixed-width column window out of the device-resident
+vector matrix (the window start is a per-block host-computed offset), so
+a full search costs a single dispatch regardless of n — essential when
+the host↔device link has tens-of-ms per-call latency, and good for TPU
+throughput anyway (no host round-trips between blocks).
 
 All similarities are inner products of L2-normalized vectors; distance =
 1 - similarity.
@@ -23,43 +30,65 @@ import numpy as np
 NEG = jnp.float32(-2.0)  # below any cosine similarity
 
 
+def _pow2_at_least(x: int, minimum: int = 512) -> int:
+    size = minimum
+    while size < x:
+        size *= 2
+    return size
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tol_is_da"),
+    static_argnames=("k", "tol_is_da", "block_rows", "window"),
 )
-def _block_topk(
-    q_vec: jnp.ndarray,       # (B, D) query vectors
-    q_mz: jnp.ndarray,        # (B,) query precursor m/z
-    q_rows: jnp.ndarray,      # (B,) global row ids of queries
-    c_vec: jnp.ndarray,       # (C, D) candidate vectors
-    c_mz: jnp.ndarray,        # (C,) candidate precursor m/z
-    c_rows: jnp.ndarray,      # (C,) global row ids of candidates
+def _banded_topk(
+    vectors: jnp.ndarray,     # (n_pad, D) L2-normalized, row-padded with 0
+    mzs: jnp.ndarray,         # (n_pad,) precursor m/z, padded with +inf
+    col_starts: jnp.ndarray,  # (n_blocks,) column window start per block
     tol_mass: jnp.ndarray,    # scalar
     k: int,
     tol_is_da: bool,
-    prev_scores: jnp.ndarray,  # (B, k) running best scores
-    prev_idx: jnp.ndarray,     # (B, k) running best global rows
+    block_rows: int,
+    window: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Score one candidate block and merge into the running top-k."""
-    sims = jnp.dot(q_vec, c_vec.T, preferred_element_type=jnp.float32)
-    diff = q_mz[:, None] - c_mz[None, :]
-    if tol_is_da:
-        mass_diff = jnp.abs(diff)
-    else:
-        mass_diff = jnp.abs(diff / c_mz[None, :] * 1e6)
-    valid = (
-        (mass_diff <= tol_mass)
-        & (q_rows[:, None] != c_rows[None, :])
-        & (c_rows[None, :] >= 0)  # candidate padding
+    """One-dispatch banded top-k: scan over row blocks on device."""
+    n_pad = vectors.shape[0]
+    n_blocks = n_pad // block_rows
+
+    def step(_, b):
+        r0 = b * block_rows
+        c0 = col_starts[b]
+        q = jax.lax.dynamic_slice_in_dim(vectors, r0, block_rows)
+        c = jax.lax.dynamic_slice_in_dim(vectors, c0, window)
+        q_mz = jax.lax.dynamic_slice_in_dim(mzs, r0, block_rows)
+        c_mz = jax.lax.dynamic_slice_in_dim(mzs, c0, window)
+        sims = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+        diff = q_mz[:, None] - c_mz[None, :]
+        if tol_is_da:
+            mass_diff = jnp.abs(diff)
+        else:
+            mass_diff = jnp.abs(diff / c_mz[None, :] * 1e6)
+        q_rows = r0 + jnp.arange(block_rows, dtype=jnp.int32)
+        c_rows = c0 + jnp.arange(window, dtype=jnp.int32)
+        valid = (
+            (mass_diff <= tol_mass)
+            & (q_rows[:, None] != c_rows[None, :])
+            & jnp.isfinite(c_mz)[None, :]  # candidate padding
+        )
+        sims = jnp.where(valid, sims, NEG)
+        top_scores, top_pos = jax.lax.top_k(sims, k)
+        top_idx = jnp.where(
+            top_scores > NEG, c0 + top_pos.astype(jnp.int32), -1
+        )
+        return 0, (top_scores, top_idx)
+
+    _, (scores, idx) = jax.lax.scan(
+        step, 0, jnp.arange(n_blocks, dtype=jnp.int32)
     )
-    sims = jnp.where(valid, sims, NEG)
-    all_scores = jnp.concatenate([prev_scores, sims], axis=1)
-    all_idx = jnp.concatenate(
-        [prev_idx, jnp.broadcast_to(c_rows[None, :], sims.shape)], axis=1
+    return (
+        scores.reshape(n_pad, k),
+        idx.reshape(n_pad, k),
     )
-    top_scores, top_pos = jax.lax.top_k(all_scores, k)
-    top_idx = jnp.take_along_axis(all_idx, top_pos, axis=1)
-    return top_scores, top_idx
 
 
 def knn_banded(
@@ -68,16 +97,21 @@ def knn_banded(
     tol_mass: float,
     tol_mode: str,
     k: int,
-    block_rows: int = 4096,
-    block_cols: int = 8192,
+    block_rows: int = 1024,
     rts: Optional[np.ndarray] = None,
     rt_tol: Optional[float] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """k nearest neighbors within the precursor tolerance band.
 
-    ``vectors`` (n, D) L2-normalized, ``precursor_mzs`` (n,) SORTED
-    ascending.  Returns (similarities (n, k), neighbor row indices
-    (n, k)); missing neighbors have similarity -2 and index -1.
+    ``vectors`` (n, D) L2-normalized (NumPy or device array),
+    ``precursor_mzs`` (n,) SORTED ascending.  Returns (similarities
+    (n, k), neighbor row indices (n, k)); missing neighbors have
+    similarity -2 and index -1.
+
+    Requires the widest precursor band to fit in one column window
+    (which holds whenever n <= the IVF switch-over threshold); the
+    window is the power-of-two envelope of the widest band plus a row
+    block, capped at n_pad.
     """
     n = len(precursor_mzs)
     mzs = np.asarray(precursor_mzs, np.float64)
@@ -92,51 +126,66 @@ def knn_banded(
     band_lo = np.searchsorted(mzs, lo_vals, side="left")
     band_hi = np.searchsorted(mzs, hi_vals, side="right")
 
-    out_scores = np.full((n, k), float(NEG), np.float32)
-    out_idx = np.full((n, k), -1, np.int64)
-    vectors = np.asarray(vectors, np.float32)
+    n_pad = _pow2_at_least(n)
+    block_rows = min(block_rows, n_pad)
+
+    # Per row block, the column window must span the union of its rows'
+    # bands (exact, from the per-row band bounds).  Window width = the
+    # power-of-two envelope of the widest such span.  The per-step
+    # (block_rows, window) similarity tile is bounded to ~128 MB of HBM
+    # by shrinking the row block for very wide bands.
+    def block_windows(br: int) -> Tuple[np.ndarray, int]:
+        starts = np.zeros(n_pad // br, np.int32)
+        max_span = br
+        for b in range(len(starts)):
+            r0 = b * br
+            if r0 >= n:
+                continue
+            r1 = min(r0 + br, n)
+            lo = int(band_lo[r0])
+            hi = max(int(band_hi[r1 - 1]), r1)
+            max_span = max(max_span, hi - lo)
+            starts[b] = lo
+        return starts, max_span
+
+    while True:
+        starts, max_span = block_windows(block_rows)
+        window = min(_pow2_at_least(max_span, block_rows), n_pad)
+        if block_rows <= 512 or block_rows * window * 4 <= 128 * 2**20:
+            break
+        block_rows //= 2
+    # Clamp starts so every window stays in bounds.
+    starts = np.minimum(starts, max(n_pad - window, 0))
+
     d = vectors.shape[1]
-
-    def padded(a, size, fill):
-        if len(a) == size:
-            return a
-        pad_shape = (size - len(a),) + a.shape[1:]
-        return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
-
-    block_rows = min(block_rows, max(128, n))
-    block_cols = min(block_cols, max(128, n))
-    for r0 in range(0, n, block_rows):
-        r1 = min(r0 + block_rows, n)
-        lo = int(band_lo[r0])
-        hi = int(band_hi[r1 - 1])
-        # Fixed block shapes so there is exactly one compilation.
-        q_vec = jnp.asarray(padded(vectors[r0:r1], block_rows, 0.0))
-        q_mz = jnp.asarray(
-            padded(mzs[r0:r1].astype(np.float32), block_rows, -1e9)
+    if isinstance(vectors, np.ndarray):
+        v_pad = np.zeros((n_pad, d), np.float32)
+        v_pad[:n] = vectors
+        v_dev = jnp.asarray(v_pad)
+    else:
+        v_dev = jnp.pad(vectors, ((0, n_pad - n), (0, 0)))
+    mz_pad = np.full(n_pad, np.inf, np.float32)
+    mz_pad[:n] = mzs
+    scores, idx = _banded_topk(
+        v_dev, jnp.asarray(mz_pad), jnp.asarray(starts),
+        jnp.float32(tol_mass), int(min(k, window)), tol_is_da,
+        int(block_rows), int(window),
+    )
+    out_scores = np.array(scores[:n])  # writable host copies
+    out_idx = np.asarray(idx)[:n].astype(np.int64)
+    if out_scores.shape[1] < k:  # window smaller than k: pad columns
+        pad = k - out_scores.shape[1]
+        out_scores = np.concatenate(
+            [out_scores, np.full((n, pad), float(NEG), np.float32)], axis=1
         )
-        q_rows = jnp.asarray(
-            padded(np.arange(r0, r1, dtype=np.int32), block_rows, -1)
+        out_idx = np.concatenate(
+            [out_idx, np.full((n, pad), -1, np.int64)], axis=1
         )
-        scores = jnp.full((block_rows, k), NEG)
-        idx = jnp.full((block_rows, k), -1, jnp.int32)
-        for c0 in range(lo, hi, block_cols):
-            c1 = min(c0 + block_cols, hi)
-            scores, idx = _block_topk(
-                q_vec, q_mz, q_rows,
-                jnp.asarray(padded(vectors[c0:c1], block_cols, 0.0)),
-                jnp.asarray(
-                    padded(mzs[c0:c1].astype(np.float32), block_cols,
-                           np.float32(1e9))
-                ),
-                jnp.asarray(
-                    padded(np.arange(c0, c1, dtype=np.int32), block_cols,
-                           -1)
-                ),
-                jnp.float32(tol_mass), k, tol_is_da,
-                scores, idx,
-            )
-        out_scores[r0:r1] = np.asarray(scores)[: r1 - r0]
-        out_idx[r0:r1] = np.asarray(idx)[: r1 - r0]
+    # Mask any padded-row artifacts (rows >= n never queried; indices of
+    # padding columns already -1 via the isfinite mask).
+    bad = out_idx >= n
+    out_scores[bad] = float(NEG)
+    out_idx[bad] = -1
 
     # Optional retention-time post-filter.
     if rt_tol is not None and rts is not None:

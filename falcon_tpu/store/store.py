@@ -62,6 +62,10 @@ class ShardWriter:
         self.root = root
         self.batch_size = batch_size
         self._buffers: Dict[str, List[dict]] = {}
+        # Columnar fast path: per-charge lists of column-dict chunks plus
+        # buffered row counts (fed by ``add_batch``).
+        self._col_buffers: Dict[str, List[Dict[str, np.ndarray]]] = {}
+        self._col_counts: Dict[str, int] = {}
         self._locks: Dict[str, threading.Lock] = {}
         self._global_lock = threading.Lock()
         os.makedirs(root, exist_ok=True)
@@ -86,6 +90,63 @@ class ShardWriter:
         for spec in specs:
             self.add(spec)
 
+    def add_batch(self, batch: Dict[str, np.ndarray]) -> List[str]:
+        """Append a columnar batch, partitioned by precursor charge.
+
+        ``batch`` holds the columns produced by the native ingest fast
+        path (``native.mgf_ingest`` plus a ``filename`` unicode column):
+        ``identifier``/``filename`` (unicode), ``precursor_mz`` (f64),
+        ``precursor_charge`` (int-like; ``NULL_CHARGE`` or the native
+        int32 sentinel marks a missing charge), ``retention_time`` (f64),
+        ``peak_offsets`` (i64, n+1), ``mz``/``intensity`` (f32 flat).
+
+        Returns the charge keys seen in the batch.
+        """
+        offsets = np.asarray(batch["peak_offsets"], np.int64)
+        n = len(offsets) - 1
+        if n <= 0:
+            return []
+        lengths = np.diff(offsets)
+        raw_charge = np.asarray(batch["precursor_charge"])
+        null_mask = (raw_charge == -(2**31)) | (raw_charge == NULL_CHARGE)
+        charge16 = np.where(null_mask, NULL_CHARGE, raw_charge).astype(
+            np.int16
+        )
+        keys_seen = []
+        for charge_val in np.unique(charge16):
+            mask = charge16 == charge_val
+            key = ("None" if charge_val == NULL_CHARGE
+                   else str(int(charge_val)))
+            keys_seen.append(key)
+            flat_mask = np.repeat(mask, lengths)
+            sub_lengths = lengths[mask]
+            sub_offsets = np.zeros(len(sub_lengths) + 1, np.int64)
+            np.cumsum(sub_lengths, out=sub_offsets[1:])
+            chunk = {
+                "identifier": np.asarray(batch["identifier"])[mask],
+                "filename": np.asarray(batch["filename"])[mask],
+                "precursor_mz": np.asarray(
+                    batch["precursor_mz"], np.float32)[mask],
+                "precursor_charge": charge16[mask],
+                "retention_time": np.asarray(
+                    batch["retention_time"], np.float32)[mask],
+                "peak_offsets": sub_offsets,
+                "mz": np.asarray(batch["mz"], np.float32)[flat_mask],
+                "intensity": np.asarray(
+                    batch["intensity"], np.float32)[flat_mask],
+            }
+            with self._charge_lock(key):
+                chunks = self._col_buffers.setdefault(key, [])
+                chunks.append(chunk)
+                self._col_counts[key] = (
+                    self._col_counts.get(key, 0) + int(mask.sum())
+                )
+                if self._col_counts[key] >= self.batch_size:
+                    self._write_shard(key, _concat_chunks(chunks))
+                    self._col_buffers[key] = []
+                    self._col_counts[key] = 0
+        return keys_seen
+
     def close(self) -> List[str]:
         """Flush all remaining buffers; returns the charge keys written."""
         for key, buf in list(self._buffers.items()):
@@ -93,9 +154,40 @@ class ShardWriter:
                 if buf:
                     self._flush_charge(key, buf)
                     self._buffers[key] = []
-        return sorted(self._buffers.keys())
+        for key, chunks in list(self._col_buffers.items()):
+            with self._charge_lock(key):
+                if chunks:
+                    self._write_shard(key, _concat_chunks(chunks))
+                    self._col_buffers[key] = []
+                    self._col_counts[key] = 0
+        return sorted(set(self._buffers) | set(self._col_buffers))
 
     def _flush_charge(self, key: str, rows: List[dict]) -> None:
+        n = len(rows)
+        lengths = np.array([len(r["mz"]) for r in rows], np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        columns = {
+            "identifier": np.array([r["identifier"] for r in rows]),
+            "filename": np.array([r["filename"] or "" for r in rows]),
+            "precursor_mz": np.array(
+                [r["precursor_mz"] for r in rows], np.float32),
+            "precursor_charge": np.array(
+                [NULL_CHARGE if r["precursor_charge"] is None
+                 else r["precursor_charge"] for r in rows],
+                np.int16,
+            ),
+            "retention_time": np.array(
+                [r["retention_time"] for r in rows], np.float32),
+            "peak_offsets": offsets,
+            "mz": np.concatenate(
+                [r["mz"] for r in rows]).astype(np.float32),
+            "intensity": np.concatenate(
+                [r["intensity"] for r in rows]).astype(np.float32),
+        }
+        self._write_shard(key, columns)
+
+    def _write_shard(self, key: str, columns: Dict[str, np.ndarray]) -> None:
         dataset_dir = os.path.join(self.root, f"spectra_charge_{key}")
         os.makedirs(dataset_dir, exist_ok=True)
         existing = [d for d in os.listdir(dataset_dir)
@@ -105,32 +197,28 @@ class ShardWriter:
         )
         tmp_dir = shard_dir + ".tmp"
         os.makedirs(tmp_dir)
-        n = len(rows)
-        ident = np.array([r["identifier"] for r in rows])
-        fname = np.array([r["filename"] or "" for r in rows])
-        pmz = np.array([r["precursor_mz"] for r in rows], np.float32)
-        pch = np.array(
-            [NULL_CHARGE if r["precursor_charge"] is None
-             else r["precursor_charge"] for r in rows],
-            np.int16,
-        )
-        rt = np.array([r["retention_time"] for r in rows], np.float32)
-        lengths = np.array([len(r["mz"]) for r in rows], np.int64)
-        offsets = np.zeros(n + 1, np.int64)
-        np.cumsum(lengths, out=offsets[1:])
-        mz_flat = np.concatenate([r["mz"] for r in rows]).astype(np.float32)
-        int_flat = np.concatenate(
-            [r["intensity"] for r in rows]
-        ).astype(np.float32)
-        np.save(os.path.join(tmp_dir, "identifier.npy"), ident)
-        np.save(os.path.join(tmp_dir, "filename.npy"), fname)
-        np.save(os.path.join(tmp_dir, "precursor_mz.npy"), pmz)
-        np.save(os.path.join(tmp_dir, "precursor_charge.npy"), pch)
-        np.save(os.path.join(tmp_dir, "retention_time.npy"), rt)
-        np.save(os.path.join(tmp_dir, "peak_offsets.npy"), offsets)
-        np.save(os.path.join(tmp_dir, "mz.npy"), mz_flat)
-        np.save(os.path.join(tmp_dir, "intensity.npy"), int_flat)
+        for name, arr in columns.items():
+            np.save(os.path.join(tmp_dir, f"{name}.npy"), arr)
         os.rename(tmp_dir, shard_dir)  # atomic publish
+
+
+def _concat_chunks(
+    chunks: List[Dict[str, np.ndarray]]
+) -> Dict[str, np.ndarray]:
+    """Concatenate columnar chunks, rebasing the ragged peak offsets."""
+    if len(chunks) == 1:
+        return chunks[0]
+    out: Dict[str, np.ndarray] = {}
+    for name in ("identifier", "filename", "precursor_mz",
+                 "precursor_charge", "retention_time", "mz", "intensity"):
+        out[name] = np.concatenate([c[name] for c in chunks])
+    offsets = [np.zeros(1, np.int64)]
+    base = 0
+    for c in chunks:
+        offsets.append(c["peak_offsets"][1:] + base)
+        base += int(c["peak_offsets"][-1])
+    out["peak_offsets"] = np.concatenate(offsets)
+    return out
 
 
 class ChargeDataset:

@@ -1,0 +1,446 @@
+// falcon-tpu native ingest fast path.
+//
+// First-party C++ replacement for the reference's ingest hot loop
+// (pyteomics MGF parsing + spectrum_utils preprocessing,
+// falcon/falcon.py:362-392 and falcon/cluster/spectrum.py:73-169): one
+// call parses an entire MGF file AND runs the full preprocessing chain
+// (m/z range restriction, validity gates, precursor-peak removal,
+// intensity filtering, scaling, L2 normalization), returning columnar
+// arrays ready for the spectrum store.  Semantics mirror
+// falcon_tpu/ms_io/mgf_io.py and falcon_tpu/preprocess/spectrum.py
+// line for line; parity is enforced by tests/test_native_ingest.py.
+//
+// Exposed via a plain C ABI for ctypes binding.
+
+#include <algorithm>
+#include <charconv>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <limits>
+#include <numeric>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr double kProton = 1.0072766;  // preprocess/spectrum.py:37
+constexpr int32_t kNullCharge = INT32_MIN;
+
+enum Scaling { SCALE_OFF = 0, SCALE_ROOT = 1, SCALE_LOG = 2, SCALE_RANK = 3 };
+
+struct IngestResult {
+  // Per-kept-spectrum metadata.
+  std::vector<double> precursor_mz;
+  std::vector<int32_t> precursor_charge;  // kNullCharge if absent
+  std::vector<double> retention_time;
+  std::vector<int64_t> title_offsets{0};
+  std::string title_bytes;
+  // Ragged processed peaks.
+  std::vector<int64_t> peak_offsets{0};
+  std::vector<float> mz;
+  std::vector<float> intensity;
+  // Counters.
+  int64_t n_read = 0;         // valid spectra parsed (pre-quality gate)
+  int64_t n_low_quality = 0;  // rejected by a preprocessing quality gate
+};
+
+struct Params {
+  int min_peaks;
+  double min_mz_range;
+  double mz_min, mz_max;            // NaN = disabled
+  double remove_precursor_tol;      // NaN = disabled
+  double min_intensity;             // NaN = disabled
+  int max_peaks_used;               // <= 0 = disabled
+  int scaling;
+};
+
+// Python-float()-compatible parse of a whitespace-trimmed token.
+// Returns false on failure.  Accepts leading '+', inf/nan spellings.
+// std::from_chars is locale-free and ~5x faster than strtod on this
+// workload (one call per peak-line token).
+bool parse_double(const char* begin, const char* end, double* out) {
+  if (begin == end) return false;
+  if (*begin == '+') ++begin;  // from_chars rejects a leading '+'
+  auto res = std::from_chars(begin, end, *out);
+  return res.ec == std::errc() && res.ptr == end;
+}
+
+// mgf_io.py:_parse_charge — first whitespace token, rstrip ',', trailing
+// '+'/'-' sign, int() parse.
+bool parse_charge(const std::string& value, int32_t* out) {
+  size_t start = value.find_first_not_of(" \t");
+  if (start == std::string::npos) return false;
+  size_t stop = value.find_first_of(" \t", start);
+  if (stop == std::string::npos) stop = value.size();
+  std::string tok = value.substr(start, stop - start);
+  while (!tok.empty() && tok.back() == ',') tok.pop_back();
+  if (tok.empty()) return false;
+  long sign = 1;
+  if (tok.back() == '+') {
+    tok.pop_back();
+  } else if (tok.back() == '-') {
+    sign = -1;
+    tok.pop_back();
+  }
+  if (tok.empty()) return false;
+  char* parse_end = nullptr;
+  long v = std::strtol(tok.c_str(), &parse_end, 10);
+  if (*parse_end != '\0') return false;
+  *out = static_cast<int32_t>(sign * v);
+  return true;
+}
+
+// Validity gate (preprocess/spectrum.py:63-70): >= min_peaks peaks and
+// float32 m/z span >= min_mz_range.
+bool spectrum_valid(const std::vector<float>& mz, const Params& p) {
+  if (static_cast<int>(mz.size()) < p.min_peaks) return false;
+  return static_cast<double>(mz.back() - mz.front()) >= p.min_mz_range;
+}
+
+// The full preprocessing chain (preprocess/spectrum.py:136-200) on one
+// spectrum's float32 peak arrays (already m/z-sorted by MGF convention;
+// the Python path also assumes sorted input).  Returns false if rejected.
+bool preprocess(std::vector<float>& mz, std::vector<float>& inten,
+                double precursor_mz, int32_t charge, const Params& p) {
+  // 1. m/z range restriction (inclusive bounds).
+  if (!std::isnan(p.mz_min) || !std::isnan(p.mz_max)) {
+    double lo = std::isnan(p.mz_min)
+                    ? -std::numeric_limits<double>::infinity() : p.mz_min;
+    double hi = std::isnan(p.mz_max)
+                    ? std::numeric_limits<double>::infinity() : p.mz_max;
+    size_t w = 0;
+    for (size_t i = 0; i < mz.size(); ++i) {
+      double v = static_cast<double>(mz[i]);
+      if (v >= lo && v <= hi) {
+        mz[w] = mz[i];
+        inten[w] = inten[i];
+        ++w;
+      }
+    }
+    mz.resize(w);
+    inten.resize(w);
+  }
+  // 2. Validity gate.
+  if (!spectrum_valid(mz, p)) return false;
+
+  // 3. Precursor-peak removal at every fragment charge 1..Z (None charge
+  //    treated as 1; preprocess/spectrum.py:73-95).
+  if (!std::isnan(p.remove_precursor_tol)) {
+    int z = charge == kNullCharge ? 1 : std::max(static_cast<int>(charge), 1);
+    double neutral_mass = (precursor_mz - kProton) * z;
+    std::vector<double> remove_mz;
+    remove_mz.reserve(z);
+    for (int c = z; c >= 1; --c) remove_mz.push_back(neutral_mass / c + kProton);
+    size_t w = 0;
+    for (size_t i = 0; i < mz.size(); ++i) {
+      bool hit = false;
+      for (double r : remove_mz) {
+        if (std::fabs(static_cast<double>(mz[i]) - r) <=
+            p.remove_precursor_tol) {
+          hit = true;
+          break;
+        }
+      }
+      if (!hit) {
+        mz[w] = mz[i];
+        inten[w] = inten[i];
+        ++w;
+      }
+    }
+    mz.resize(w);
+    inten.resize(w);
+    if (!spectrum_valid(mz, p)) return false;
+  }
+
+  // 4. Intensity filtering (preprocess/spectrum.py:98-113): keep peaks
+  //    with intensity strictly > min_intensity * base peak, then at most
+  //    the max_peaks_used most intense; stable ascending sort so ties
+  //    resolve by peak position.
+  if (!std::isnan(p.min_intensity) || p.max_peaks_used > 0) {
+    double min_int = std::isnan(p.min_intensity) ? 0.0 : p.min_intensity;
+    size_t n = inten.size();
+    int64_t max_num = p.max_peaks_used > 0
+                          ? p.max_peaks_used : static_cast<int64_t>(n);
+    std::vector<int64_t> order(n);
+    std::iota(order.begin(), order.end(), 0);
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return inten[a] < inten[b];
+    });
+    double threshold = min_int * static_cast<double>(inten[order.back()]);
+    // side='right' searchsorted: first index with value > threshold.
+    int64_t start_i = 0;
+    while (start_i < static_cast<int64_t>(n) &&
+           static_cast<double>(inten[order[start_i]]) <= threshold) {
+      ++start_i;
+    }
+    int64_t lo = std::max(start_i, static_cast<int64_t>(n) - max_num);
+    std::vector<uint8_t> keep(n, 0);
+    for (int64_t i = lo; i < static_cast<int64_t>(n); ++i) keep[order[i]] = 1;
+    size_t w = 0;
+    for (size_t i = 0; i < n; ++i) {
+      if (keep[i]) {
+        mz[w] = mz[i];
+        inten[w] = inten[i];
+        ++w;
+      }
+    }
+    mz.resize(w);
+    inten.resize(w);
+    if (!spectrum_valid(mz, p)) return false;
+  }
+
+  // 5. Scaling (preprocess/spectrum.py:116-133).
+  size_t n = inten.size();
+  switch (p.scaling) {
+    case SCALE_ROOT:
+      for (auto& v : inten) v = std::sqrt(v);
+      break;
+    case SCALE_LOG: {
+      const double ln2 = 0.6931471805599453;
+      for (auto& v : inten)
+        v = static_cast<float>(
+            static_cast<double>(std::log1p(v)) / ln2);
+      break;
+    }
+    case SCALE_RANK: {
+      // desc_rank = argsort(argsort(x, stable)[::-1], stable);
+      // scaled = max_rank - desc_rank.
+      std::vector<int64_t> asc(n);
+      std::iota(asc.begin(), asc.end(), 0);
+      std::stable_sort(asc.begin(), asc.end(), [&](int64_t a, int64_t b) {
+        return inten[a] < inten[b];
+      });
+      // Reversed order, then invert the permutation.
+      std::vector<float> scaled(n);
+      int64_t max_rank = p.max_peaks_used > 0
+                             ? p.max_peaks_used : static_cast<int64_t>(n);
+      for (size_t r = 0; r < n; ++r) {
+        int64_t peak = asc[n - 1 - r];  // r-th most intense (ties reversed)
+        scaled[peak] = static_cast<float>(max_rank - static_cast<int64_t>(r));
+      }
+      inten = std::move(scaled);
+      break;
+    }
+    default:
+      break;
+  }
+
+  // 6. L2 normalization.
+  double sq = 0.0;
+  for (float v : inten) sq += static_cast<double>(v) * v;
+  double norm = std::sqrt(sq);
+  for (auto& v : inten) v = static_cast<float>(v / norm);
+  return true;
+}
+
+// Case-insensitive "does line start with prefix".
+bool istarts_with(const char* line, size_t len, const char* prefix) {
+  size_t plen = std::strlen(prefix);
+  if (len < plen) return false;
+  for (size_t i = 0; i < plen; ++i) {
+    if (std::toupper(static_cast<unsigned char>(line[i])) != prefix[i])
+      return false;
+  }
+  return true;
+}
+
+void finish_spectrum(IngestResult* res, const Params& p, bool have_title,
+                     const std::string& title, bool have_pepmass,
+                     const std::string& pepmass_raw, bool have_charge,
+                     const std::string& charge_raw, bool have_rt,
+                     const std::string& rt_raw, std::vector<float>& mz,
+                     std::vector<float>& inten) {
+  // mgf_io.py:_make_spectrum — params parsed only here, at END IONS (a
+  // later duplicate key overrides an earlier malformed value); TITLE and
+  // PEPMASS required; malformed spectra are skipped silently (not
+  // counted as read).
+  if (!have_title || !have_pepmass) return;
+  double pepmass;
+  {
+    size_t stop = pepmass_raw.find_first_of(" \t");
+    std::string tok = stop == std::string::npos
+                          ? pepmass_raw : pepmass_raw.substr(0, stop);
+    if (!parse_double(tok.data(), tok.data() + tok.size(), &pepmass))
+      return;
+  }
+  double rt = -1.0;
+  if (have_rt &&
+      !parse_double(rt_raw.data(), rt_raw.data() + rt_raw.size(), &rt)) {
+    return;
+  }
+  int32_t charge = kNullCharge;
+  if (have_charge && !parse_charge(charge_raw, &charge)) return;
+  res->n_read += 1;
+  if (!preprocess(mz, inten, pepmass, charge, p)) {
+    res->n_low_quality += 1;
+    return;
+  }
+  res->precursor_mz.push_back(pepmass);
+  res->precursor_charge.push_back(charge);
+  res->retention_time.push_back(rt);
+  res->title_bytes.append(title);
+  res->title_offsets.push_back(
+      static_cast<int64_t>(res->title_bytes.size()));
+  res->mz.insert(res->mz.end(), mz.begin(), mz.end());
+  res->intensity.insert(res->intensity.end(), inten.begin(), inten.end());
+  res->peak_offsets.push_back(static_cast<int64_t>(res->mz.size()));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse + preprocess an entire MGF file.
+//
+// Returns an opaque result handle (NULL if the file cannot be opened) and
+// fills out_counts = [n_spectra_kept, n_peaks_total, title_bytes,
+// n_read, n_low_quality].  Copy the arrays out with fc_mgf_result_copy,
+// then release with fc_mgf_result_free.
+//
+// scaling: 0 = off, 1 = root, 2 = log, 3 = rank.  NaN disables an
+// optional double parameter; max_peaks_used <= 0 disables the top-N cap.
+void* fc_mgf_ingest(const char* path, int min_peaks, double min_mz_range,
+                    double mz_min, double mz_max,
+                    double remove_precursor_tol, double min_intensity,
+                    int max_peaks_used, int scaling, int64_t* out_counts) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  Params p{min_peaks, min_mz_range, mz_min, mz_max,
+           remove_precursor_tol, min_intensity, max_peaks_used, scaling};
+  auto* res = new IngestResult();
+
+  bool in_ions = false;
+  bool malformed = false;  // unparseable peak line -> skip the spectrum
+  bool have_title = false, have_pepmass = false;
+  bool have_charge = false, have_rt = false;
+  std::string title, pepmass_raw, charge_raw, rt_raw;
+  std::vector<float> mz, inten;
+  mz.reserve(4096);
+  inten.reserve(4096);
+
+  char* line = nullptr;
+  size_t cap = 0;
+  ssize_t got;
+  while ((got = getline(&line, &cap, f)) != -1) {
+    // strip() both ends.
+    char* b = line;
+    char* e = line + got;
+    while (b < e && std::isspace(static_cast<unsigned char>(*b))) ++b;
+    while (e > b && std::isspace(static_cast<unsigned char>(e[-1]))) --e;
+    if (b == e) continue;
+    size_t len = static_cast<size_t>(e - b);
+
+    if (istarts_with(b, len, "BEGIN IONS")) {
+      in_ions = true;
+      malformed = false;
+      have_title = have_pepmass = have_charge = have_rt = false;
+      title.clear();
+      mz.clear();
+      inten.clear();
+    } else if (istarts_with(b, len, "END IONS")) {
+      if (in_ions && !malformed) {
+        finish_spectrum(res, p, have_title, title, have_pepmass,
+                        pepmass_raw, have_charge, charge_raw, have_rt,
+                        rt_raw, mz, inten);
+      }
+      in_ions = false;
+    } else if (in_ions) {
+      const char* eq = static_cast<const char*>(std::memchr(b, '=', len));
+      bool first_digit =
+          std::isdigit(static_cast<unsigned char>(b[0])) || b[0] == '-';
+      if (eq && !first_digit) {
+        // Param line: KEY=value with key trimmed + uppercased.
+        std::string key(static_cast<const char*>(b), eq);
+        size_t k0 = key.find_first_not_of(" \t");
+        size_t k1 = key.find_last_not_of(" \t");
+        key = k0 == std::string::npos
+                  ? "" : key.substr(k0, k1 - k0 + 1);
+        for (auto& c : key) c = std::toupper(static_cast<unsigned char>(c));
+        std::string value(eq + 1, static_cast<const char*>(e));
+        size_t v0 = value.find_first_not_of(" \t");
+        size_t v1 = value.find_last_not_of(" \t");
+        value = v0 == std::string::npos
+                    ? "" : value.substr(v0, v1 - v0 + 1);
+        if (key == "TITLE") {
+          title = value;
+          have_title = true;
+        } else if (key == "PEPMASS") {
+          pepmass_raw = value;
+          have_pepmass = true;
+        } else if (key == "RTINSECONDS") {
+          rt_raw = value;
+          have_rt = true;
+        } else if (key == "CHARGE") {
+          charge_raw = value;
+          have_charge = true;
+        }
+      } else {
+        // Peak line: >= 2 whitespace tokens; parse failures skip the line.
+        const char* s = b;
+        const char* tok0_b = s;
+        while (s < e && !std::isspace(static_cast<unsigned char>(*s))) ++s;
+        const char* tok0_e = s;
+        while (s < e && std::isspace(static_cast<unsigned char>(*s))) ++s;
+        const char* tok1_b = s;
+        while (s < e && !std::isspace(static_cast<unsigned char>(*s))) ++s;
+        const char* tok1_e = s;
+        if (tok1_b == tok1_e) continue;  // fewer than 2 tokens
+        double m, i;
+        if (parse_double(tok0_b, tok0_e, &m) &&
+            parse_double(tok1_b, tok1_e, &i)) {
+          mz.push_back(static_cast<float>(m));
+          inten.push_back(static_cast<float>(i));
+        } else {
+          // Mirrors the Python parser (and pyteomics raising inside the
+          // reference's loop): the whole spectrum is skipped silently.
+          malformed = true;
+        }
+      }
+    }
+  }
+  std::free(line);
+  std::fclose(f);
+
+  out_counts[0] = static_cast<int64_t>(res->precursor_mz.size());
+  out_counts[1] = static_cast<int64_t>(res->mz.size());
+  out_counts[2] = static_cast<int64_t>(res->title_bytes.size());
+  out_counts[3] = res->n_read;
+  out_counts[4] = res->n_low_quality;
+  return res;
+}
+
+// Copy the result arrays into caller-allocated buffers sized per
+// fc_mgf_ingest's out_counts.  peak_offsets and title_offsets must hold
+// n_spectra_kept + 1 entries.
+int fc_mgf_result_copy(void* handle, double* precursor_mz, int32_t* charge,
+                       double* retention_time, int64_t* peak_offsets,
+                       float* mz, float* intensity, int64_t* title_offsets,
+                       char* title_bytes) {
+  if (!handle) return 1;
+  auto* res = static_cast<IngestResult*>(handle);
+  size_t n = res->precursor_mz.size();
+  std::memcpy(precursor_mz, res->precursor_mz.data(), n * sizeof(double));
+  std::memcpy(charge, res->precursor_charge.data(), n * sizeof(int32_t));
+  std::memcpy(retention_time, res->retention_time.data(),
+              n * sizeof(double));
+  std::memcpy(peak_offsets, res->peak_offsets.data(),
+              (n + 1) * sizeof(int64_t));
+  std::memcpy(mz, res->mz.data(), res->mz.size() * sizeof(float));
+  std::memcpy(intensity, res->intensity.data(),
+              res->intensity.size() * sizeof(float));
+  std::memcpy(title_offsets, res->title_offsets.data(),
+              (n + 1) * sizeof(int64_t));
+  std::memcpy(title_bytes, res->title_bytes.data(),
+              res->title_bytes.size());
+  return 0;
+}
+
+void fc_mgf_result_free(void* handle) {
+  delete static_cast<IngestResult*>(handle);
+}
+
+}  // extern "C"

@@ -88,8 +88,7 @@ def test_knn_banded_exact_within_band(processed_rows):
     order = np.argsort(pmz, kind="stable")
     vectors, pmz = vectors[order], pmz[order]
     k = 8
-    sims, neigh = knn_banded(vectors, pmz, 20.0, "ppm", k,
-                             block_rows=64, block_cols=128)
+    sims, neigh = knn_banded(vectors, pmz, 20.0, "ppm", k, block_rows=64)
     # Brute-force reference.
     full = vectors @ vectors.T
     n = len(pmz)

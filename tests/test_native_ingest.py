@@ -1,0 +1,246 @@
+"""Parity tests: the native C++ MGF ingest fast path vs the Python path.
+
+``native/falcon_ingest.cc`` must reproduce, bit-for-bit in structure and
+to float tolerance in values, the composition of the first-party Python
+MGF parser (``ms_io/mgf_io.py``) and preprocessing chain
+(``preprocess/spectrum.py``) — which in turn mirror the reference
+(``falcon/ms_io/mgf_io.py``, ``falcon/cluster/spectrum.py:73-169``).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from falcon_tpu import ingest, native
+from falcon_tpu.ms_io import ms_io
+from falcon_tpu.preprocess import spectrum as prep
+from falcon_tpu.simulate import make_clustered_spectra, write_mgf
+from falcon_tpu.store.store import NULL_CHARGE, SpectrumStore
+
+pytestmark = pytest.mark.skipif(
+    native.get_lib() is None, reason="native library unavailable"
+)
+
+DEFAULTS = dict(
+    min_peaks=5,
+    min_mz_range=250.0,
+    mz_min=101.0,
+    mz_max=1500.0,
+    remove_precursor_tolerance=1.5,
+    min_intensity=0.01,
+    max_peaks_used=50,
+    scaling=None,
+)
+
+
+def python_reference(path, kwargs):
+    """The Python parse+preprocess path (the oracle)."""
+    out, lqc = [], 0
+    for spec in ms_io.get_spectra(path):
+        processed = prep.process_spectrum(spec, **kwargs)
+        if processed is None:
+            lqc += 1
+        else:
+            out.append(processed)
+    return out, lqc
+
+
+def assert_batch_matches(batch, expected, lqc):
+    assert batch is not None
+    assert batch["n_low_quality"] == lqc
+    n = len(expected)
+    assert len(batch["precursor_mz"]) == n
+    offsets = batch["peak_offsets"]
+    for i, ref in enumerate(expected):
+        assert batch["identifier"][i] == ref["identifier"]
+        assert batch["precursor_mz"][i] == pytest.approx(
+            ref["precursor_mz"]
+        )
+        charge = batch["precursor_charge"][i]
+        if ref["precursor_charge"] is None:
+            assert charge == -(2**31)
+        else:
+            assert charge == ref["precursor_charge"]
+        assert batch["retention_time"][i] == pytest.approx(
+            ref["retention_time"]
+        )
+        mz = batch["mz"][offsets[i]:offsets[i + 1]]
+        inten = batch["intensity"][offsets[i]:offsets[i + 1]]
+        np.testing.assert_array_equal(mz, ref["mz"])
+        np.testing.assert_allclose(inten, ref["intensity"], rtol=1e-6)
+
+
+@pytest.mark.parametrize("scaling", [None, "root", "log", "rank"])
+def test_native_matches_python_on_synthetic_mgf(tmp_path, scaling):
+    spectra, _ = make_clustered_spectra(
+        n_clusters=30, cluster_size=4, n_noise=80, seed=11
+    )
+    path = write_mgf(str(tmp_path / "in.mgf"), spectra)
+    kwargs = dict(DEFAULTS, scaling=scaling)
+    expected, lqc = python_reference(path, kwargs)
+    batch = native.mgf_ingest(path, **kwargs)
+    assert len(expected) > 50
+    assert_batch_matches(batch, expected, lqc)
+
+
+def test_native_matches_python_edge_cases(tmp_path):
+    path = str(tmp_path / "edge.mgf")
+    with open(path, "w") as f:
+        f.write(
+            # Normal spectrum, charge "2+", trailing-comma charge form.
+            "BEGIN IONS\n"
+            "TITLE=spec one\n"
+            "PEPMASS=500.25 1000.0\n"
+            "CHARGE=2+\n"
+            "RTINSECONDS=12.5\n"
+            + "".join(f"{m}.5 {i + 1}.0\n"
+                      for i, m in enumerate(range(150, 950, 80)))
+            + "END IONS\n"
+            # No charge, no RT.
+            "BEGIN IONS\n"
+            "TITLE=no charge\n"
+            "PEPMASS=410.0\n"
+            + "".join(f"{m}.25 {(i % 5) + 1}\n"
+                      for i, m in enumerate(range(120, 920, 60)))
+            + "END IONS\n"
+            # Negative charge "3-"; a 1-token line is skipped without
+            # invalidating the spectrum.
+            "BEGIN IONS\n"
+            "TITLE=neg charge\n"
+            "CHARGE=3-\n"
+            "PEPMASS=610.0\n"
+            "210.0\n"
+            + "".join(f"{m}.125 {i + 2}\n"
+                      for i, m in enumerate(range(140, 1000, 70)))
+            + "END IONS\n"
+            # Unparseable 2-token peak line -> whole spectrum skipped
+            # (pyteomics-raise semantics, reference mgf_io.py:27-30).
+            "BEGIN IONS\n"
+            "TITLE=bad peak line\n"
+            "PEPMASS=620.0\n"
+            "200.0 notanumber\n"
+            + "".join(f"{m}.125 {i + 2}\n"
+                      for i, m in enumerate(range(140, 1000, 70)))
+            + "END IONS\n"
+            # Missing TITLE -> skipped silently.
+            "BEGIN IONS\n"
+            "PEPMASS=777.0\n"
+            "300.0 1.0\n"
+            "END IONS\n"
+            # Missing PEPMASS -> skipped silently.
+            "BEGIN IONS\n"
+            "TITLE=nopepmass\n"
+            "300.0 1.0\n"
+            "END IONS\n"
+            # Unparseable PEPMASS -> skipped silently.
+            "BEGIN IONS\n"
+            "TITLE=badpepmass\n"
+            "PEPMASS=xyz\n"
+            "300.0 1.0\n"
+            "END IONS\n"
+            # Too few peaks -> rejected as low quality.
+            "BEGIN IONS\n"
+            "TITLE=tiny\n"
+            "PEPMASS=400.0\n"
+            "CHARGE=2\n"
+            "150.0 1.0\n"
+            "900.0 1.0\n"
+            "END IONS\n"
+            # Duplicate key: later value wins (dict semantics).
+            "BEGIN IONS\n"
+            "TITLE=first title\n"
+            "TITLE=second title\n"
+            "PEPMASS=505.0\n"
+            "CHARGE=2\n"
+            + "".join(f"{m}.75 {10 - (i % 7)}\n"
+                      for i, m in enumerate(range(130, 930, 65)))
+            + "END IONS\n"
+        )
+    expected, lqc = python_reference(path, DEFAULTS)
+    batch = native.mgf_ingest(path, **DEFAULTS)
+    # Sanity on the fixture itself: the oracle must keep the real spectra
+    # and reject only 'tiny'.
+    names = [r["identifier"] for r in expected]
+    assert names == ["spec one", "no charge", "neg charge", "second title"]
+    assert expected[1]["precursor_charge"] is None
+    assert expected[2]["precursor_charge"] == -3
+    assert lqc == 1
+    assert_batch_matches(batch, expected, lqc)
+
+
+def test_native_intensity_tie_breaking(tmp_path):
+    # max_peaks_used cuts through a run of tied intensities; both paths
+    # must keep the same peaks (stable-sort position tie-breaking).
+    path = str(tmp_path / "ties.mgf")
+    with open(path, "w") as f:
+        f.write("BEGIN IONS\nTITLE=t\nPEPMASS=600.0\nCHARGE=2\n")
+        for i, m in enumerate(range(110, 1400, 10)):
+            f.write(f"{m}.0 {1.0 if i % 3 else 5.0}\n")
+        f.write("END IONS\n")
+    kwargs = dict(DEFAULTS, max_peaks_used=20)
+    expected, lqc = python_reference(path, kwargs)
+    batch = native.mgf_ingest(path, **kwargs)
+    assert_batch_matches(batch, expected, lqc)
+
+
+def test_read_and_process_file_prefers_native(tmp_path):
+    spectra, _ = make_clustered_spectra(
+        n_clusters=10, cluster_size=3, n_noise=20, seed=3
+    )
+    path = write_mgf(str(tmp_path / "in.mgf"), spectra)
+    result, lqc = ingest.read_and_process_file(path, DEFAULTS)
+    assert isinstance(result, dict)  # columnar batch
+    assert (result["filename"] == os.path.abspath(path)).all()
+    ref, ref_lqc = ingest.read_and_process_file(
+        path, DEFAULTS, allow_native=False
+    )
+    assert isinstance(ref, list)
+    assert lqc == ref_lqc
+    assert len(result["precursor_mz"]) == len(ref)
+
+
+def test_store_round_trip_batch_vs_rows(tmp_path):
+    """add_batch and add produce identical datasets."""
+    spectra, _ = make_clustered_spectra(
+        n_clusters=15, cluster_size=3, n_noise=30, seed=5
+    )
+    path = write_mgf(str(tmp_path / "in.mgf"), spectra)
+    batch, _ = ingest.read_and_process_file(path, DEFAULTS)
+    rows, _ = ingest.read_and_process_file(path, DEFAULTS,
+                                           allow_native=False)
+    for r in rows:
+        r["filename"] = os.path.abspath(path)
+
+    store_a = SpectrumStore(str(tmp_path / "a"))
+    writer = store_a.writer(batch_size=40)  # force multiple shards
+    writer.add_batch(batch)
+    writer.close()
+    store_b = SpectrumStore(str(tmp_path / "b"))
+    writer = store_b.writer(batch_size=40)
+    for r in rows:
+        writer.add(r)
+    writer.close()
+
+    charges = sorted(
+        {None if c == NULL_CHARGE else int(c)
+         for c in batch["precursor_charge"]
+         if c != -(2**31)}
+    )
+    assert charges  # fixture must produce charged spectra
+    for charge in charges:
+        ds_a, ds_b = store_a.dataset(charge), store_b.dataset(charge)
+        meta_a, meta_b = ds_a.read_metadata(), ds_b.read_metadata()
+        # add_batch partitions per charge in batch order; add preserves
+        # input order per charge — same multiset, same order.
+        np.testing.assert_array_equal(
+            meta_a["identifier"], meta_b["identifier"]
+        )
+        np.testing.assert_array_equal(
+            meta_a["precursor_mz"], meta_b["precursor_mz"]
+        )
+        off_a, mz_a, int_a = ds_a.read_peaks()
+        off_b, mz_b, int_b = ds_b.read_peaks()
+        np.testing.assert_array_equal(off_a, off_b)
+        np.testing.assert_array_equal(mz_a, mz_b)
+        np.testing.assert_allclose(int_a, int_b, rtol=1e-6)

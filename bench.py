@@ -172,6 +172,8 @@ def main() -> int:
             return 1
         baseline_seconds = _reference_baseline_seconds(work_dir,
                                                        input_path)
+        quality = _quality_metrics(work_dir,
+                                   os.path.join(out_dir, "out.csv"))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -185,8 +187,112 @@ def main() -> int:
         "value": round(value, 2),
         "unit": "spectra/sec",
         "vs_baseline": round(value / baseline_rate, 2),
+        **quality,
     }))
     return 0
+
+
+def _quality_metrics(work_dir: str, csv_path: str) -> dict:
+    """Untimed quality metrics for the JSON line: NN recall@50 of the
+    hashed k-NN vs the exact peak-matching cosine (512-query sample per
+    charge), plus cluster purity/completeness vs the synthetic ground
+    truth encoded in the spectrum identifiers."""
+    import jax.numpy as jnp
+
+    from falcon_tpu import metrics
+    from falcon_tpu.ops import pairwise
+    from falcon_tpu.ops.knn import knn_banded
+    from falcon_tpu.ops.vectorize import SpectrumHasher
+    from falcon_tpu.preprocess import get_dim
+    from falcon_tpu.store.store import SpectrumStore, padded_peaks
+
+    # Purity / completeness from the CSV vs identifier-encoded truth.
+    import csv as csv_mod
+
+    idents, clusters = [], []
+    with open(csv_path) as f:
+        rows = [r for r in csv_mod.reader(f) if not r[0].startswith("#")]
+    for r in rows[1:]:
+        idents.append(r[1])
+        clusters.append(int(r[5]))
+    truth = [i.split("_scan")[0].split("_member")[0] for i in idents]
+    truth_ids = {t: n for n, t in enumerate(sorted(set(truth)))}
+    truth = np.asarray([truth_ids[t] for t in truth])
+    labels = np.asarray(clusters)
+    quality = {
+        "purity": round(metrics.cluster_purity(labels, truth), 4),
+        "completeness": round(
+            metrics.cluster_completeness(labels, truth), 4),
+    }
+
+    # NN recall@50 per charge: hashed banded k-NN vs exact matching
+    # cosine on a query sample.
+    _, mz_min, mz_max = get_dim(101.0, 1500.0, 0.05)
+    hasher = SpectrumHasher(mz_min, mz_max, 0.05, 400, 0)
+    store = SpectrumStore(os.path.join(work_dir, "spectra"))
+    rng = np.random.default_rng(0)
+    k = 50
+    recalls = []
+    for charge in store.load_charges() or []:
+        ds = store.dataset(charge)
+        meta = ds.read_metadata()
+        offsets, mz_flat, int_flat = ds.read_peaks()
+        n = len(meta["precursor_mz"])
+        if n < 2:
+            continue
+        order = np.argsort(
+            np.asarray(meta["precursor_mz"], np.float64), kind="stable"
+        )
+        mzs = np.asarray(meta["precursor_mz"], np.float64)[order]
+        mz_pad, int_pad, _ = padded_peaks(offsets, mz_flat, int_flat, 64,
+                                          order)
+        bucket = 512
+        while bucket < n:
+            bucket *= 2
+        mz_cols = np.full((bucket, 64), pairwise.PAD_MZ, np.float32)
+        int_cols = np.zeros((bucket, 64), np.float32)
+        mz_cols[:n], int_cols[:n] = mz_pad, int_pad
+        # The production neighbor path: hashed banded over-retrieval
+        # (n_neighbors_ann=128) + exact rerank.
+        from falcon_tpu.ops.rerank import rerank_exact
+
+        vectors = hasher.vectorize(jnp.asarray(mz_cols),
+                                   jnp.asarray(int_cols))[:n]
+        _, cand_idx = knn_banded(vectors, mzs, 20.0, "ppm",
+                                 k=min(128, max(n - 1, 1)))
+        _, approx_idx, _ = rerank_exact(mz_pad, int_pad, cand_idx, 0.05,
+                                        k)
+        # Exact matching-cosine scores for a query sample vs the full
+        # bucket (one panel dispatch), tolerance-masked.
+        sample = rng.choice(n, size=min(512, n), replace=False)
+        if pairwise.use_pallas():
+            scores, _ = pairwise.panel_scores_pallas(
+                jnp.asarray(mz_pad[sample]), jnp.asarray(int_pad[sample]),
+                jnp.asarray(mz_cols), jnp.asarray(int_cols),
+                jnp.int32(0), 0.05, upper_only=False, with_matches=False,
+            )
+        else:
+            from falcon_tpu.ops.matching import rect_scores_xla
+
+            scores = rect_scores_xla(
+                jnp.asarray(mz_pad[sample]), jnp.asarray(int_pad[sample]),
+                jnp.asarray(mz_cols), jnp.asarray(int_cols), 0.05,
+            )
+        scores = np.array(scores[:, :n])
+        ppm = np.abs(
+            (mzs[sample][:, None] - mzs[None, :]) / mzs[None, :] * 1e6
+        )
+        scores[ppm > 20.0] = -1.0
+        scores[np.arange(len(sample)), sample] = -1.0
+        exact_idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        exact_scores = np.take_along_axis(scores, exact_idx, axis=1)
+        exact_idx = np.where(exact_scores > 0.0, exact_idx, -1)
+        recalls.append(
+            metrics.nn_recall_at_k(approx_idx[sample], exact_idx, k)
+        )
+    if recalls:
+        quality["nn_recall_at_50"] = round(float(np.mean(recalls)), 4)
+    return quality
 
 
 if __name__ == "__main__":

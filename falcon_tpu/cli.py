@@ -75,6 +75,7 @@ def main(args: Union[str, List[str], None] = None) -> int:
         "min_mz", "max_mz", "remove_precursor_tol", "min_intensity",
         "max_peaks_used", "scaling", "backend", "eps", "low_dim",
         "n_neighbors", "n_neighbors_ann", "n_probe", "min_samples",
+        "rerank", "representative_method",
     ):
         logger.debug("%s = %s", key, config[key])
 
@@ -179,6 +180,7 @@ def main(args: Union[str, List[str], None] = None) -> int:
                 max_peaks=config.max_peaks_used,
                 use_ivf={"auto": None, "brute": False,
                          "ivf": True}[config.ann_index],
+                rerank=config.rerank,
             )
         else:
             clusters, medoids = engine.generate_clusters(
@@ -192,6 +194,14 @@ def main(args: Union[str, List[str], None] = None) -> int:
                 config.fragment_tol,
                 config.batch_size,
                 max_peaks=config.max_peaks_used,
+            )
+        if (config.export_representatives
+                and config.representative_method == "consensus"):
+            representatives.extend(
+                _consensus_representatives(
+                    dataset, meta, clusters, charge, current_label,
+                    mz_min,
+                )
             )
         # Globally disjoint labels across charges (reference
         # falcon.py:189-193).
@@ -215,7 +225,8 @@ def main(args: Union[str, List[str], None] = None) -> int:
             }
         )
         clusters_all.append(metadata)
-        if config.export_representatives:
+        if (config.export_representatives
+                and config.representative_method == "medoid"):
             representatives.extend(dataset.take(medoids))
 
     if not clusters_all:
@@ -275,6 +286,46 @@ def main(args: Union[str, List[str], None] = None) -> int:
     return 0
 
 
+def _consensus_representatives(
+    dataset, meta, labels: np.ndarray, charge, label_offset: int,
+    mz_min: float,
+) -> List[dict]:
+    """Consensus representative rows for one charge bucket.
+
+    Builds one merged spectrum per cluster on device
+    (``ops/consensus.py``); cluster metadata (precursor m/z, retention
+    time) is the member mean, and the identifier records the global
+    cluster label.
+    """
+    from .ops.consensus import consensus_spectra
+
+    offsets, mz_flat, int_flat = dataset.read_peaks()
+    cons = consensus_spectra(
+        offsets, mz_flat, int_flat, labels,
+        config.fragment_tol, mz_min,
+        min_fraction=config.consensus_min_fraction,
+        max_peaks=config.max_peaks_used,
+    )
+    pmz = np.asarray(meta["precursor_mz"], np.float64)
+    rt = np.asarray(meta["retention_time"], np.float64)
+    rows = []
+    for label in sorted(cons):
+        members = labels == label
+        mz, intensity = cons[label]
+        rows.append(
+            {
+                "identifier": f"consensus_cluster{label_offset + label}",
+                "precursor_mz": float(pmz[members].mean()),
+                "precursor_charge": charge,
+                "retention_time": float(rt[members].mean()),
+                "mz": mz,
+                "intensity": intensity,
+                "filename": "",
+            }
+        )
+    return rows
+
+
 def _write_cluster_info(clusters: pd.DataFrame) -> None:
     """CSV export with the '#'-prefixed run-manifest header (reference
     ``_write_cluster_info``, ``falcon/falcon.py:483-524``; same keys, same
@@ -310,6 +361,11 @@ def _write_cluster_info(clusters: pd.DataFrame) -> None:
         f_out.write(f"# scaling = {config.scaling}\n")
         # falcon-tpu additions (after the reference's 17 keys).
         f_out.write(f"# backend = {config.backend}\n")
+        if config.export_representatives:
+            f_out.write(
+                f"# representative_method = "
+                f"{config.representative_method}\n"
+            )
         if config.backend == "ann":
             f_out.write(f"# eps = {config.eps}\n")
             f_out.write(f"# low_dim = {config.low_dim}\n")
@@ -317,5 +373,6 @@ def _write_cluster_info(clusters: pd.DataFrame) -> None:
             f_out.write(f"# n_neighbors_ann = {config.n_neighbors_ann}\n")
             f_out.write(f"# n_probe = {config.n_probe}\n")
             f_out.write(f"# min_samples = {config.min_samples}\n")
+            f_out.write(f"# rerank = {config.rerank}\n")
         f_out.write("#\n")
         clusters.to_csv(f_out, index=False, chunksize=1000000)

@@ -88,6 +88,7 @@ def generate_clusters(
     max_mz: float = 1500.0,
     max_peaks: int = 50,
     use_ivf: Optional[bool] = None,
+    rerank: str = "exact",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Cluster one charge bucket with the vectorized ANN pipeline.
 
@@ -153,21 +154,26 @@ def generate_clusters(
     # 2. k-NN within the precursor band: banded brute force (exact within
     # the band) by default, or the from-scratch TPU IVF index for very
     # large buckets where the O(n * band) matmuls outgrow the budget.
+    # With exact reranking (the default), the hashed search over-retrieves
+    # n_neighbors_ann candidates which step 2b re-scores exactly.
     if use_ivf is None:
         use_ivf = n > 200_000
+    k_final = min(n_neighbors, max(n - 1, 1))
+    do_rerank = rerank == "exact"
+    k_ann = (min(max(n_neighbors_ann, k_final), max(n - 1, 1))
+             if do_rerank else k_final)
     if use_ivf:
         from ..ops.ivf import IVFIndex
 
         vectors = np.asarray(vectors_dev)
         index = IVFIndex(vectors, mz_sorted, n_lists=None, seed=42)
-        k_ann = min(n_neighbors_ann, max(n - 1, 1))
         sims, neigh = index.search(
-            vectors, mz_sorted, np.arange(n, dtype=np.int32), k_ann,
+            vectors, mz_sorted, np.arange(n, dtype=np.int32),
+            min(max(n_neighbors_ann, k_ann), max(n - 1, 1)),
             n_probe=n_probe, tol_mass=precursor_tol_mass,
             tol_mode=precursor_tol_mode,
         )
-        k_keep = min(n_neighbors, k_ann)
-        sims, neigh = sims[:, :k_keep], neigh[:, :k_keep]
+        sims, neigh = sims[:, :k_ann], neigh[:, :k_ann]
         if rt_tol is not None:
             neigh_rt = np.where(
                 neigh >= 0, rt_sorted[np.clip(neigh, 0, n - 1)], np.inf
@@ -178,9 +184,29 @@ def generate_clusters(
     else:
         sims, neigh = knn_banded(
             vectors_dev, mz_sorted, precursor_tol_mass, precursor_tol_mode,
-            k=min(n_neighbors, max(n - 1, 1)),
-            rts=rt_sorted, rt_tol=rt_tol,
+            k=k_ann, rts=rt_sorted, rt_tol=rt_tol,
         )
+
+    # 2b. Exact rerank: re-score the hashed candidates with the exact
+    # peak-matching cosine on device (ops/rerank.py) and keep the exact
+    # top n_neighbors.  Density clustering then runs on exact distances,
+    # so eps means the same thing in both backends, and min_matches
+    # applies just like in the reference kernel
+    # (falcon/cluster/cluster.py:620-626).
+    if do_rerank:
+        from ..ops.rerank import rerank_exact
+
+        mz_pad_all, int_pad_all, _ = padded_peaks(
+            offsets, mz_flat, int_flat, pad_to, order
+        )
+        sims, neigh, n_match = rerank_exact(
+            mz_pad_all, int_pad_all, neigh, fragment_tol, k_final
+        )
+        if min_matches > 0:
+            low = (neigh >= 0) & (n_match < min_matches)
+            sims = np.where(low, 0.0, sims)
+    elif sims.shape[1] > k_final:
+        sims, neigh = sims[:, :k_final], neigh[:, :k_final]
 
     # 3. DBSCAN on the sparse eps-graph.
     within_eps = (neigh >= 0) & ((1.0 - sims) <= eps)

@@ -302,6 +302,36 @@ class Config:
             "(default: %(default)s).",
         )
         p.add_argument(
+            "--rerank",
+            default="exact",
+            type=str,
+            choices=["exact", "off"],
+            help="[ann backend] Re-score the hashed nearest-neighbor "
+            "candidates with the exact peak-matching cosine on device "
+            "before density clustering ('exact', default), or cluster on "
+            "hashed-vector distances like the published falcon algorithm "
+            "('off').",
+        )
+        p.add_argument(
+            "--representative_method",
+            default="medoid",
+            type=str,
+            choices=["medoid", "consensus"],
+            help="How to build exported cluster representatives: 'medoid' "
+            "exports the spectrum minimizing the summed in-cluster "
+            "distance (reference behavior); 'consensus' constructs a "
+            "merged spectrum from all cluster members on device "
+            "(default: %(default)s).",
+        )
+        p.add_argument(
+            "--consensus_min_fraction",
+            default=0.5,
+            type=float,
+            help="[consensus representatives] Minimum fraction of cluster "
+            "members that must support a fragment bin for it to enter "
+            "the consensus spectrum (default: %(default)s).",
+        )
+        p.add_argument(
             "--devices",
             default=None,
             type=int,

@@ -1,0 +1,126 @@
+"""Clustering quality metrics.
+
+The driver metric for this framework is "spectra/sec clustered
+end-to-end; NN recall@50 and cluster purity vs Faiss ref"
+(BASELINE.json), and the north star demands >= 0.99 NN recall@50 vs
+exact cosine at matched cluster purity.  This module provides the
+first-party implementations used by the bench harness and tests:
+
+- :func:`nn_recall_at_k` — approximate-vs-exact nearest-neighbor recall,
+- :func:`cluster_purity` — weighted majority-label purity over clusters
+  with >= 2 members (singletons are "unclustered" and excluded, matching
+  how MS clustering papers report purity),
+- :func:`cluster_completeness` — information-theoretic completeness
+  (1 - H(cluster|truth) / H(cluster)), the usual V-measure component,
+- :func:`clustered_fraction` — fraction of spectra in non-singleton
+  clusters.
+"""
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def nn_recall_at_k(
+    approx_idx: np.ndarray,
+    exact_idx: np.ndarray,
+    k: int,
+) -> float:
+    """Mean per-query recall@k of approximate vs exact neighbor lists.
+
+    ``approx_idx``/``exact_idx``: (n, >=k) arrays of neighbor ids, -1 for
+    missing entries.  For each query, recall = |approx top-k ∩ exact
+    top-k| / |exact top-k| (queries whose exact list is empty are
+    skipped).
+    """
+    n = approx_idx.shape[0]
+    recalls = []
+    for i in range(n):
+        exact = exact_idx[i, :k]
+        exact = set(exact[exact >= 0].tolist())
+        if not exact:
+            continue
+        approx = approx_idx[i, :k]
+        approx = set(approx[approx >= 0].tolist())
+        recalls.append(len(exact & approx) / len(exact))
+    return float(np.mean(recalls)) if recalls else 1.0
+
+
+def _contingency(
+    labels: np.ndarray, truth: np.ndarray
+) -> Dict[int, Dict[int, int]]:
+    table: Dict[int, Dict[int, int]] = {}
+    for c, t in zip(labels.tolist(), truth.tolist()):
+        table.setdefault(c, {}).setdefault(t, 0)
+        table[c][t] += 1
+    return table
+
+
+def cluster_purity(labels: np.ndarray, truth: np.ndarray) -> float:
+    """Weighted majority purity over clusters with >= 2 members.
+
+    purity = sum_c max_t |c ∩ t| / sum_c |c| over non-singleton clusters
+    c.  Returns 1.0 when everything is singletons (nothing to get
+    wrong).
+    """
+    labels = np.asarray(labels)
+    truth = np.asarray(truth)
+    uniq, counts = np.unique(labels, return_counts=True)
+    multi = set(uniq[counts >= 2].tolist())
+    if not multi:
+        return 1.0
+    keep = np.isin(labels, list(multi))
+    table = _contingency(labels[keep], truth[keep])
+    correct = sum(max(t.values()) for t in table.values())
+    total = int(keep.sum())
+    return correct / total
+
+
+def _entropy(counts: np.ndarray) -> float:
+    p = counts / counts.sum()
+    p = p[p > 0]
+    return float(-(p * np.log(p)).sum())
+
+
+def cluster_completeness(labels: np.ndarray, truth: np.ndarray) -> float:
+    """Completeness: all members of a truth class land in one cluster.
+
+    1 - H(cluster | truth) / H(cluster), the standard V-measure
+    component (Rosenberg & Hirschberg 2007); 1.0 when H(cluster) == 0.
+    """
+    labels = np.asarray(labels)
+    truth = np.asarray(truth)
+    _, label_counts = np.unique(labels, return_counts=True)
+    h_cluster = _entropy(label_counts)
+    if h_cluster == 0.0:
+        return 1.0
+    # H(cluster | truth)
+    h_cond = 0.0
+    n = len(labels)
+    for t in np.unique(truth):
+        members = labels[truth == t]
+        _, counts = np.unique(members, return_counts=True)
+        h_cond += (len(members) / n) * _entropy(counts)
+    return 1.0 - h_cond / h_cluster
+
+
+def clustered_fraction(labels: np.ndarray) -> float:
+    """Fraction of spectra belonging to clusters with >= 2 members."""
+    labels = np.asarray(labels)
+    if len(labels) == 0:
+        return 0.0
+    _, inverse, counts = np.unique(
+        labels, return_inverse=True, return_counts=True
+    )
+    return float((counts[inverse] >= 2).mean())
+
+
+def evaluate_clustering(
+    labels: np.ndarray, truth: np.ndarray
+) -> Dict[str, float]:
+    """Convenience bundle of all clustering metrics."""
+    return {
+        "purity": cluster_purity(labels, truth),
+        "completeness": cluster_completeness(labels, truth),
+        "clustered_fraction": clustered_fraction(labels),
+    }

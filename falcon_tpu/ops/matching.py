@@ -143,6 +143,44 @@ def pair_scores(
 @functools.partial(
     jax.jit, static_argnames=("fragment_tol", "rounds", "pair_chunk")
 )
+def rect_scores_xla(
+    mz_a: jnp.ndarray,
+    int_a: jnp.ndarray,
+    mz_b: jnp.ndarray,
+    int_b: jnp.ndarray,
+    fragment_tol: float,
+    rounds: int = DEFAULT_ROUNDS,
+    pair_chunk: int = 4096,
+) -> jnp.ndarray:
+    """Rectangular (n_a, n_b) score matrix, chunked pure-XLA.
+
+    CPU-friendly counterpart of ``pairwise.panel_scores_pallas`` for
+    query-sample-vs-block scoring (used by the bench quality metrics).
+    """
+    n_a, p = mz_a.shape
+    n_b = mz_b.shape[0]
+    n_pairs = n_a * n_b
+    n_chunks = max(1, (n_pairs + pair_chunk - 1) // pair_chunk)
+    padded_pairs = n_chunks * pair_chunk
+    ii, jj = jnp.divmod(jnp.arange(padded_pairs) % n_pairs, n_b)
+
+    def chunk_fn(carry, idx):
+        del carry
+        ci, cj = ii[idx], jj[idx]
+        score, _ = pair_scores(
+            mz_a[ci], int_a[ci], mz_b[cj], int_b[cj],
+            fragment_tol, rounds,
+        )
+        return 0, score
+
+    idx = jnp.arange(padded_pairs).reshape(n_chunks, pair_chunk)
+    _, scores = jax.lax.scan(chunk_fn, 0, idx)
+    return scores.reshape(-1)[:n_pairs].reshape(n_a, n_b)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fragment_tol", "rounds", "pair_chunk")
+)
 def block_scores_xla(
     mz: jnp.ndarray,
     intensity: jnp.ndarray,

@@ -1,0 +1,61 @@
+"""Tests for the clustering quality metrics (falcon_tpu/metrics.py)."""
+
+import numpy as np
+
+from falcon_tpu import metrics
+
+
+def test_nn_recall_perfect_and_partial():
+    exact = np.array([[1, 2, 3], [0, 2, -1]])
+    assert metrics.nn_recall_at_k(exact, exact, 3) == 1.0
+    approx = np.array([[1, 2, 9], [0, 2, -1]])
+    # Query 0: 2/3; query 1: 2/2.
+    assert abs(metrics.nn_recall_at_k(approx, exact, 3)
+               - (2 / 3 + 1.0) / 2) < 1e-9
+
+
+def test_nn_recall_ignores_empty_exact_lists():
+    exact = np.array([[-1, -1], [0, -1]])
+    approx = np.array([[5, 6], [0, 3]])
+    assert metrics.nn_recall_at_k(approx, exact, 2) == 1.0
+
+
+def test_purity_majority_and_singleton_exclusion():
+    # Cluster 0: 3x truth A + 1x truth B -> 3/4 correct.
+    # Cluster 1: singleton (excluded).
+    labels = np.array([0, 0, 0, 0, 1])
+    truth = np.array([0, 0, 0, 1, 2])
+    assert abs(metrics.cluster_purity(labels, truth) - 0.75) < 1e-9
+    # All singletons -> vacuous purity 1.
+    assert metrics.cluster_purity(np.arange(4), truth[:4]) == 1.0
+
+
+def test_completeness_extremes():
+    truth = np.array([0, 0, 1, 1])
+    # Perfect: each truth class in one cluster.
+    assert metrics.cluster_completeness(np.array([5, 5, 7, 7]),
+                                        truth) == 1.0
+    # Every point its own cluster: H(c|t) = log2 per class, H(c) = log4
+    # -> completeness 0.5 under the standard V-measure definition.
+    assert abs(metrics.cluster_completeness(np.arange(4), truth)
+               - 0.5) < 1e-9
+    # Single cluster -> H(cluster) == 0 -> defined as 1.
+    assert metrics.cluster_completeness(np.zeros(4), truth) == 1.0
+
+
+def test_clustered_fraction():
+    assert metrics.clustered_fraction(np.array([0, 0, 1, 2])) == 0.5
+    assert metrics.clustered_fraction(np.array([], np.int64)) == 0.0
+
+
+def test_evaluate_bundle_on_good_clustering():
+    from falcon_tpu.simulate import make_clustered_spectra
+
+    _, truth = make_clustered_spectra(
+        n_clusters=10, cluster_size=5, n_noise=5, seed=2
+    )
+    truth = np.asarray(truth)
+    out = metrics.evaluate_clustering(truth, truth)
+    assert out["purity"] == 1.0
+    assert out["completeness"] == 1.0
+    assert 0 < out["clustered_fraction"] < 1

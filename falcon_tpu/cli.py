@@ -25,6 +25,7 @@ from . import __version__, seed
 from .config import config
 from .store.store import SpectrumStore, NULL_CHARGE
 from .utils.natsort import natsort_key
+from .utils.profiling import profiler
 
 logger = logging.getLogger("falcon_tpu")
 
@@ -133,14 +134,19 @@ def main(args: Union[str, List[str], None] = None) -> int:
     if config.overwrite:
         store.clear()
 
+    profiler.reset()
+    if config.profile:
+        profiler.start_trace(config.profile)
+
     # Ingest-resume point (reference falcon.py:143-149).
     charges = store.load_charges()
     if charges is None:
         from . import ingest
 
-        charges = ingest.prepare_spectra(
-            store, config.input_filenames, process_kwargs
-        )
+        with profiler.phase("ingest"):
+            charges = ingest.prepare_spectra(
+                store, config.input_filenames, process_kwargs
+            )
 
     # Import the engine lazily: it pulls in JAX (and on TPU hosts the
     # exclusive chip), which ingest worker processes must never touch.
@@ -159,42 +165,44 @@ def main(args: Union[str, List[str], None] = None) -> int:
         if dataset.count_rows() == 0:
             continue
         meta = dataset.read_metadata()
-        if config.backend == "ann":
-            clusters, medoids = ann_engine.generate_clusters(
-                dataset,
-                eps=config.eps,
-                min_samples=config.min_samples,
-                min_matches=config.min_matched_peaks,
-                precursor_tol_mass=config.precursor_tol[0],
-                precursor_tol_mode=config.precursor_tol[1],
-                rt_tol=config.rt_tol,
-                fragment_tol=config.fragment_tol,
-                batch_size=config.batch_size,
-                low_dim=config.low_dim,
-                n_neighbors=config.n_neighbors,
-                n_neighbors_ann=config.n_neighbors_ann,
-                n_probe=config.n_probe,
-                hash_seed=config.hash_seed,
-                min_mz=mz_min,
-                max_mz=mz_max,
-                max_peaks=config.max_peaks_used,
-                use_ivf={"auto": None, "brute": False,
-                         "ivf": True}[config.ann_index],
-                rerank=config.rerank,
-            )
-        else:
-            clusters, medoids = engine.generate_clusters(
-                dataset,
-                config.linkage,
-                config.distance_threshold,
-                config.min_matched_peaks,
-                config.precursor_tol[0],
-                config.precursor_tol[1],
-                config.rt_tol,
-                config.fragment_tol,
-                config.batch_size,
-                max_peaks=config.max_peaks_used,
-            )
+        with profiler.phase(f"cluster charge {charge}"):
+            if config.backend == "ann":
+                clusters, medoids = ann_engine.generate_clusters(
+                    dataset,
+                    eps=config.eps,
+                    min_samples=config.min_samples,
+                    min_matches=config.min_matched_peaks,
+                    precursor_tol_mass=config.precursor_tol[0],
+                    precursor_tol_mode=config.precursor_tol[1],
+                    rt_tol=config.rt_tol,
+                    fragment_tol=config.fragment_tol,
+                    batch_size=config.batch_size,
+                    low_dim=config.low_dim,
+                    n_neighbors=config.n_neighbors,
+                    n_neighbors_ann=config.n_neighbors_ann,
+                    n_probe=config.n_probe,
+                    hash_seed=config.hash_seed,
+                    min_mz=mz_min,
+                    max_mz=mz_max,
+                    max_peaks=config.max_peaks_used,
+                    use_ivf={"auto": None, "brute": False,
+                             "ivf": True}[config.ann_index],
+                    rerank=config.rerank,
+                    devices=config.devices,
+                )
+            else:
+                clusters, medoids = engine.generate_clusters(
+                    dataset,
+                    config.linkage,
+                    config.distance_threshold,
+                    config.min_matched_peaks,
+                    config.precursor_tol[0],
+                    config.precursor_tol[1],
+                    config.rt_tol,
+                    config.fragment_tol,
+                    config.batch_size,
+                    max_peaks=config.max_peaks_used,
+                )
         if (config.export_representatives
                 and config.representative_method == "consensus"):
             representatives.extend(
@@ -250,6 +258,8 @@ def main(args: Union[str, List[str], None] = None) -> int:
         len(clusters_all), clusters_all["cluster"].nunique(),
         f"{config.output_filename}.csv",
     )
+    export_phase = profiler.phase("export")
+    export_phase.__enter__()
     write_csv_worker = threading.Thread(
         target=_write_cluster_info, args=(clusters_all,), daemon=True
     )
@@ -278,6 +288,10 @@ def main(args: Union[str, List[str], None] = None) -> int:
         write_mgf_worker.start()
         write_mgf_worker.join()
     write_csv_worker.join()
+    export_phase.__exit__(None, None, None)
+
+    profiler.stop_trace()
+    profiler.log_summary()
 
     if rm_work_dir:
         shutil.rmtree(config.work_dir)

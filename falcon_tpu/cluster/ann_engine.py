@@ -89,6 +89,7 @@ def generate_clusters(
     max_peaks: int = 50,
     use_ivf: Optional[bool] = None,
     rerank: str = "exact",
+    devices: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Cluster one charge bucket with the vectorized ANN pipeline.
 
@@ -182,10 +183,47 @@ def generate_clusters(
             sims = np.where(bad, float(NEG), sims)
             neigh = np.where(bad, -1, neigh)
     else:
-        sims, neigh = knn_banded(
-            vectors_dev, mz_sorted, precursor_tol_mass, precursor_tol_mode,
-            k=k_ann, rts=rt_sorted, rt_tol=rt_tol,
-        )
+        sims = neigh = None
+        if devices is not None and devices > 1:
+            # Multi-chip: rows sharded over the mesh, halo exchange for
+            # cross-shard bands (parallel/sharded_knn.py).
+            import jax
+
+            from ..parallel.mesh import make_mesh
+            from ..parallel.sharded_knn import knn_banded_sharded
+
+            if len(jax.devices()) >= devices:
+                mesh = make_mesh(devices)
+                result = knn_banded_sharded(
+                    np.asarray(vectors_dev), mz_sorted,
+                    precursor_tol_mass, precursor_tol_mode, k_ann, mesh,
+                )
+                if result is None:
+                    logger.warning(
+                        "Precursor band wider than one shard halo; "
+                        "falling back to single-device k-NN"
+                    )
+                else:
+                    sims, neigh = result
+                    if rt_tol is not None:
+                        neigh_rt = np.where(
+                            neigh >= 0,
+                            rt_sorted[np.clip(neigh, 0, n - 1)], np.inf,
+                        )
+                        bad = (np.abs(neigh_rt - rt_sorted[:, None])
+                               > rt_tol)
+                        sims[bad] = float(NEG)
+                        neigh[bad] = -1
+            else:
+                logger.warning(
+                    "Requested %d devices but only %d visible; using "
+                    "single-device k-NN", devices, len(jax.devices()),
+                )
+        if sims is None:
+            sims, neigh = knn_banded(
+                vectors_dev, mz_sorted, precursor_tol_mass,
+                precursor_tol_mode, k=k_ann, rts=rt_sorted, rt_tol=rt_tol,
+            )
 
     # 2b. Exact rerank: re-score the hashed candidates with the exact
     # peak-matching cosine on device (ops/rerank.py) and keep the exact
@@ -196,6 +234,15 @@ def generate_clusters(
     if do_rerank:
         from ..ops.rerank import rerank_exact
 
+        # Candidate lists are score-sorted with -1 padding at the tail;
+        # when the precursor bands are narrower than n_neighbors_ann the
+        # trailing columns are all -1 — drop them (saves exact-kernel
+        # work proportionally).
+        real_k = max(int((neigh >= 0).sum(axis=1).max(initial=0)), 1)
+        k_compact = 16
+        while k_compact < real_k:
+            k_compact *= 2
+        neigh = neigh[:, :min(k_compact, neigh.shape[1])]
         mz_pad_all, int_pad_all, _ = padded_peaks(
             offsets, mz_flat, int_flat, pad_to, order
         )

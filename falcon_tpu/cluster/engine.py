@@ -24,6 +24,7 @@ like every other block; the mz x RT label merge uses a true pairing.
 """
 
 import logging
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Tuple
 
@@ -88,32 +89,73 @@ def generate_clusters(
 
     labels = np.full(n, -1, np.int32)
     pad_to = _round_up(max(max_peaks, 1), 64)
+    n_intervals = len(splits) - 1
+    sizes = np.diff(splits)
 
-    def compute_pdist(k: int) -> Optional[np.ndarray]:
-        start, stop = splits[k], splits[k + 1]
-        if stop - start <= 1:
-            return None
-        rows = order[start:stop]
+    # Device scheduling: hundreds of small intervals are batched into
+    # size-class groups and scored in a handful of dispatches
+    # (pairwise.grouped_condensed_distances) — per-dispatch latency, not
+    # FLOPs, dominates small intervals on a tunneled TPU.  Large
+    # intervals stream row panels through the Pallas kernel
+    # individually.  A producer thread owns all device work and overlaps
+    # it with host-side linkage/postprocessing.
+    # backend="pallas_interpret" must exercise the Pallas kernel itself,
+    # so interval grouping (which uses the XLA batched path) is disabled.
+    GROUP_MAX = 1024 if backend != "pallas_interpret" else 0
+    small = [k for k in range(n_intervals)
+             if 2 <= sizes[k] <= GROUP_MAX]
+    large = [k for k in range(n_intervals) if sizes[k] > GROUP_MAX]
+
+    def interval_peaks(k: int):
+        rows = order[splits[k]:splits[k + 1]]
         mz_pad, int_pad, _ = padded_peaks(
             offsets, mz_flat, int_flat, pad_to, rows
         )
-        kwargs = {} if rounds is None else {"rounds": rounds}
-        return pairwise.condensed_distances(
-            mz_pad, int_pad, fragment_tol, min_matches,
-            backend=backend, **kwargs,
-        )
+        return mz_pad, int_pad
+
+    results: dict = {}
+    results_lock = threading.Lock()
+    results_ready = threading.Condition(results_lock)
+    kwargs = {} if rounds is None else {"rounds": rounds}
+
+    def put(k: int, pdist: Optional[np.ndarray]) -> None:
+        with results_ready:
+            results[k] = pdist
+            results_ready.notify_all()
+
+    def producer() -> None:
+        try:
+            if small:
+                gen = pairwise.grouped_condensed_distances(
+                    [interval_peaks(k) for k in small],
+                    fragment_tol, min_matches, **kwargs,
+                )
+                for local_i, pdist in gen:
+                    put(small[local_i], pdist)
+            for k in large:
+                mz_pad, int_pad = interval_peaks(k)
+                put(k, pairwise.condensed_distances(
+                    mz_pad, int_pad, fragment_tol, min_matches,
+                    backend=backend, **kwargs,
+                ))
+        except BaseException as e:  # propagate to the consumer
+            with results_ready:
+                results["error"] = e
+                results_ready.notify_all()
 
     medoids = []
-    n_intervals = len(splits) - 1
-    # Two-stage pipeline: device distance computation for interval k+1
-    # overlaps host linkage/postprocessing of interval k.
-    with ThreadPoolExecutor(max_workers=1) as prefetcher:
-        next_future = prefetcher.submit(compute_pdist, 0) \
-            if n_intervals > 0 else None
+    with ThreadPoolExecutor(max_workers=1) as device_pool:
+        device_pool.submit(producer)
         for k in range(n_intervals):
-            pdist = next_future.result()
-            if k + 1 < n_intervals:
-                next_future = prefetcher.submit(compute_pdist, k + 1)
+            if sizes[k] <= 1:
+                pdist = None
+            else:
+                with results_ready:
+                    while k not in results and "error" not in results:
+                        results_ready.wait()
+                    if "error" in results and k not in results:
+                        raise results["error"]
+                    pdist = results.pop(k)
             start, stop = splits[k], splits[k + 1]
             interval_medoids = _cluster_interval(
                 labels, order, mz_sorted, rt_sorted, pdist,

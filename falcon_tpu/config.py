@@ -338,6 +338,15 @@ class Config:
             help="Number of TPU devices to shard clustering over "
             "(default: all visible devices).",
         )
+        p.add_argument(
+            "--profile",
+            default=None,
+            type=str,
+            metavar="DIR",
+            help="Capture a JAX device trace into DIR (TensorBoard/"
+            "Perfetto format) and log a per-phase timing summary "
+            "(default: timing summary only at DEBUG level).",
+        )
 
         self._namespace = None
 

@@ -32,7 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .matching import DEFAULT_ROUNDS, match_rounds_body, block_scores_xla
+from .matching import (DEFAULT_ROUNDS, block_scores_xla, match_rounds_body,
+                       match_score, pair_weights)
 
 TILE_J = 512   # columns per grid step (per output block)
 SUB = 16       # columns matched per inner-loop iteration (live W size)
@@ -209,6 +210,115 @@ def panel_scores_pallas(
     scores = outs[0][:, :, 0]
     matches = outs[1][:, :, 0] if with_matches else None
     return scores, matches
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fragment_tol", "rounds", "pair_chunk")
+)
+def batched_block_scores(
+    mz: jnp.ndarray,        # (B, m, P) padded spectra per interval
+    intensity: jnp.ndarray,
+    fragment_tol: float,
+    rounds: int = DEFAULT_ROUNDS,
+    pair_chunk: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-pairs scores for B same-size intervals in ONE dispatch.
+
+    The exact engine's precursor-m/z splits produce hundreds of small
+    intervals; scoring each with its own device call is dominated by
+    per-dispatch latency on a tunneled TPU.  This kernel flattens the
+    B * m * (m-1) / 2 upper-triangle pairs of a whole size-class group
+    into one chunked ``lax.scan`` (weights stay (pair_chunk, P, P)).
+
+    Returns (scores, matches), each (B, m, m), upper triangle filled
+    (diagonal and lower triangle are zero).
+    """
+    b, m, p = mz.shape
+    iu_i, iu_j = jnp.triu_indices(m, k=1)
+    n_tri = iu_i.shape[0]
+    n_pairs = b * n_tri
+    n_chunks = max(1, (n_pairs + pair_chunk - 1) // pair_chunk)
+    padded = n_chunks * pair_chunk
+    flat = jnp.arange(padded) % n_pairs
+    bb, tt = jnp.divmod(flat, n_tri)
+    ii, jj = iu_i[tt], iu_j[tt]
+
+    mz2 = mz.reshape(b * m, p)
+    int2 = intensity.reshape(b * m, p)
+
+    def chunk_fn(carry, idx):
+        del carry
+        qi = bb[idx] * m + ii[idx]
+        qj = bb[idx] * m + jj[idx]
+        w = pair_weights(mz2[qi], int2[qi], mz2[qj], int2[qj],
+                         fragment_tol)
+        score, matches = match_score(w, rounds)
+        return 0, (score, matches)
+
+    idx = jnp.arange(padded).reshape(n_chunks, pair_chunk)
+    _, (scores, matches) = jax.lax.scan(chunk_fn, 0, idx)
+    scores = scores.reshape(-1)[:n_pairs]
+    matches = matches.reshape(-1)[:n_pairs]
+    out_s = jnp.zeros((b, m, m), jnp.float32)
+    out_m = jnp.zeros((b, m, m), jnp.int32)
+    bb_r = jnp.arange(n_pairs) // n_tri
+    tt_r = jnp.arange(n_pairs) % n_tri
+    out_s = out_s.at[bb_r, iu_i[tt_r], iu_j[tt_r]].set(scores)
+    out_m = out_m.at[bb_r, iu_i[tt_r], iu_j[tt_r]].set(matches)
+    return out_s, out_m
+
+
+def grouped_condensed_distances(
+    interval_peaks,  # list of (mz (m_i, P), intensity (m_i, P))
+    fragment_tol: float,
+    min_matches: int = 0,
+    rounds: int = DEFAULT_ROUNDS,
+    max_group_cells: int = 16 * 2**20,
+):
+    """Condensed distance matrices for many small intervals, batched.
+
+    Intervals are bucketed by the power-of-two envelope of their size and
+    scored in groups of up to ``max_group_cells`` (B * m_pad^2) cells per
+    dispatch.  Yields (original interval index, condensed float32 pdist)
+    in arbitrary order.
+    """
+    by_size = {}
+    for idx, (mz, intensity) in enumerate(interval_peaks):
+        m = mz.shape[0]
+        m_pad = 8
+        while m_pad < m:
+            m_pad *= 2
+        by_size.setdefault(m_pad, []).append(idx)
+
+    for m_pad, indices in sorted(by_size.items()):
+        group_cap = max(1, max_group_cells // (m_pad * m_pad))
+        # Pad the group count to a power of two for stable shapes.
+        for g0 in range(0, len(indices), group_cap):
+            group = indices[g0:g0 + group_cap]
+            b_pad = 1
+            while b_pad < len(group):
+                b_pad *= 2
+            p = interval_peaks[group[0]][0].shape[1]
+            mz_g = np.full((b_pad, m_pad, p), PAD_MZ, np.float32)
+            int_g = np.zeros((b_pad, m_pad, p), np.float32)
+            for gi, idx in enumerate(group):
+                mz_i, int_i = interval_peaks[idx]
+                mz_g[gi, : mz_i.shape[0]] = mz_i
+                int_g[gi, : int_i.shape[0]] = int_i
+            scores, matches = batched_block_scores(
+                jnp.asarray(mz_g), jnp.asarray(int_g),
+                float(fragment_tol), rounds,
+            )
+            scores = np.asarray(scores)
+            if min_matches > 0:
+                matches = np.asarray(matches)
+                scores = np.where(matches >= min_matches, scores, 0.0)
+            for gi, idx in enumerate(group):
+                m = interval_peaks[idx][0].shape[0]
+                iu = np.triu_indices(m, k=1)
+                yield idx, (1.0 - scores[gi][:m, :m][iu]).astype(
+                    np.float32
+                )
 
 
 def _pad_rows(a: np.ndarray, target: int, fill: float) -> np.ndarray:

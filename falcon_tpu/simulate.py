@@ -120,3 +120,77 @@ def write_mgf(path: str, spectra: List[Spectrum]) -> str:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     mgf_io.write_spectra(path, spectra)
     return path
+
+
+def write_mzml(path: str, spectra: List[Spectrum],
+               zlib_compress: bool = True) -> str:
+    """Write spectra as a minimal mzML 1.1 document.
+
+    Emits the subset of mzML the first-party reader consumes
+    (``ms_io/mzml_io.py``): MS2 spectra with 64-bit m/z / 32-bit
+    intensity binary arrays (optionally zlib), selected-ion m/z, charge
+    state, and scan start time in seconds.  Used for multi-file mzML
+    test/bench inputs (BASELINE.json config #2).
+    """
+    import base64
+    import zlib as zlib_mod
+
+    def b64(arr: np.ndarray) -> str:
+        raw = arr.tobytes()
+        if zlib_compress:
+            raw = zlib_mod.compress(raw)
+        return base64.b64encode(raw).decode()
+
+    comp = (
+        '<cvParam accession="MS:1000574" name="zlib compression"/>'
+        if zlib_compress
+        else '<cvParam accession="MS:1000576" name="no compression"/>'
+    )
+    chunks = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        '<mzML xmlns="http://psi.hupo.org/ms/mzml" version="1.1.0">',
+        f'<run id="r"><spectrumList count="{len(spectra)}">',
+    ]
+    for i, spec in enumerate(spectra):
+        charge = (
+            f'<cvParam accession="MS:1000041" name="charge state" '
+            f'value="{spec.precursor_charge}"/>'
+            if spec.precursor_charge is not None
+            else ""
+        )
+        chunks.append(
+            f'<spectrum index="{i}" id="{spec.identifier}" '
+            f'defaultArrayLength="{len(spec.mz)}">\n'
+            '<cvParam accession="MS:1000511" name="ms level" value="2"/>\n'
+            "<scanList count=\"1\"><scan>\n"
+            '<cvParam accession="MS:1000016" name="scan start time" '
+            f'value="{spec.retention_time}" unitName="second"/>\n'
+            "</scan></scanList>\n"
+            "<precursorList count=\"1\"><precursor>"
+            "<selectedIonList count=\"1\"><selectedIon>\n"
+            '<cvParam accession="MS:1000744" name="selected ion m/z" '
+            f'value="{spec.precursor_mz}"/>\n'
+            f"{charge}\n"
+            "</selectedIon></selectedIonList></precursor></precursorList>\n"
+            "<binaryDataArrayList count=\"2\">\n"
+            "<binaryDataArray>\n"
+            '<cvParam accession="MS:1000523" name="64-bit float"/>\n'
+            f"{comp}\n"
+            '<cvParam accession="MS:1000514" name="m/z array"/>\n'
+            f"<binary>{b64(np.asarray(spec.mz, np.float64))}</binary>\n"
+            "</binaryDataArray>\n"
+            "<binaryDataArray>\n"
+            '<cvParam accession="MS:1000521" name="32-bit float"/>\n'
+            f"{comp}\n"
+            '<cvParam accession="MS:1000515" name="intensity array"/>\n'
+            f"<binary>{b64(np.asarray(spec.intensity, np.float32))}"
+            "</binary>\n"
+            "</binaryDataArray>\n"
+            "</binaryDataArrayList>\n"
+            "</spectrum>"
+        )
+    chunks.append("</spectrumList></run></mzML>")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(chunks))
+    return path

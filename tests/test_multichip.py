@@ -62,3 +62,68 @@ def test_multichip_matches_single_chip():
     np.testing.assert_allclose(s1, s4, atol=1e-5)
     np.testing.assert_array_equal(i1, i4)
     np.testing.assert_allclose(e1, e4, atol=1e-5)
+
+
+def test_knn_banded_sharded_matches_single_device():
+    """The halo-exchange sharded k-NN returns the same neighbor sets as
+    the single-device banded search on an 8-device CPU mesh."""
+    import numpy as np
+
+    from falcon_tpu.ops.knn import knn_banded
+    from falcon_tpu.parallel.mesh import make_mesh
+    from falcon_tpu.parallel.sharded_knn import knn_banded_sharded
+
+    rng = np.random.default_rng(7)
+    n, d = 3000, 128
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    mzs = np.sort(rng.uniform(400, 1200, n))
+    k = 8
+    ref_sims, ref_idx = knn_banded(vectors, mzs, 20.0, "ppm", k)
+    mesh = make_mesh(8)
+    out = knn_banded_sharded(vectors, mzs, 20.0, "ppm", k, mesh)
+    assert out is not None
+    sims, idx = out
+    # Same top-k similarity multisets per row (ties can permute ids).
+    np.testing.assert_allclose(
+        np.sort(sims, axis=1), np.sort(ref_sims, axis=1), atol=1e-5
+    )
+    # Valid-neighbor counts identical, ids within bounds.
+    assert ((idx >= 0).sum(axis=1) == (ref_idx >= 0).sum(axis=1)).all()
+    assert idx.max() < n
+
+
+def test_ann_engine_devices_flag(tmp_path):
+    """--devices=8 routes the ann engine through the sharded k-NN and
+    produces the same clustering as single-device."""
+    import numpy as np
+
+    from falcon_tpu.cluster import ann_engine
+    from falcon_tpu.ingest import prepare_spectra
+    from falcon_tpu.simulate import make_clustered_spectra, write_mgf
+    from falcon_tpu.store.store import SpectrumStore
+
+    spectra, _ = make_clustered_spectra(
+        n_clusters=15, cluster_size=5, n_noise=20, seed=23
+    )
+    path = write_mgf(str(tmp_path / "in.mgf"), spectra)
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    kwargs = dict(min_peaks=5, min_mz_range=250.0, mz_min=101.0,
+                  mz_max=1500.0, remove_precursor_tolerance=1.5,
+                  min_intensity=0.01, max_peaks_used=50, scaling=None)
+    charges = prepare_spectra(store, [path], kwargs)
+    for charge in charges:
+        ds = store.dataset(charge)
+        if ds.count_rows() < 2:
+            continue
+        common = dict(
+            eps=0.1, min_samples=2, min_matches=0,
+            precursor_tol_mass=20.0, precursor_tol_mode="ppm",
+            rt_tol=None, fragment_tol=0.05, batch_size=2**15,
+        )
+        labels_1, med_1 = ann_engine.generate_clusters(ds, **common)
+        labels_8, med_8 = ann_engine.generate_clusters(
+            ds, devices=8, **common
+        )
+        np.testing.assert_array_equal(labels_1, labels_8)
+        np.testing.assert_array_equal(med_1, med_8)

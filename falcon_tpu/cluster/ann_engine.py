@@ -12,7 +12,7 @@ contains it, cf. SURVEY.md §0):
 3. the sparse pairwise distance matrix (1 - inner product, tolerance-
    masked) feeds DBSCAN density clustering: with ``min_samples`` core
    points, eps-reachable core components, and border attachment — via
-   union-find connected components in the native library;
+   device label propagation (ops/density.py);
 4. the same cluster refinement as the exact engine (precursor m/z / RT
    splitting, noise -> singletons, medoid representatives), so both
    backends share output semantics.
@@ -23,10 +23,11 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .. import native
+
 from ..ops.knn import knn_banded, NEG
 from ..ops.vectorize import SpectrumHasher
 from ..store.store import ChargeDataset, padded_peaks
+from ..utils.profiling import StageTimer
 from .postprocess import cluster_group_slices, postprocess_cluster
 
 logger = logging.getLogger("falcon_tpu")
@@ -55,14 +56,18 @@ def _medoid_scores(vectors_dev, seg: np.ndarray, n_seg: int) -> np.ndarray:
 
         _medoid_scores_jit = fn
 
-    n = vectors_dev.shape[0]
+    n_rows = vectors_dev.shape[0]
+    n = len(seg)
     n_pad = 512
-    while n_pad < n:
+    while n_pad < max(n_rows, n):
         n_pad *= 2
     n_seg_pad = 256
     while n_seg_pad < n_seg:
         n_seg_pad *= 2
-    v = jnp.pad(jnp.asarray(vectors_dev), ((0, n_pad - n), (0, 0)))
+    v = jnp.asarray(vectors_dev)
+    if n_rows < n_pad:
+        v = jnp.pad(v, ((0, n_pad - n_rows), (0, 0)))
+    # Padded rows are zero vectors scattered into segment 0 — harmless.
     seg_pad = np.zeros(n_pad, np.int32)
     seg_pad[:n] = seg
     out = _medoid_scores_jit(v, jnp.asarray(seg_pad), n_seg_pad)
@@ -116,6 +121,8 @@ def generate_clusters(
     if n == 1:
         return np.zeros(1, np.int32), np.zeros(1, np.int64)
 
+    timer = StageTimer("ann: ")
+    timer.stage("vectorize")
     # 1. Vectorize (chunked through the device).  Chunk row counts are
     # bucketed to powers of two so compiled shapes are reused across
     # charge buckets and runs.  Vectors stay DEVICE-RESIDENT end to end
@@ -126,39 +133,73 @@ def generate_clusters(
     hasher = SpectrumHasher(min_mz, max_mz, fragment_tol, low_dim,
                             hash_seed)
     pad_to = ((max_peaks + 63) // 64) * 64
+    # Padded peaks are uploaded ONCE per charge (chunked — the tunnel's
+    # H2D rate collapses on single large transfers, ops/xfer.py) and
+    # shared by vectorization and the exact rerank stage.
+    from ..ops.xfer import device_put_chunked
+
+    n_bucket = 512
+    while n_bucket < n:
+        n_bucket *= 2
+    mz_pad, int_pad, _ = padded_peaks(offsets, mz_flat, int_flat, pad_to,
+                                      order)
+    if n_bucket > n:
+        mz_pad = np.concatenate(
+            [mz_pad, np.full((n_bucket - n, pad_to), -1e6, np.float32)]
+        )
+        int_pad = np.concatenate(
+            [int_pad, np.zeros((n_bucket - n, pad_to), np.float32)]
+        )
+    mz_pad_dev = device_put_chunked(mz_pad)
+    int_pad_dev = device_put_chunked(int_pad)
+    del mz_pad, int_pad
     chunk = 65536
     chunks = []
-    for c0 in range(0, n, chunk):
-        c1 = min(c0 + chunk, n)
-        mz_pad, int_pad, _ = padded_peaks(
-            offsets, mz_flat, int_flat, pad_to, order[c0:c1]
-        )
-        bucket = 512
-        while bucket < c1 - c0:
-            bucket *= 2
-        if bucket > c1 - c0:
-            pad_rows = bucket - (c1 - c0)
-            mz_pad = np.concatenate(
-                [mz_pad, np.full((pad_rows, pad_to), -1e6, np.float32)]
-            )
-            int_pad = np.concatenate(
-                [int_pad, np.zeros((pad_rows, pad_to), np.float32)]
-            )
-        chunks.append(
-            hasher.vectorize(jnp.asarray(mz_pad), jnp.asarray(int_pad))[
-                : c1 - c0
-            ]
-        )
-    vectors_dev = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+    for c0 in range(0, n_bucket, chunk):
+        size = min(chunk, n_bucket - c0)
+        chunks.append(hasher.vectorize(
+            mz_pad_dev[c0:c0 + size], int_pad_dev[c0:c0 + size]
+        ))
+    # Kept at the padded row count: every downstream op works on the
+    # same power-of-two shapes (padded rows are zero vectors / +inf m/z
+    # and can never win a similarity comparison).
+    vectors_dev = (chunks[0] if len(chunks) == 1
+                   else jnp.concatenate(chunks))
     del chunks
 
+    timer.stage("knn")
     # 2. k-NN within the precursor band: banded brute force (exact within
     # the band) by default, or the from-scratch TPU IVF index for very
     # large buckets where the O(n * band) matmuls outgrow the budget.
     # With exact reranking (the default), the hashed search over-retrieves
     # n_neighbors_ann candidates which step 2b re-scores exactly.
+    if precursor_tol_mode == "Da":
+        lo_vals = mz_sorted - precursor_tol_mass
+        hi_vals = mz_sorted + precursor_tol_mass
+    else:
+        lo_vals = mz_sorted / (1 + precursor_tol_mass / 1e6)
+        hi_vals = mz_sorted * (1 + precursor_tol_mass / 1e6)
+    spans = (np.searchsorted(mz_sorted, hi_vals, side="right")
+             - np.searchsorted(mz_sorted, lo_vals, side="left"))
     if use_ivf is None:
-        use_ivf = n > 200_000
+        # Cost-based auto selection.  The banded scan's work per query
+        # row is one power-of-two window over the widest precursor band;
+        # the IVF scans n_probe lists of ~sqrt(n) vectors each.  With
+        # narrow bands (the common proteomics case) banded brute force
+        # is exact AND cheaper at any n; IVF wins only when bands are
+        # wide relative to n_probe * sqrt(n).
+        window = 512
+        while window < int(spans.max(initial=1)):
+            window *= 2
+        banded_cells = n * min(window, n)
+        ivf_cells = n * n_probe * max(int(np.sqrt(n)), 1)
+        use_ivf = banded_cells > 2 * ivf_cells
+        if use_ivf:
+            logger.info(
+                "Auto-selected IVF index (band window %d vs ~%d probed "
+                "vectors per query)", window,
+                n_probe * int(np.sqrt(n)),
+            )
     k_final = min(n_neighbors, max(n - 1, 1))
     do_rerank = rerank == "exact"
     k_ann = (min(max(n_neighbors_ann, k_final), max(n - 1, 1))
@@ -166,7 +207,7 @@ def generate_clusters(
     if use_ivf:
         from ..ops.ivf import IVFIndex
 
-        vectors = np.asarray(vectors_dev)
+        vectors = np.asarray(vectors_dev[:n])
         index = IVFIndex(vectors, mz_sorted, n_lists=None, seed=42)
         sims, neigh = index.search(
             vectors, mz_sorted, np.arange(n, dtype=np.int32),
@@ -195,7 +236,7 @@ def generate_clusters(
             if len(jax.devices()) >= devices:
                 mesh = make_mesh(devices)
                 result = knn_banded_sharded(
-                    np.asarray(vectors_dev), mz_sorted,
+                    np.asarray(vectors_dev[:n]), mz_sorted,
                     precursor_tol_mass, precursor_tol_mode, k_ann, mesh,
                 )
                 if result is None:
@@ -220,11 +261,15 @@ def generate_clusters(
                     "single-device k-NN", devices, len(jax.devices()),
                 )
         if sims is None:
+            # Results stay on device (padded) — the rerank and density
+            # stages consume them in place; nothing large is fetched.
             sims, neigh = knn_banded(
                 vectors_dev, mz_sorted, precursor_tol_mass,
                 precursor_tol_mode, k=k_ann, rts=rt_sorted, rt_tol=rt_tol,
+                as_device=True,
             )
 
+    timer.stage("rerank")
     # 2b. Exact rerank: re-score the hashed candidates with the exact
     # peak-matching cosine on device (ops/rerank.py) and keep the exact
     # top n_neighbors.  Density clustering then runs on exact distances,
@@ -232,58 +277,42 @@ def generate_clusters(
     # applies just like in the reference kernel
     # (falcon/cluster/cluster.py:620-626).
     if do_rerank:
+        import jax.numpy as jnp_  # local alias for clarity
+
         from ..ops.rerank import rerank_exact
 
         # Candidate lists are score-sorted with -1 padding at the tail;
         # when the precursor bands are narrower than n_neighbors_ann the
         # trailing columns are all -1 — drop them (saves exact-kernel
-        # work proportionally).
-        real_k = max(int((neigh >= 0).sum(axis=1).max(initial=0)), 1)
+        # work proportionally).  The bound comes from the host-side band
+        # widths so no device sync interrupts the async dispatch chain.
+        real_k = max(min(int(spans.max(initial=1)) - 1, k_ann), 1)
         k_compact = 16
         while k_compact < real_k:
             k_compact *= 2
         neigh = neigh[:, :min(k_compact, neigh.shape[1])]
-        mz_pad_all, int_pad_all, _ = padded_peaks(
-            offsets, mz_flat, int_flat, pad_to, order
-        )
+        # The full padded device arrays go in as-is (padded rows carry
+        # only -1 candidates), so no re-padding ops are traced.
         sims, neigh, n_match = rerank_exact(
-            mz_pad_all, int_pad_all, neigh, fragment_tol, k_final
+            mz_pad_dev, int_pad_dev, neigh, fragment_tol,
+            k_final, as_device=True,
         )
         if min_matches > 0:
             low = (neigh >= 0) & (n_match < min_matches)
-            sims = np.where(low, 0.0, sims)
+            sims = jnp_.where(low, 0.0, sims)
     elif sims.shape[1] > k_final:
         sims, neigh = sims[:, :k_final], neigh[:, :k_final]
 
-    # 3. DBSCAN on the sparse eps-graph.
-    within_eps = (neigh >= 0) & ((1.0 - sims) <= eps)
-    # Core points: >= min_samples points (incl. self) in the
-    # eps-neighborhood.
-    n_within = within_eps.sum(axis=1) + 1
-    core = n_within >= min_samples
-    # Core-core edges -> connected components.
-    rows = np.repeat(np.arange(n), within_eps.sum(axis=1))
-    cols = neigh[within_eps]
-    edge_mask = core[rows] & core[cols]
-    comp_labels, _ = native.connected_components(
-        rows[edge_mask], cols[edge_mask], n
-    )
-    labels = np.where(core, comp_labels, -1).astype(np.int64)
-    # Border points: attach to the most similar core neighbor in eps.
-    border = ~core
-    if border.any():
-        core_neigh = within_eps & core[np.clip(neigh, 0, n - 1)]
-        has_core = core_neigh.any(axis=1)
-        sims_masked = np.where(core_neigh, sims, float(NEG))
-        best = sims_masked.argmax(axis=1)
-        attach = border & has_core
-        labels[attach] = labels[neigh[np.arange(n), best][attach]]
-    # Drop single-member components (core with no same-cluster partner).
-    uniq, counts = np.unique(labels[labels >= 0], return_counts=True)
-    singles = set(uniq[counts < 2].tolist())
-    if singles:
-        labels[np.isin(labels, list(singles))] = -1
+    timer.stage("dbscan")
+    # 3. DBSCAN on the sparse eps-graph: core points + connected
+    # components as device label propagation, border attachment, and
+    # small-component demotion (ops/density.py) — only n int32 labels
+    # come back to the host.
+    from ..ops.density import dbscan
 
+    labels = dbscan(sims, neigh, eps, n, min_samples)
+
+    timer.stage("refine")
     # 4. Refinement: precursor m/z / RT splitting per cluster, identical
     # semantics to the exact engine.
     order2 = np.argsort(labels, kind="stable")
@@ -310,6 +339,7 @@ def generate_clusters(
     final = np.full(n, -1, np.int32)
     final[order2] = sorted_labels
 
+    timer.stage("medoids")
     # 5. Medoids: min row-sum of within-cluster cosine distances.  Since
     # distance = 1 - inner product, row_sum_i = |C| - v_i . sum_C(v), so
     # the medoid is argmax_i v_i . s_C — ONE device segment-sum + dot,
@@ -342,6 +372,7 @@ def generate_clusters(
     )
     final[noise_mask] = np.arange(n_clusters, n_clusters + n_noise,
                                   dtype=np.int32)
+    timer.finish()
     # Map sorted-order labels back to dataset row order.
     labels_out = np.empty(n, np.int32)
     labels_out[order] = final

@@ -143,6 +143,18 @@ def generate_clusters(
                 results["error"] = e
                 results_ready.notify_all()
 
+    # Progress over spectra clustered (reference cluster.py:101-103 shows
+    # a tqdm bar; disabled automatically on non-tty stderr).
+    try:
+        from tqdm import tqdm
+
+        progress = tqdm(
+            total=n, desc="Clustering", unit="spectra", smoothing=0.1,
+            disable=None,
+        )
+    except ImportError:  # pragma: no cover
+        progress = None
+
     medoids = []
     with ThreadPoolExecutor(max_workers=1) as device_pool:
         device_pool.submit(producer)
@@ -163,6 +175,10 @@ def generate_clusters(
                 precursor_tol_mass, precursor_tol_mode, rt_tol,
             )
             medoids.append(interval_medoids)
+            if progress is not None:
+                progress.update(int(stop - start))
+    if progress is not None:
+        progress.close()
 
     max_label = assign_global_cluster_labels(labels, order, splits, 0)
     del max_label

@@ -18,7 +18,7 @@ import argparse
 import os
 import shlex
 import textwrap
-from typing import List, Optional, Union
+from typing import List, Union
 
 
 class NewlineTextHelpFormatter(argparse.HelpFormatter):

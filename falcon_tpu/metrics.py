@@ -16,7 +16,7 @@ first-party implementations used by the bench harness and tests:
   clusters.
 """
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

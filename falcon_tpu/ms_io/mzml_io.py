@@ -18,7 +18,6 @@ IEEE floats per the cvParam accessions.
 
 import base64
 import logging
-import struct
 import zlib
 from typing import IO, Iterator, Optional, Union
 

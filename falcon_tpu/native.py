@@ -89,6 +89,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.fc_mgf_result_free.restype = None
         lib.fc_mgf_result_free.argtypes = [ctypes.c_void_p]
+        lib.fc_natsort_pairs.restype = ctypes.c_int
+        lib.fc_natsort_pairs.argtypes = [
+            ctypes.POINTER(ctypes.c_char), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_char), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return lib
 
@@ -258,6 +264,43 @@ def mgf_ingest(
         "n_read": n_read,
         "n_low_quality": n_low_quality,
     }
+
+
+def natsort_pairs(primary, secondary) -> Optional[np.ndarray]:
+    """Stable natural-order argsort of (primary, secondary) string pairs.
+
+    Matches ``utils.natsort.natsort_key`` tuple semantics (digits compare
+    numerically and before text at the same position; parity enforced by
+    tests/test_utils.py).  Returns None when the native library is
+    unavailable (caller falls back to the Python keys).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fc_natsort_pairs"):
+        return None
+    n = len(primary)
+
+    def pack(strings):
+        encoded = [s.encode("utf-8") for s in strings]
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum([len(e) for e in encoded], out=offsets[1:])
+        return b"".join(encoded), offsets
+
+    bytes_a, offs_a = pack(primary)
+    bytes_b, offs_b = pack(secondary)
+    order = np.empty(n, np.int64)
+    rc = lib.fc_natsort_pairs(
+        ctypes.cast(ctypes.c_char_p(bytes_a),
+                    ctypes.POINTER(ctypes.c_char)),
+        offs_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.cast(ctypes.c_char_p(bytes_b),
+                    ctypes.POINTER(ctypes.c_char)),
+        offs_b.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise RuntimeError("fc_natsort_pairs failed")
+    return order
 
 
 def connected_components(

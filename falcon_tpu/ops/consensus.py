@@ -16,8 +16,7 @@ segment sums.  The host only reshapes the compact per-bin table into
 ragged per-cluster peak lists.
 """
 
-import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

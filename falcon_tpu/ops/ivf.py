@@ -9,14 +9,21 @@ dead code, ``falcon/cluster/spectrum.py:5``).  Design:
   segment-sum + renormalize.  Seeded and deterministic (SURVEY.md §4:
   the IVF path introduces k-means randomness that must be reproducible).
 - **Lists**: vectors are reordered list-major on the host; each list is a
-  contiguous slab.
+  contiguous slab of the device-resident corpus matrix.
 - **Query**: ``Q @ C.T`` picks the top ``n_probe`` lists per query;
-  execution is *inverted* — for each list, the queries probing it are
-  grouped and scored against the list slab in one MXU matmul with a fused
-  running top-k, so total FLOPs are the true IVF cost
-  (n_queries x n_probe x avg_list_size x D) with full-size matmuls.
-  Group/slab sizes are bucketed to powers of two to bound compilation
-  count.
+  execution is *inverted* — queries probing the same list form a group,
+  groups are bucketed by (query-group, list-slab) power-of-two size
+  class, and every class is scored in ONE batched dispatch (gathered
+  query block x dynamic-sliced slab on the MXU, fused per-list top-k).
+  A final single top-k merges each query's per-list candidates.  Total
+  dispatch count is logarithmic in the size spread — not linear in the
+  number of lists — which matters both for tunneled TPUs (tens of ms per
+  dispatch) and for keeping the MXU fed with large batched matmuls.
+
+Each probed list contributes at most ``per_list_k`` candidates to the
+final merge (default ``min(k, 32)``) to bound the merge buffer; with the
+default over-retrieval + exact rerank downstream this does not measurably
+affect recall (tests/test_ivf.py).
 
 Precursor-tolerance masking composes at query time exactly like the
 banded brute-force path (``ops/knn.py``).
@@ -62,31 +69,76 @@ def _assign(vectors: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tol_is_da"))
-def _list_scan_topk(
-    q_vec, q_mz, q_rows, l_vec, l_mz, l_rows, tol_mass, k, tol_is_da,
-    prev_scores, prev_idx,
+@functools.partial(jax.jit, static_argnames=("n_probe",))
+def _probe_topk(q_vec, centroids, n_probe):
+    sims = jnp.dot(q_vec, centroids.T, preferred_element_type=jnp.float32)
+    _, lists = jax.lax.top_k(sims, n_probe)
+    return lists
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_p", "tol_is_da", "qb", "lb"),
+)
+def _class_scan(
+    q_vec,        # (nq_pad, D) device-resident queries
+    q_mz,         # (nq_pad,)
+    q_orig,       # (nq_pad,) original row id per query (self exclusion)
+    corpus,       # (n_pad, D) device-resident list-major corpus
+    corpus_mz,    # (n_pad,)
+    corpus_rows,  # (n_pad,) original row id per corpus slot
+    q_idx,        # (G, qb) query ids per group, -1 padding
+    slab_lo,      # (G,) slab start per group
+    slab_len,     # (G,) real slab length per group
+    tol_mass,
+    k_p: int,
+    tol_is_da: bool,
+    qb: int,
+    lb: int,
 ):
-    """Score one query group against one list slab; merge into top-k."""
-    sims = jnp.dot(q_vec, l_vec.T, preferred_element_type=jnp.float32)
-    diff = q_mz[:, None] - l_mz[None, :]
-    if tol_is_da:
-        mass_diff = jnp.abs(diff)
-    else:
-        mass_diff = jnp.abs(diff / l_mz[None, :] * 1e6)
-    valid = (
-        (mass_diff <= tol_mass)
-        & (q_rows[:, None] != l_rows[None, :])
-        & (l_rows[None, :] >= 0)
-    )
-    sims = jnp.where(valid, sims, NEG)
-    all_scores = jnp.concatenate([prev_scores, sims], axis=1)
-    all_idx = jnp.concatenate(
-        [prev_idx, jnp.broadcast_to(l_rows[None, :], sims.shape)], axis=1
-    )
-    top_scores, top_pos = jax.lax.top_k(all_scores, k)
-    top_idx = jnp.take_along_axis(all_idx, top_pos, axis=1)
-    return top_scores, top_idx
+    """Score G (query group, list slab) pairs in one batched dispatch.
+
+    Returns (scores (G, qb, k_p), positions (G, qb, k_p)) where positions
+    are corpus slots (slab_lo + column) or -1.  Self-matches are excluded
+    in-kernel so they never consume a per-list top-k slot.
+    """
+
+    def one_group(args):
+        qi, lo, ln = args
+        safe_q = jnp.maximum(qi, 0)
+        q = q_vec[safe_q]                      # (qb, D)
+        qm = q_mz[safe_q]
+        qr = q_orig[safe_q]
+        slab = jax.lax.dynamic_slice_in_dim(corpus, lo, lb)
+        sm = jax.lax.dynamic_slice_in_dim(corpus_mz, lo, lb)
+        sr = jax.lax.dynamic_slice_in_dim(corpus_rows, lo, lb)
+        sims = jnp.dot(q, slab.T, preferred_element_type=jnp.float32)
+        diff = qm[:, None] - sm[None, :]
+        if tol_is_da:
+            mass_diff = jnp.abs(diff)
+        else:
+            mass_diff = jnp.abs(diff / sm[None, :] * 1e6)
+        col = jnp.arange(lb, dtype=jnp.int32)
+        slot = lo + col
+        valid = (
+            (mass_diff <= tol_mass)
+            & (col[None, :] < ln)
+            & (qi[:, None] >= 0)
+            & (qr[:, None] != sr[None, :])
+        )
+        sims = jnp.where(valid, sims, NEG)
+        top_scores, top_pos = jax.lax.top_k(sims, k_p)
+        top_slot = jnp.where(top_scores > NEG, slot[top_pos], -1)
+        return top_scores, top_slot
+
+    return jax.lax.map(one_group, (q_idx, slab_lo, slab_len))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _final_merge(scores, idx, k):
+    """(nq, C) candidate scores/ids -> per-query top-k."""
+    top_scores, top_pos = jax.lax.top_k(scores, k)
+    top_idx = jnp.take_along_axis(idx, top_pos, axis=1)
+    return top_scores, jnp.where(top_scores > NEG, top_idx, -1)
 
 
 def _bucket(n: int, minimum: int = 128) -> int:
@@ -114,19 +166,32 @@ class IVFIndex:
         self.n_lists = int(n_lists)
         rng = np.random.default_rng(seed)
         init = vectors[rng.choice(n, self.n_lists, replace=False)]
+        vectors_dev = jnp.asarray(vectors)
         self.centroids = np.asarray(_kmeans_fit(
-            jnp.asarray(vectors), jnp.asarray(init), self.n_lists, n_iters
+            vectors_dev, jnp.asarray(init), self.n_lists, n_iters
         ))
-        assign = np.asarray(_assign(jnp.asarray(vectors),
+        assign = np.asarray(_assign(vectors_dev,
                                     jnp.asarray(self.centroids)))
-        # Reorder vectors list-major.
+        # Reorder vectors list-major; keep the corpus device-resident
+        # (padded so slab slices never run off the end).
         self.order = np.argsort(assign, kind="stable")
-        self.vectors = np.ascontiguousarray(vectors[self.order])
+        reordered = np.ascontiguousarray(vectors[self.order])
         self.mzs = np.asarray(precursor_mzs, np.float64)[self.order]
         self.rows = self.order.astype(np.int32)  # original row per slot
         counts = np.bincount(assign, minlength=self.n_lists)
         self.offsets = np.zeros(self.n_lists + 1, np.int64)
         np.cumsum(counts, out=self.offsets[1:])
+        self._max_list = int(counts.max(initial=1))
+        pad = _bucket(self._max_list)
+        self._corpus = jnp.asarray(np.concatenate(
+            [reordered, np.zeros((pad, d), np.float32)]
+        ))
+        self._corpus_mz = jnp.asarray(np.concatenate(
+            [self.mzs, np.full(pad, 1e12)]
+        ).astype(np.float32))
+        self._corpus_rows = jnp.asarray(np.concatenate(
+            [self.rows, np.full(pad, -1, np.int32)]
+        ))
 
     def search(
         self,
@@ -137,61 +202,129 @@ class IVFIndex:
         n_probe: int = 32,
         tol_mass: float = np.inf,
         tol_mode: str = "Da",
+        per_list_k: Optional[int] = None,
+        max_class_cells: int = 32 * 2**20,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """k-NN of each query; returns (similarities, original row ids).
 
-        Queries are inverted into per-list groups; each (query group,
-        list slab) pair is one MXU matmul.  Missing neighbors: sim -2,
-        id -1.
+        Missing neighbors: sim -2, id -1.  ``per_list_k`` bounds each
+        probed list's contribution to the final merge.
         """
         nq = len(q_vec)
         n_probe = min(n_probe, self.n_lists)
+        k_p = min(k, per_list_k or max(k // 4, 32), self._max_list)
+        k_p = max(k_p, 1)
         tol_is_da = tol_mode == "Da"
-        # Which lists does each query probe?
-        centroid_sims = q_vec @ self.centroids.T
-        probe_lists = np.argpartition(
-            -centroid_sims, n_probe - 1, axis=1
-        )[:, :n_probe]
 
-        scores = np.full((nq, k), float(NEG), np.float32)
-        idx = np.full((nq, k), -1, np.int32)
-        # Invert: list -> queries probing it.
+        nq_pad = _bucket(nq, 512)
+        q_vec_dev = jnp.asarray(np.concatenate(
+            [np.asarray(q_vec, np.float32),
+             np.zeros((nq_pad - nq, q_vec.shape[1]), np.float32)]
+        ))
+        q_mz_dev = jnp.asarray(np.concatenate(
+            [np.asarray(q_mz, np.float32),
+             np.full(nq_pad - nq, 1e12, np.float32)]
+        ))
+        q_orig_dev = jnp.asarray(np.concatenate(
+            [np.asarray(q_rows, np.int32),
+             np.full(nq_pad - nq, -2, np.int32)]
+        ))
+
+        # Probe selection on device (one dispatch).
+        probe_lists = np.asarray(_probe_topk(
+            q_vec_dev, jnp.asarray(self.centroids), n_probe
+        ))[:nq]
+
+        # Invert (query, probe) pairs to per-list groups.
         flat_lists = probe_lists.reshape(-1)
-        flat_queries = np.repeat(np.arange(nq), n_probe)
+        flat_queries = np.repeat(np.arange(nq, dtype=np.int32), n_probe)
         list_order = np.argsort(flat_lists, kind="stable")
-        flat_lists = flat_lists[list_order]
-        flat_queries = flat_queries[list_order]
+        flat_lists_s = flat_lists[list_order]
+        flat_queries_s = flat_queries[list_order]
         boundaries = np.searchsorted(
-            flat_lists, np.arange(self.n_lists + 1)
+            flat_lists_s, np.arange(self.n_lists + 1)
         )
 
-        def padded(a, size, fill):
-            if len(a) == size:
-                return a
-            out = np.full((size,) + a.shape[1:], fill, a.dtype)
-            out[: len(a)] = a
-            return out
-
+        # Bucket (group, slab) pairs by power-of-two size class; each
+        # class runs as one batched dispatch (chunked by cell budget).
+        classes = {}
         for lst in range(self.n_lists):
-            qs = flat_queries[boundaries[lst]:boundaries[lst + 1]]
+            b0, b1 = boundaries[lst], boundaries[lst + 1]
             lo, hi = int(self.offsets[lst]), int(self.offsets[lst + 1])
-            if len(qs) == 0 or hi == lo:
+            if b0 == b1 or hi == lo:
                 continue
-            qb = _bucket(len(qs))
-            lb = _bucket(hi - lo)
-            new_scores, new_idx = _list_scan_topk(
-                jnp.asarray(padded(q_vec[qs].astype(np.float32), qb, 0.0)),
-                jnp.asarray(padded(q_mz[qs].astype(np.float32), qb,
-                                   np.float32(-1e9))),
-                jnp.asarray(padded(q_rows[qs].astype(np.int32), qb, -2)),
-                jnp.asarray(padded(self.vectors[lo:hi], lb, 0.0)),
-                jnp.asarray(padded(self.mzs[lo:hi].astype(np.float32), lb,
-                                   np.float32(1e9))),
-                jnp.asarray(padded(self.rows[lo:hi], lb, -1)),
-                jnp.float32(tol_mass), k, tol_is_da,
-                jnp.asarray(padded(scores[qs], qb, float(NEG))),
-                jnp.asarray(padded(idx[qs], qb, -1)),
+            lb = _bucket(hi - lo, 128)
+            n_qs = b1 - b0
+            # Split oversized query groups into qb-sized chunks.
+            qb = min(_bucket(n_qs, 128), 4096)
+            for c0 in range(b0, b1, qb):
+                classes.setdefault((qb, lb), []).append(
+                    (c0, min(c0 + qb, b1), lo, hi - lo)
+                )
+
+        # Partial results per (query, probe) pair, query-major.
+        pair_scores = np.full((nq * n_probe, k_p), float(NEG), np.float32)
+        pair_slots = np.full((nq * n_probe, k_p), -1, np.int32)
+
+        for (qb, lb), groups in sorted(classes.items()):
+            group_cap = max(1, max_class_cells // (qb * lb))
+            for g0 in range(0, len(groups), group_cap):
+                chunk = groups[g0:g0 + group_cap]
+                g_pad = _bucket(len(chunk), 1)
+                q_idx = np.full((g_pad, qb), -1, np.int32)
+                slab_lo = np.zeros(g_pad, np.int32)
+                slab_len = np.zeros(g_pad, np.int32)
+                for gi, (c0, c1, lo, ln) in enumerate(chunk):
+                    q_idx[gi, : c1 - c0] = flat_queries_s[c0:c1]
+                    slab_lo[gi] = lo
+                    slab_len[gi] = ln
+                scores, slots = _class_scan(
+                    q_vec_dev, q_mz_dev, q_orig_dev,
+                    self._corpus, self._corpus_mz, self._corpus_rows,
+                    jnp.asarray(q_idx), jnp.asarray(slab_lo),
+                    jnp.asarray(slab_len), jnp.float32(tol_mass),
+                    min(k_p, lb), tol_is_da, qb, lb,
+                )
+                scores = np.asarray(scores)
+                slots = np.asarray(slots)
+                kk = scores.shape[-1]
+                for gi, (c0, c1, _, _) in enumerate(chunk):
+                    rows = list_order[c0:c1]
+                    pair_scores[rows, :kk] = scores[gi, : c1 - c0]
+                    pair_slots[rows, :kk] = slots[gi, : c1 - c0]
+
+        # Map corpus slots -> original row ids; exclude self-matches.
+        cand_rows = np.where(
+            pair_slots >= 0, self.rows[np.clip(pair_slots, 0, None)], -1
+        ).reshape(nq, n_probe * k_p)
+        cand_scores = pair_scores.reshape(nq, n_probe * k_p)
+        self_mask = cand_rows == np.asarray(q_rows)[:, None]
+        cand_scores = np.where(self_mask, float(NEG), cand_scores)
+        cand_rows = np.where(self_mask, -1, cand_rows)
+
+        # Final per-query merge (one dispatch, padded rows).
+        pad_rows = _bucket(nq, 512) - nq
+        top_scores, top_idx = _final_merge(
+            jnp.asarray(np.concatenate([
+                cand_scores,
+                np.full((pad_rows, cand_scores.shape[1]), float(NEG),
+                        np.float32),
+            ])),
+            jnp.asarray(np.concatenate([
+                cand_rows,
+                np.full((pad_rows, cand_rows.shape[1]), -1, np.int32),
+            ])),
+            min(k, cand_scores.shape[1]),
+        )
+        out_scores = np.array(top_scores[:nq])
+        out_idx = np.asarray(top_idx)[:nq]
+        if out_scores.shape[1] < k:
+            pad = k - out_scores.shape[1]
+            out_scores = np.concatenate(
+                [out_scores, np.full((nq, pad), float(NEG), np.float32)],
+                axis=1,
             )
-            scores[qs] = np.asarray(new_scores)[: len(qs)]
-            idx[qs] = np.asarray(new_idx)[: len(qs)]
-        return scores, idx
+            out_idx = np.concatenate(
+                [out_idx, np.full((nq, pad), -1, np.int32)], axis=1
+            )
+        return out_scores, out_idx

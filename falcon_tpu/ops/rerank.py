@@ -102,14 +102,18 @@ def rerank_exact(
     rounds: int = 4,
     chunk_q: int = 512,
     chunk_c: int = 16,
+    as_device: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact-score the candidate lists and keep the top ``k_out``.
 
     ``mz_pad``/``int_pad``: (n, P) padded peak arrays (host or device),
-    ``neigh``: (n, K) hashed-search candidate ids (-1 = missing).
+    ``neigh``: (n or n_pad, K) hashed-search candidate ids (-1 =
+    missing; host or device — pass the device output of
+    ``knn_banded(..., as_device=True)`` to avoid any round trip).
     Returns (scores (n, k_out) float32, ids (n, k_out) int64,
     matches (n, k_out) int32) ranked by exact matching cosine; missing
-    entries score -2 / id -1 / matches 0.
+    entries score -2 / id -1 / matches 0.  With ``as_device=True`` the
+    padded (n_pad, k) device arrays are returned unfetched instead.
     """
     n, p = mz_pad.shape
     k_in = neigh.shape[1]
@@ -123,13 +127,22 @@ def rerank_exact(
         mz_d = jnp.pad(mz_pad, ((0, n_pad - n), (0, 0)),
                        constant_values=-1e6)
         int_d = jnp.pad(int_pad, ((0, n_pad - n), (0, 0)))
-    neigh_d = np.full((n_pad, k_in), -1, np.int32)
-    neigh_d[:n] = neigh
+    if isinstance(neigh, np.ndarray):
+        neigh_d = np.full((n_pad, k_in), -1, np.int32)
+        neigh_d[: len(neigh)] = neigh
+        neigh_d = jnp.asarray(neigh_d)
+    elif neigh.shape[0] < n_pad:
+        neigh_d = jnp.pad(neigh, ((0, n_pad - neigh.shape[0]), (0, 0)),
+                          constant_values=-1)
+    else:
+        neigh_d = neigh[:n_pad]
     scores, ids, matches = _rerank_scan(
-        mz_d, int_d, jnp.asarray(neigh_d), float(fragment_tol),
+        mz_d, int_d, neigh_d, float(fragment_tol),
         int(min(k_out, k_in)), int(rounds),
         int(min(chunk_q, n_pad)), int(chunk_c),
     )
+    if as_device:
+        return scores, ids, matches
     out_scores = np.array(scores[:n])
     out_ids = np.asarray(ids)[:n].astype(np.int64)
     out_matches = np.asarray(matches)[:n]

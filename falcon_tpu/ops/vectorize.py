@@ -14,7 +14,7 @@ lane multiple (128) so downstream matmuls tile cleanly.
 """
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ schedules the communication; no NCCL/MPI translation anywhere.
 """
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

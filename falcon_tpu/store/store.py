@@ -29,7 +29,7 @@ Ragged peak arrays are stored flat + offsets so reads are zero-copy
 import json
 import os
 import threading
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 

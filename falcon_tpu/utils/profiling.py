@@ -26,6 +26,11 @@ class PhaseProfiler:
         self.trace_dir: Optional[str] = None
         self._tracing = False
 
+    def add(self, name: str, elapsed: float) -> None:
+        with self._lock:
+            self._phases.append((name, elapsed))
+        logger.debug("phase %-28s %8.3f s", name, elapsed)
+
     @contextlib.contextmanager
     def phase(self, name: str) -> Iterator[None]:
         start = time.time()
@@ -83,6 +88,29 @@ class PhaseProfiler:
     def reset(self) -> None:
         with self._lock:
             self._phases.clear()
+
+
+class StageTimer:
+    """Sequential stage marker: ``t.stage("x")`` closes the previous
+    stage and opens "x"; ``t.finish()`` closes the last one.  Stages are
+    recorded into the global :data:`profiler`."""
+
+    def __init__(self, prefix: str = ""):
+        self.prefix = prefix
+        self._name: Optional[str] = None
+        self._start = 0.0
+
+    def stage(self, name: str) -> None:
+        now = time.time()
+        if self._name is not None:
+            profiler.add(self.prefix + self._name, now - self._start)
+        self._name, self._start = name, now
+
+    def finish(self) -> None:
+        if self._name is not None:
+            profiler.add(self.prefix + self._name,
+                         time.time() - self._start)
+            self._name = None
 
 
 profiler = PhaseProfiler()

@@ -16,6 +16,7 @@
 // Build: make -C native   ->  native/libfalcon_native.so
 
 #include <algorithm>
+#include <cctype>
 #include <cstdint>
 #include <cstring>
 #include <functional>
@@ -237,6 +238,84 @@ int64_t fc_fcluster(const double* z, int64_t n, double t,
     labels_out[i] = root_to_label[r];
   }
   return next;
+}
+
+namespace {
+
+// Natural-order comparison of two strings with Python-tuple semantics
+// matching falcon_tpu/utils/natsort.py: strings split into digit / text
+// runs; a digit run sorts before a text run at the same position; digit
+// runs compare numerically (leading zeros ignored; numerically equal
+// runs are a tie); text runs compare bytewise (UTF-8 bytes == code-point
+// order); exhausted string sorts first.
+int nat_compare(const char* a, const char* a_end,
+                const char* b, const char* b_end) {
+  while (true) {
+    bool a_done = a == a_end, b_done = b == b_end;
+    if (a_done && b_done) return 0;
+    if (a_done) return -1;
+    if (b_done) return 1;
+    bool a_digit = std::isdigit(static_cast<unsigned char>(*a));
+    bool b_digit = std::isdigit(static_cast<unsigned char>(*b));
+    if (a_digit != b_digit) return a_digit ? -1 : 1;  // (0, n) < (1, s)
+    if (a_digit) {
+      const char* a0 = a;
+      const char* b0 = b;
+      while (a < a_end && std::isdigit(static_cast<unsigned char>(*a)))
+        ++a;
+      while (b < b_end && std::isdigit(static_cast<unsigned char>(*b)))
+        ++b;
+      while (a0 < a && *a0 == '0') ++a0;  // strip leading zeros
+      while (b0 < b && *b0 == '0') ++b0;
+      int64_t la = a - a0, lb = b - b0;
+      if (la != lb) return la < lb ? -1 : 1;
+      int c = std::memcmp(a0, b0, static_cast<size_t>(la));
+      if (c != 0) return c < 0 ? -1 : 1;
+      // Numerically equal (possibly different leading zeros): tie.
+    } else {
+      while (a < a_end && b < b_end
+             && !std::isdigit(static_cast<unsigned char>(*a))
+             && !std::isdigit(static_cast<unsigned char>(*b))) {
+        if (*a != *b) {
+          return static_cast<unsigned char>(*a)
+                         < static_cast<unsigned char>(*b) ? -1 : 1;
+        }
+        ++a;
+        ++b;
+      }
+      // One (or both) text run ended: if one still has text while the
+      // other moved to digit/end *within the same tuple element*, the
+      // longer text string compares greater (Python str order decided
+      // the element).
+      bool a_text = a < a_end
+                    && !std::isdigit(static_cast<unsigned char>(*a));
+      bool b_text = b < b_end
+                    && !std::isdigit(static_cast<unsigned char>(*b));
+      if (a_text != b_text) return b_text ? -1 : 1;
+    }
+  }
+}
+
+}  // namespace
+
+// Stable natural-order argsort of (primary, secondary) string pairs.
+//   bytes_a/offs_a: concatenated primary strings + n+1 offsets; same for
+//   the secondary column.  order_out: n int64 indices.
+// Returns 0 on success.
+int fc_natsort_pairs(const char* bytes_a, const int64_t* offs_a,
+                     const char* bytes_b, const int64_t* offs_b,
+                     int64_t n, int64_t* order_out) {
+  std::vector<int64_t> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(), [&](int64_t x, int64_t y) {
+    int c = nat_compare(bytes_a + offs_a[x], bytes_a + offs_a[x + 1],
+                        bytes_a + offs_a[y], bytes_a + offs_a[y + 1]);
+    if (c != 0) return c < 0;
+    return nat_compare(bytes_b + offs_b[x], bytes_b + offs_b[x + 1],
+                       bytes_b + offs_b[y], bytes_b + offs_b[y + 1]) < 0;
+  });
+  std::memcpy(order_out, order.data(), n * sizeof(int64_t));
+  return 0;
 }
 
 // Connected components over an undirected edge list.

@@ -18,3 +18,56 @@ def test_natsort_key_tuple_pairs():
     assert ordered == [
         ("f2.mgf", "scan9"), ("f2.mgf", "scan10"), ("f10.mgf", "s1")
     ]
+
+
+def test_native_natsort_pairs_matches_python():
+    import numpy as np
+    import pytest
+
+    from falcon_tpu import native
+    from falcon_tpu.utils.natsort import natsort_key
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    primary = [
+        "b.mgf", "a10.mgf", "a2.mgf", "a2.mgf", "a02.mgf", "a.mgf",
+        "file_007", "file_7", "file_07x", "z", "",
+    ]
+    secondary = [
+        "scan10", "scan2", "scan10", "scan2", "scan3", "x1y", "x1z",
+        "x01y", "s", "s", "t",
+    ]
+    got = native.natsort_pairs(primary, secondary)
+    want = sorted(
+        range(len(primary)),
+        key=lambda i: (natsort_key(primary[i]),
+                       natsort_key(secondary[i])),
+    )
+    assert list(got) == want
+
+
+def test_native_natsort_pairs_random_parity():
+    import random
+
+    import pytest
+
+    from falcon_tpu import native
+    from falcon_tpu.utils.natsort import natsort_key
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = random.Random(0)
+    alphabet = "abc019_."
+    strings = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        for _ in range(500)
+    ]
+    primary = [rng.choice(strings) for _ in range(500)]
+    secondary = [rng.choice(strings) for _ in range(500)]
+    got = native.natsort_pairs(primary, secondary)
+    want = sorted(
+        range(500),
+        key=lambda i: (natsort_key(primary[i]),
+                       natsort_key(secondary[i])),
+    )
+    assert list(got) == want

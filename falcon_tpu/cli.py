@@ -396,4 +396,22 @@ def _write_cluster_info(clusters: pd.DataFrame) -> None:
             f_out.write(f"# min_samples = {config.min_samples}\n")
             f_out.write(f"# rerank = {config.rerank}\n")
         f_out.write("#\n")
-        clusters.to_csv(f_out, index=False, chunksize=1000000)
+        # csv.writer (C implementation) is ~4x pandas to_csv at millions
+        # of rows; float32 columns format identically (shortest repr) and
+        # a missing charge stays an empty field.
+        import csv as csv_mod
+
+        writer = csv_mod.writer(f_out, lineterminator="\n")
+        writer.writerow(clusters.columns.tolist())
+        charge = clusters["precursor_charge"]
+        charge_str = np.where(
+            charge.isna(), "", charge.astype(object).astype(str)
+        )
+        writer.writerows(zip(
+            clusters["filename"].to_numpy(),
+            clusters["spectrum_id"].to_numpy(),
+            charge_str,
+            clusters["precursor_mz"].to_numpy(),
+            clusters["retention_time"].to_numpy(),
+            clusters["cluster"].to_numpy(),
+        ))

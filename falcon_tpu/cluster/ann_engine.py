@@ -348,19 +348,26 @@ def generate_clusters(
     sorted_final = final[order3]
     n_seg = int(final.max()) + 1 if final.max() >= 0 else 1
     # Noise points go to a dedicated spill segment (n_seg) so they never
-    # pollute a real cluster's sum; their argmax below is trivially the
-    # single member anyway.
+    # pollute a real cluster's sum.
     seg = np.where(final >= 0, final, n_seg).astype(np.int32)
     scores = _medoid_scores(vectors_dev, seg, n_seg + 1)
-    medoids = []
-    for start_i, stop_i in cluster_group_slices(sorted_final):
-        members = order3[start_i:stop_i]
-        if len(members) > 1:
-            medoids.append(members[int(np.argmax(scores[members]))])
-        else:
-            medoids.append(members[0])
+    # Vectorized per-cluster argmax (first-max-by-row tie-breaking):
+    # noise singletons represent themselves and come first, mirroring
+    # cluster_group_slices iteration order.
+    noise_rows = order3[sorted_final == -1]
+    pos_rows = order3[sorted_final >= 0]
+    if len(pos_rows):
+        lab = final[pos_rows]
+        lex = np.lexsort((-pos_rows, scores[pos_rows], lab))
+        sorted_lab = lab[lex]
+        ends = np.flatnonzero(
+            np.diff(sorted_lab, append=sorted_lab[-1] + 1)
+        )
+        best = pos_rows[lex][ends]
+    else:
+        best = np.zeros(0, np.int64)
     # Convert positions in the sorted order back to dataset row indices.
-    medoids = order[np.asarray(medoids, np.int64)]
+    medoids = order[np.concatenate([noise_rows, best]).astype(np.int64)]
 
     noise_mask = final == -1
     n_clusters = int(final.max()) + 1

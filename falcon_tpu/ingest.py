@@ -62,6 +62,38 @@ def read_and_process_file(
     return spectra, low_quality_counter
 
 
+def ingest_file_to_store(
+    filename: str,
+    file_index: int,
+    store_root: str,
+    process_kwargs: Dict,
+) -> Tuple[List[str], int, int]:
+    """Worker entry: parse + preprocess one file and write shards
+    directly into the store (no spectra cross the process boundary —
+    shard names are namespaced by the input file index, so concurrent
+    writers never collide and runs stay deterministic).
+
+    Returns (charge keys written, spectra kept, low-quality count).
+    """
+    store = SpectrumStore(store_root)
+    writer = store.writer(batch_size=10_000,
+                          shard_prefix=f"{file_index:04d}_")
+    result, lqc = read_and_process_file(filename, process_kwargs)
+    charges: set = set()
+    if isinstance(result, dict):
+        n_kept = len(result["precursor_mz"])
+        charges.update(writer.add_batch(result))
+    else:
+        n_kept = len(result)
+        from .store.store import charge_key
+
+        for spec in result:
+            charges.add(charge_key(spec["precursor_charge"]))
+            writer.add(spec)
+    writer.close()
+    return sorted(charges), n_kept, lqc
+
+
 def prepare_spectra(
     store: SpectrumStore,
     input_patterns: List[str],
@@ -73,7 +105,9 @@ def prepare_spectra(
     Mirrors reference ``_prepare_spectra`` (``falcon/falcon.py:247-328``):
     glob expansion, process-parallel parsing, 10k-batch appends, per-charge
     partitioning (a ``None`` charge gets its own bucket), and the
-    read/skip counters.
+    read/skip counters.  Workers write shards directly (one shard
+    namespace per input file) instead of shipping spectra back through
+    the process boundary.
     """
     input_filenames = [
         fn for pattern in input_patterns for fn in sorted(glob.glob(pattern))
@@ -84,27 +118,22 @@ def prepare_spectra(
     if max_workers is None:
         max_workers = min(len(input_filenames), multiprocessing.cpu_count())
 
-    writer = store.writer(batch_size=10_000)
     charges = set()
     low_quality_counter, n_spectra = 0, 0
 
     def consume(result):
         nonlocal low_quality_counter, n_spectra
-        spectra, lqc = result
+        charge_keys, n_kept, lqc = result
         low_quality_counter += lqc
-        if isinstance(spectra, dict):  # columnar batch (native fast path)
-            n_spectra += len(spectra["precursor_mz"])
-            for key in writer.add_batch(spectra):
-                charges.add(None if key == "None" else int(key))
-        else:
-            n_spectra += len(spectra)
-            for spec in spectra:
-                charges.add(spec["precursor_charge"])
-                writer.add(spec)
+        n_spectra += n_kept
+        for key in charge_keys:
+            charges.add(None if key == "None" else int(key))
 
     if max_workers <= 1 or len(input_filenames) == 1:
-        for filename in input_filenames:
-            consume(read_and_process_file(filename, process_kwargs))
+        for idx, filename in enumerate(input_filenames):
+            consume(ingest_file_to_store(
+                filename, idx, store.root, process_kwargs
+            ))
     else:
         # spawn (not fork): the parent may hold a live TPU client.
         ctx = multiprocessing.get_context("spawn")
@@ -112,12 +141,12 @@ def prepare_spectra(
             max_workers=max_workers, mp_context=ctx
         ) as pool:
             futures = [
-                pool.submit(read_and_process_file, fn, process_kwargs)
-                for fn in input_filenames
+                pool.submit(ingest_file_to_store, fn, idx, store.root,
+                            process_kwargs)
+                for idx, fn in enumerate(input_filenames)
             ]
             for future in as_completed(futures):
                 consume(future.result())
-    writer.close()
 
     logger.info(
         "Read %d spectra from %d peak files", n_spectra,

@@ -69,6 +69,14 @@ def _get_kernel():
                 jnp.broadcast_to(labels[:, None], (n_pad, k)).reshape(-1)
             )
             new = padded[:n_pad]
+            # Pointer jumping: a label is a row id, so label[label[x]]
+            # is also x's component — two cheap gathers shortcut long
+            # chains, making convergence O(log diameter) instead of
+            # O(diameter) expensive edge sweeps.
+            safe = jnp.minimum(new, n_pad - 1)
+            new = jnp.minimum(new, new[safe])
+            safe = jnp.minimum(new, n_pad - 1)
+            new = jnp.minimum(new, new[safe])
             return new, jnp.any(new != labels), it + 1
 
         labels0 = jnp.where(core, row, jnp.int32(n_pad))

@@ -58,9 +58,16 @@ class ShardWriter:
     Thread-safe: a lock serializes shard-directory allocation per charge.
     """
 
-    def __init__(self, root: str, batch_size: int = 10_000):
+    def __init__(self, root: str, batch_size: int = 10_000,
+                 shard_prefix: str = ""):
         self.root = root
         self.batch_size = batch_size
+        # A non-empty prefix gives this writer its own shard namespace so
+        # multiple writer PROCESSES can append to the same dataset
+        # without coordination (used by per-file ingest workers; prefixes
+        # derive from the input file index, keeping runs deterministic).
+        self.shard_prefix = shard_prefix
+        self._shard_counts: Dict[str, int] = {}
         self._buffers: Dict[str, List[dict]] = {}
         # Columnar fast path: per-charge lists of column-dict chunks plus
         # buffered row counts (fed by ``add_batch``).
@@ -190,11 +197,15 @@ class ShardWriter:
     def _write_shard(self, key: str, columns: Dict[str, np.ndarray]) -> None:
         dataset_dir = os.path.join(self.root, f"spectra_charge_{key}")
         os.makedirs(dataset_dir, exist_ok=True)
-        existing = [d for d in os.listdir(dataset_dir)
-                    if d.startswith("shard_")]
-        shard_dir = os.path.join(
-            dataset_dir, f"shard_{len(existing):06d}"
-        )
+        if self.shard_prefix:
+            seq = self._shard_counts.get(key, 0)
+            self._shard_counts[key] = seq + 1
+            name = f"shard_{self.shard_prefix}{seq:06d}"
+        else:
+            existing = [d for d in os.listdir(dataset_dir)
+                        if d.startswith("shard_")]
+            name = f"shard_{len(existing):06d}"
+        shard_dir = os.path.join(dataset_dir, name)
         tmp_dir = shard_dir + ".tmp"
         os.makedirs(tmp_dir)
         for name, arr in columns.items():
@@ -360,8 +371,9 @@ class SpectrumStore:
             os.path.join(self.root, f"spectra_charge_{charge_key(charge)}")
         )
 
-    def writer(self, batch_size: int = 10_000) -> ShardWriter:
-        return ShardWriter(self.root, batch_size)
+    def writer(self, batch_size: int = 10_000,
+               shard_prefix: str = "") -> ShardWriter:
+        return ShardWriter(self.root, batch_size, shard_prefix)
 
     def clear(self) -> None:
         """Remove all datasets (reference ``falcon/falcon.py:139-141``)."""

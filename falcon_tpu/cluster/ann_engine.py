@@ -207,10 +207,11 @@ def generate_clusters(
     if use_ivf:
         from ..ops.ivf import IVFIndex
 
-        vectors = np.asarray(vectors_dev[:n])
-        index = IVFIndex(vectors, mz_sorted, n_lists=None, seed=42)
+        # The device-resident hashed vectors go straight into the index;
+        # nothing large crosses the host boundary.
+        index = IVFIndex(vectors_dev, mz_sorted, n_lists=None, seed=42)
         sims, neigh = index.search(
-            vectors, mz_sorted, np.arange(n, dtype=np.int32),
+            vectors_dev, mz_sorted, np.arange(n, dtype=np.int32),
             min(max(n_neighbors_ann, k_ann), max(n - 1, 1)),
             n_probe=n_probe, tol_mass=precursor_tol_mass,
             tol_mode=precursor_tol_mode,

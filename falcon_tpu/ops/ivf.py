@@ -77,35 +77,37 @@ def _probe_topk(q_vec, centroids, n_probe):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_p", "tol_is_da", "qb", "lb"),
+    jax.jit,
+    static_argnames=("k_p", "tol_is_da", "qb", "lb", "n_probe", "k"),
 )
-def _class_scan(
+def _scan_and_merge(
     q_vec,        # (nq_pad, D) device-resident queries
     q_mz,         # (nq_pad,)
-    q_orig,       # (nq_pad,) original row id per query (self exclusion)
+    q_orig,       # (nq_pad,) original row id per query
     corpus,       # (n_pad, D) device-resident list-major corpus
     corpus_mz,    # (n_pad,)
     corpus_rows,  # (n_pad,) original row id per corpus slot
     q_idx,        # (G, qb) query ids per group, -1 padding
-    slab_lo,      # (G,) slab start per group
-    slab_len,     # (G,) real slab length per group
+    slab_lo,      # (G,)
+    slab_len,     # (G,)
+    perm,         # (nq_pad * n_probe,) buffer position per query-major
+                  # pair; G*qb = dump slot for padding
     tol_mass,
     k_p: int,
     tol_is_da: bool,
     qb: int,
     lb: int,
+    n_probe: int,
+    k: int,
 ):
-    """Score G (query group, list slab) pairs in one batched dispatch.
-
-    Returns (scores (G, qb, k_p), positions (G, qb, k_p)) where positions
-    are corpus slots (slab_lo + column) or -1.  Self-matches are excluded
-    in-kernel so they never consume a per-list top-k slot.
-    """
+    """IVF query in ONE dispatch: scan all (query group, list slab)
+    pairs, then merge each query's per-list candidates — nothing but the
+    final (nq_pad, k) results ever leaves the device."""
 
     def one_group(args):
         qi, lo, ln = args
         safe_q = jnp.maximum(qi, 0)
-        q = q_vec[safe_q]                      # (qb, D)
+        q = q_vec[safe_q]
         qm = q_mz[safe_q]
         qr = q_orig[safe_q]
         slab = jax.lax.dynamic_slice_in_dim(corpus, lo, lb)
@@ -118,7 +120,6 @@ def _class_scan(
         else:
             mass_diff = jnp.abs(diff / sm[None, :] * 1e6)
         col = jnp.arange(lb, dtype=jnp.int32)
-        slot = lo + col
         valid = (
             (mass_diff <= tol_mass)
             & (col[None, :] < ln)
@@ -126,19 +127,37 @@ def _class_scan(
             & (qr[:, None] != sr[None, :])
         )
         sims = jnp.where(valid, sims, NEG)
-        top_scores, top_pos = jax.lax.top_k(sims, k_p)
-        top_slot = jnp.where(top_scores > NEG, slot[top_pos], -1)
+        top_scores, top_pos = jax.lax.approx_max_k(
+            sims, k_p, recall_target=0.99
+        )
+        top_slot = jnp.where(top_scores > NEG, lo + top_pos, -1)
         return top_scores, top_slot
 
-    return jax.lax.map(one_group, (q_idx, slab_lo, slab_len))
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def _final_merge(scores, idx, k):
-    """(nq, C) candidate scores/ids -> per-query top-k."""
-    top_scores, top_pos = jax.lax.top_k(scores, k)
-    top_idx = jnp.take_along_axis(idx, top_pos, axis=1)
-    return top_scores, jnp.where(top_scores > NEG, top_idx, -1)
+    scores, slots = jax.lax.map(
+        one_group, (q_idx, slab_lo, slab_len)
+    )  # (G, qb, k_p)
+    g = q_idx.shape[0]
+    buf_s = jnp.concatenate(
+        [scores.reshape(g * qb, k_p),
+         jnp.full((1, k_p), NEG)]
+    )
+    buf_i = jnp.concatenate(
+        [slots.reshape(g * qb, k_p),
+         jnp.full((1, k_p), -1, slots.dtype)]
+    )
+    cand_s = buf_s[perm].reshape(-1, n_probe * k_p)
+    cand_slot = buf_i[perm].reshape(-1, n_probe * k_p)
+    cand_rows = jnp.where(
+        cand_slot >= 0,
+        corpus_rows[jnp.clip(cand_slot, 0, corpus_rows.shape[0] - 1)],
+        -1,
+    )
+    nq_pad = cand_s.shape[0]
+    self_mask = cand_rows == q_orig[:nq_pad][:, None]
+    cand_s = jnp.where(self_mask | (cand_rows < 0), NEG, cand_s)
+    top_scores, top_pos = jax.lax.top_k(cand_s, k)
+    top_rows = jnp.take_along_axis(cand_rows, top_pos, axis=1)
+    return top_scores, jnp.where(top_scores > NEG, top_rows, -1)
 
 
 def _bucket(n: int, minimum: int = 128) -> int:
@@ -153,29 +172,45 @@ class IVFIndex:
 
     def __init__(
         self,
-        vectors: np.ndarray,
+        vectors,
         precursor_mzs: np.ndarray,
         n_lists: Optional[int] = None,
         n_iters: int = 10,
         seed: int = 42,
     ):
-        n, d = vectors.shape
+        """``vectors``: (n, D) L2-normalized, NumPy or DEVICE-resident
+        (pass the vectorizer's device output — the big matrix then never
+        crosses the host boundary: training, list reordering, and
+        queries are all device gathers)."""
+        from .xfer import device_put_chunked
+
+        # ``vectors`` may carry padded zero rows past len(precursor_mzs)
+        # (the engines keep device arrays at power-of-two row counts);
+        # only the first n rows are indexed.
+        n = len(precursor_mzs)
+        d = vectors.shape[1]
         if n_lists is None:
             # Faiss heuristic: ~sqrt(n) lists.
             n_lists = max(1, min(n, int(np.sqrt(n) + 0.5)))
         self.n_lists = int(n_lists)
         rng = np.random.default_rng(seed)
-        init = vectors[rng.choice(n, self.n_lists, replace=False)]
-        vectors_dev = jnp.asarray(vectors)
+        init_rows = rng.choice(n, self.n_lists, replace=False)
+        if isinstance(vectors, np.ndarray):
+            vectors_dev = device_put_chunked(
+                np.ascontiguousarray(vectors, dtype=np.float32)
+            )
+        else:
+            vectors_dev = vectors
+        init = vectors_dev[jnp.asarray(init_rows)]
         self.centroids = np.asarray(_kmeans_fit(
-            vectors_dev, jnp.asarray(init), self.n_lists, n_iters
+            vectors_dev, init, self.n_lists, n_iters
         ))
+        # Only the n int32 assignments cross to the host.
         assign = np.asarray(_assign(vectors_dev,
-                                    jnp.asarray(self.centroids)))
-        # Reorder vectors list-major; keep the corpus device-resident
-        # (padded so slab slices never run off the end).
+                                    jnp.asarray(self.centroids)))[:n]
+        # Reorder list-major ON DEVICE (gather); keep the corpus padded
+        # so slab slices never run off the end.
         self.order = np.argsort(assign, kind="stable")
-        reordered = np.ascontiguousarray(vectors[self.order])
         self.mzs = np.asarray(precursor_mzs, np.float64)[self.order]
         self.rows = self.order.astype(np.int32)  # original row per slot
         counts = np.bincount(assign, minlength=self.n_lists)
@@ -183,9 +218,14 @@ class IVFIndex:
         np.cumsum(counts, out=self.offsets[1:])
         self._max_list = int(counts.max(initial=1))
         pad = _bucket(self._max_list)
-        self._corpus = jnp.asarray(np.concatenate(
-            [reordered, np.zeros((pad, d), np.float32)]
-        ))
+        gather = np.concatenate(
+            [self.order, np.zeros(pad, np.int64)]
+        ).astype(np.int32)
+        self._corpus = vectors_dev[jnp.asarray(gather)]
+        # Padding slots must be zero vectors (they alias row order[0]
+        # via the gather) — masked by corpus_mz = +big below, and zeroed
+        # here for cleanliness.
+        self._corpus = self._corpus.at[len(self.order):].set(0.0)
         self._corpus_mz = jnp.asarray(np.concatenate(
             [self.mzs, np.full(pad, 1e12)]
         ).astype(np.float32))
@@ -203,24 +243,31 @@ class IVFIndex:
         tol_mass: float = np.inf,
         tol_mode: str = "Da",
         per_list_k: Optional[int] = None,
-        max_class_cells: int = 32 * 2**20,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """k-NN of each query; returns (similarities, original row ids).
 
         Missing neighbors: sim -2, id -1.  ``per_list_k`` bounds each
         probed list's contribution to the final merge.
         """
-        nq = len(q_vec)
+        nq = len(q_mz)
         n_probe = min(n_probe, self.n_lists)
-        k_p = min(k, per_list_k or max(k // 4, 32), self._max_list)
+        k_p = min(k, per_list_k or max(k // 8, 16), self._max_list)
         k_p = max(k_p, 1)
         tol_is_da = tol_mode == "Da"
 
         nq_pad = _bucket(nq, 512)
-        q_vec_dev = jnp.asarray(np.concatenate(
-            [np.asarray(q_vec, np.float32),
-             np.zeros((nq_pad - nq, q_vec.shape[1]), np.float32)]
-        ))
+        if isinstance(q_vec, np.ndarray):
+            from .xfer import device_put_chunked
+
+            q_pad = np.zeros((nq_pad, q_vec.shape[1]), np.float32)
+            q_pad[:nq] = q_vec[:nq]
+            q_vec_dev = device_put_chunked(q_pad)
+        elif q_vec.shape[0] < nq_pad:
+            q_vec_dev = jnp.pad(
+                q_vec, ((0, nq_pad - q_vec.shape[0]), (0, 0))
+            )
+        else:
+            q_vec_dev = q_vec[:nq_pad]
         q_mz_dev = jnp.asarray(np.concatenate(
             [np.asarray(q_mz, np.float32),
              np.full(nq_pad - nq, 1e12, np.float32)]
@@ -245,76 +292,45 @@ class IVFIndex:
             flat_lists_s, np.arange(self.n_lists + 1)
         )
 
-        # Bucket (group, slab) pairs by power-of-two size class; each
-        # class runs as one batched dispatch (chunked by cell budget).
-        classes = {}
+        # (query group, list slab) work items with ONE compiled shape:
+        # qb fixed per index run, lb = the padded max list size.  The
+        # whole query — every group scan plus the per-query merge — runs
+        # as ONE device dispatch (_scan_and_merge); only the final
+        # (nq, k) results come back.
+        lb = _bucket(self._max_list, 128)
+        qb = min(_bucket(int(
+            np.diff(boundaries).max(initial=1)), 128), 4096)
+        groups = []
         for lst in range(self.n_lists):
             b0, b1 = boundaries[lst], boundaries[lst + 1]
             lo, hi = int(self.offsets[lst]), int(self.offsets[lst + 1])
             if b0 == b1 or hi == lo:
                 continue
-            lb = _bucket(hi - lo, 128)
-            n_qs = b1 - b0
-            # Split oversized query groups into qb-sized chunks.
-            qb = min(_bucket(n_qs, 128), 4096)
             for c0 in range(b0, b1, qb):
-                classes.setdefault((qb, lb), []).append(
-                    (c0, min(c0 + qb, b1), lo, hi - lo)
-                )
-
-        # Partial results per (query, probe) pair, query-major.
-        pair_scores = np.full((nq * n_probe, k_p), float(NEG), np.float32)
-        pair_slots = np.full((nq * n_probe, k_p), -1, np.int32)
-
-        for (qb, lb), groups in sorted(classes.items()):
-            group_cap = max(1, max_class_cells // (qb * lb))
-            for g0 in range(0, len(groups), group_cap):
-                chunk = groups[g0:g0 + group_cap]
-                g_pad = _bucket(len(chunk), 1)
-                q_idx = np.full((g_pad, qb), -1, np.int32)
-                slab_lo = np.zeros(g_pad, np.int32)
-                slab_len = np.zeros(g_pad, np.int32)
-                for gi, (c0, c1, lo, ln) in enumerate(chunk):
-                    q_idx[gi, : c1 - c0] = flat_queries_s[c0:c1]
-                    slab_lo[gi] = lo
-                    slab_len[gi] = ln
-                scores, slots = _class_scan(
-                    q_vec_dev, q_mz_dev, q_orig_dev,
-                    self._corpus, self._corpus_mz, self._corpus_rows,
-                    jnp.asarray(q_idx), jnp.asarray(slab_lo),
-                    jnp.asarray(slab_len), jnp.float32(tol_mass),
-                    min(k_p, lb), tol_is_da, qb, lb,
-                )
-                scores = np.asarray(scores)
-                slots = np.asarray(slots)
-                kk = scores.shape[-1]
-                for gi, (c0, c1, _, _) in enumerate(chunk):
-                    rows = list_order[c0:c1]
-                    pair_scores[rows, :kk] = scores[gi, : c1 - c0]
-                    pair_slots[rows, :kk] = slots[gi, : c1 - c0]
-
-        # Map corpus slots -> original row ids; exclude self-matches.
-        cand_rows = np.where(
-            pair_slots >= 0, self.rows[np.clip(pair_slots, 0, None)], -1
-        ).reshape(nq, n_probe * k_p)
-        cand_scores = pair_scores.reshape(nq, n_probe * k_p)
-        self_mask = cand_rows == np.asarray(q_rows)[:, None]
-        cand_scores = np.where(self_mask, float(NEG), cand_scores)
-        cand_rows = np.where(self_mask, -1, cand_rows)
-
-        # Final per-query merge (one dispatch, padded rows).
-        pad_rows = _bucket(nq, 512) - nq
-        top_scores, top_idx = _final_merge(
-            jnp.asarray(np.concatenate([
-                cand_scores,
-                np.full((pad_rows, cand_scores.shape[1]), float(NEG),
-                        np.float32),
-            ])),
-            jnp.asarray(np.concatenate([
-                cand_rows,
-                np.full((pad_rows, cand_rows.shape[1]), -1, np.int32),
-            ])),
-            min(k, cand_scores.shape[1]),
+                groups.append((c0, min(c0 + qb, b1), lo, hi - lo))
+        g_pad = _bucket(max(len(groups), 1), 1)
+        q_idx = np.full((g_pad, qb), -1, np.int32)
+        slab_lo = np.zeros(g_pad, np.int32)
+        slab_len = np.zeros(g_pad, np.int32)
+        # perm: query-major pair position -> buffer slot (group*qb +
+        # offset); the trailing buffer row is the NEG/-1 dump for
+        # unassigned pairs.
+        perm = np.full(nq_pad * n_probe, g_pad * qb, np.int32)
+        for gi, (c0, c1, lo, ln) in enumerate(groups):
+            q_idx[gi, : c1 - c0] = flat_queries_s[c0:c1]
+            slab_lo[gi] = lo
+            slab_len[gi] = ln
+            perm[list_order[c0:c1]] = gi * qb + np.arange(
+                c1 - c0, dtype=np.int32
+            )
+        top_scores, top_idx = _scan_and_merge(
+            q_vec_dev, q_mz_dev, q_orig_dev,
+            self._corpus, self._corpus_mz, self._corpus_rows,
+            jnp.asarray(q_idx), jnp.asarray(slab_lo),
+            jnp.asarray(slab_len), jnp.asarray(perm),
+            jnp.float32(tol_mass),
+            min(k_p, lb), tol_is_da, qb, lb, n_probe,
+            min(k, n_probe * min(k_p, lb)),
         )
         out_scores = np.array(top_scores[:nq])
         out_idx = np.asarray(top_idx)[:nq]

@@ -199,3 +199,42 @@ def test_ann_engine_ivf_path(processed_rows, tmp_path):
         for lab in np.unique(labels)
     )
     assert purity_num / len(truth) > 0.95
+
+
+def test_knn_banded_as_device_matches_host():
+    import jax.numpy as jnp_
+
+    rng = np.random.default_rng(3)
+    n, d = 700, 128
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    mzs = np.sort(rng.uniform(400, 1200, n))
+    k = 8
+    host_s, host_i = knn_banded(vectors, mzs, 20.0, "ppm", k)
+    dev_s, dev_i = knn_banded(jnp_.asarray(vectors), mzs, 20.0, "ppm", k,
+                              as_device=True)
+    dev_s = np.asarray(dev_s)[:n]
+    dev_i = np.asarray(dev_i)[:n]
+    np.testing.assert_allclose(np.sort(dev_s, axis=1),
+                               np.sort(host_s, axis=1), atol=1e-6)
+    assert ((dev_i >= 0) == (host_i >= 0)).all()
+
+
+def test_knn_banded_as_device_rt_filter():
+    rng = np.random.default_rng(4)
+    n, d = 300, 64
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    mzs = np.sort(rng.uniform(500, 510, n))  # one wide band
+    rts = rng.uniform(0, 100, n)
+    k = 6
+    host_s, host_i = knn_banded(vectors, mzs, 20.0, "ppm", k,
+                                rts=rts, rt_tol=5.0)
+    dev_s, dev_i = knn_banded(vectors, mzs, 20.0, "ppm", k,
+                              rts=rts, rt_tol=5.0, as_device=True)
+    dev_i = np.asarray(dev_i)[:n]
+    assert ((dev_i >= 0) == (host_i >= 0)).all()
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dev_s)[:n], axis=1),
+        np.sort(host_s, axis=1), atol=1e-6,
+    )

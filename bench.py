@@ -1,6 +1,6 @@
 """End-to-end benchmark: spectra/sec clustered (parse -> CSV).
 
-Runs BASELINE.json config #1 — a single synthetic MGF of ~10k HCD-like
+Runs BASELINE.json config #1 scaled up — a single synthetic MGF of ~50k HCD-like
 spectra through the full CLI with the published-algorithm defaults
 (ann backend, low_dim=400, eps=0.10, brute-force NN per precursor band) —
 and prints ONE JSON line::
@@ -38,18 +38,21 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 CACHE_DIR = os.path.join(REPO, ".bench_cache")
-N_CLUSTERS, CLUSTER_SIZE, N_NOISE = 700, 10, 3000  # ~10k spectra
+# ~50k spectra: large enough that throughput reflects the pipeline
+# rather than fixed per-dispatch latency (the 10k config was
+# dominated by ~1-2 s of tunnel round-trips).
+N_CLUSTERS, CLUSTER_SIZE, N_NOISE = 3500, 10, 15000
 
 
 def _ensure_dataset() -> str:
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, "bench_10k.mgf")
+    path = os.path.join(CACHE_DIR, "bench_50k.mgf")
     if not os.path.isfile(path):
         from falcon_tpu.simulate import make_clustered_spectra, write_mgf
 
         spectra, _ = make_clustered_spectra(
             n_clusters=N_CLUSTERS, cluster_size=CLUSTER_SIZE,
-            n_noise=N_NOISE, precursor_classes=120, seed=42,
+            n_noise=N_NOISE, precursor_classes=600, seed=42,
         )
         write_mgf(path, spectra)
     return path
@@ -70,7 +73,7 @@ def _reference_baseline_seconds(work_dir: str, input_path: str) -> float:
     reference's per-pair Hungarian kernel timed on real pairs.  Linkage
     and export costs are excluded, keeping the bound conservative.
     """
-    cache = os.path.join(CACHE_DIR, "baseline_seconds.json")
+    cache = os.path.join(CACHE_DIR, "baseline_seconds_50k.json")
     if os.path.isfile(cache):
         with open(cache) as f:
             return json.load(f)["seconds"]
@@ -182,7 +185,7 @@ def main() -> int:
     print(json.dumps({
         "metric": (
             "spectra/sec clustered end-to-end "
-            "(10k synthetic MGF, ann backend, eps=0.10, low_dim=400)"
+            "(50k synthetic MGF, ann backend, eps=0.10, low_dim=400)"
         ),
         "value": round(value, 2),
         "unit": "spectra/sec",

@@ -100,6 +100,10 @@ def rerank_exact(
     # per-chunk while_loop exits early; 4 is a safe upper bound (scores
     # measured identical to rounds=8 on the bench corpus).
     rounds: int = 4,
+    # (512, 16): small candidate tiles give the per-tile while_loop fine
+    # early-exit granularity, which wins on real (tolerance-sparse)
+    # spectra — measured faster than single-tile layouts on the bench
+    # corpus even though synthetic dense data prefers bigger tiles.
     chunk_q: int = 512,
     chunk_c: int = 16,
     as_device: bool = False,

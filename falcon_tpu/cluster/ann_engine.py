@@ -133,26 +133,19 @@ def generate_clusters(
     hasher = SpectrumHasher(min_mz, max_mz, fragment_tol, low_dim,
                             hash_seed)
     pad_to = ((max_peaks + 63) // 64) * 64
-    # Padded peaks are uploaded ONCE per charge (chunked — the tunnel's
-    # H2D rate collapses on single large transfers, ops/xfer.py) and
-    # shared by vectorization and the exact rerank stage.
-    from ..ops.xfer import device_put_chunked
+    # Peaks are uploaded ONCE per charge in their RAGGED form (~0.7x the
+    # padded bytes over the bandwidth-limited tunnel) and padded to the
+    # (n_bucket, pad_to) device layout by an on-device scatter
+    # (ops/xfer.py); the arrays are shared by vectorization and the
+    # exact rerank stage.
+    from ..ops.xfer import upload_padded_peaks
 
     n_bucket = 512
     while n_bucket < n:
         n_bucket *= 2
-    mz_pad, int_pad, _ = padded_peaks(offsets, mz_flat, int_flat, pad_to,
-                                      order)
-    if n_bucket > n:
-        mz_pad = np.concatenate(
-            [mz_pad, np.full((n_bucket - n, pad_to), -1e6, np.float32)]
-        )
-        int_pad = np.concatenate(
-            [int_pad, np.zeros((n_bucket - n, pad_to), np.float32)]
-        )
-    mz_pad_dev = device_put_chunked(mz_pad)
-    int_pad_dev = device_put_chunked(int_pad)
-    del mz_pad, int_pad
+    mz_pad_dev, int_pad_dev = upload_padded_peaks(
+        offsets, mz_flat, int_flat, order, pad_to, n_bucket
+    )
     chunk = 65536
     chunks = []
     for c0 in range(0, n_bucket, chunk):

@@ -86,3 +86,32 @@ def test_device_put_chunked_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(device_put_chunked(small)), small
     )
+
+
+def test_upload_padded_peaks_matches_host_padding():
+    import numpy as np
+
+    from falcon_tpu.ops.xfer import upload_padded_peaks
+    from falcon_tpu.store.store import padded_peaks
+
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(0, 20, 37)
+    lengths[3] = 0  # zero-length rows must not shift later rows
+    lengths[4] = 0
+    offsets = np.zeros(len(lengths) + 1, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    mz_flat = rng.uniform(100, 1500, offsets[-1]).astype(np.float32)
+    int_flat = rng.random(offsets[-1]).astype(np.float32)
+    order = rng.permutation(len(lengths))
+    pad_to, n_rows = 24, 64
+    want_mz, want_int, _ = padded_peaks(offsets, mz_flat, int_flat,
+                                        pad_to, order)
+    got_mz, got_int = upload_padded_peaks(offsets, mz_flat, int_flat,
+                                          order, pad_to, n_rows)
+    got_mz = np.asarray(got_mz)
+    got_int = np.asarray(got_int)
+    np.testing.assert_array_equal(got_mz[: len(order)], want_mz)
+    np.testing.assert_array_equal(got_int[: len(order)], want_int)
+    # Rows past the selection are pure padding.
+    assert (got_mz[len(order):] == -1e6).all()
+    assert (got_int[len(order):] == 0).all()

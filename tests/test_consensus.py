@@ -143,8 +143,10 @@ def test_cli_consensus_representatives(tmp_path):
     )
     inp = write_mgf(str(tmp_path / "in.mgf"), spectra)
     out = str(tmp_path / "out")
+    # BASELINE.json config #4: aggressive eps with consensus export.
     rc = cli.main([
         inp, out, "--work_dir", str(tmp_path / "work"),
+        "--backend", "ann", "--eps", "0.30",
         "--export_representatives",
         "--representative_method", "consensus",
         "--overwrite",

@@ -51,20 +51,24 @@ def main(args: Union[str, List[str], None] = None) -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
-    # Configure logging (reference falcon.py:34-50).
+    # Configure logging (reference falcon.py:34-50).  Idempotent: repeated
+    # main() calls in one process (library use, benchmarks) must not stack
+    # handlers and duplicate every line.
     logging.captureWarnings(True)
     root = logging.getLogger()
     root.setLevel(logging.DEBUG)
-    handler = logging.StreamHandler(sys.stderr)
-    handler.setLevel(logging.DEBUG)
-    handler.setFormatter(
-        logging.Formatter(
-            "{asctime} {levelname} [{name}/{processName}] "
-            "{module}.{funcName} : {message}",
-            style="{",
+    if not any(getattr(h, "_falcon_tpu", False) for h in root.handlers):
+        handler = logging.StreamHandler(sys.stderr)
+        handler._falcon_tpu = True
+        handler.setLevel(logging.DEBUG)
+        handler.setFormatter(
+            logging.Formatter(
+                "{asctime} {levelname} [{name}/{processName}] "
+                "{module}.{funcName} : {message}",
+                style="{",
+            )
         )
-    )
-    root.addHandler(handler)
+        root.addHandler(handler)
     logging.getLogger("jax").setLevel(logging.WARNING)
 
     config.parse(args)
@@ -76,7 +80,8 @@ def main(args: Union[str, List[str], None] = None) -> int:
         "min_mz", "max_mz", "remove_precursor_tol", "min_intensity",
         "max_peaks_used", "scaling", "backend", "eps", "low_dim",
         "n_neighbors", "n_neighbors_ann", "n_probe", "min_samples",
-        "rerank", "representative_method",
+        "ann_index", "hash_seed", "rerank", "representative_method",
+        "consensus_min_fraction", "devices", "profile",
     ):
         logger.debug("%s = %s", key, config[key])
 
@@ -380,13 +385,21 @@ def _write_cluster_info(clusters: pd.DataFrame) -> None:
         f_out.write(f"# min_intensity = {config.min_intensity:.2f}\n")
         f_out.write(f"# max_peaks_used = {config.max_peaks_used}\n")
         f_out.write(f"# scaling = {config.scaling}\n")
-        # falcon-tpu additions (after the reference's 17 keys).
+        # falcon-tpu additions (after the reference's 17 keys).  The
+        # manifest is a COMPLETE run record (like the reference's,
+        # falcon/falcon.py:492-522): every option that can change the
+        # output appears, so a run is reproducible from its CSV alone.
         f_out.write(f"# backend = {config.backend}\n")
         if config.export_representatives:
             f_out.write(
                 f"# representative_method = "
                 f"{config.representative_method}\n"
             )
+            if config.representative_method == "consensus":
+                f_out.write(
+                    f"# consensus_min_fraction = "
+                    f"{config.consensus_min_fraction}\n"
+                )
         if config.backend == "ann":
             f_out.write(f"# eps = {config.eps}\n")
             f_out.write(f"# low_dim = {config.low_dim}\n")
@@ -394,7 +407,10 @@ def _write_cluster_info(clusters: pd.DataFrame) -> None:
             f_out.write(f"# n_neighbors_ann = {config.n_neighbors_ann}\n")
             f_out.write(f"# n_probe = {config.n_probe}\n")
             f_out.write(f"# min_samples = {config.min_samples}\n")
+            f_out.write(f"# ann_index = {config.ann_index}\n")
+            f_out.write(f"# hash_seed = {config.hash_seed}\n")
             f_out.write(f"# rerank = {config.rerank}\n")
+        f_out.write(f"# devices = {config.devices}\n")
         f_out.write("#\n")
         # csv.writer (C implementation) is ~4x pandas to_csv at millions
         # of rows; float32 columns format identically (shortest repr) and

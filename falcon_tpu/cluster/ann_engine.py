@@ -260,7 +260,7 @@ def generate_clusters(
             sims, neigh = knn_banded(
                 vectors_dev, mz_sorted, precursor_tol_mass,
                 precursor_tol_mode, k=k_ann, rts=rt_sorted, rt_tol=rt_tol,
-                as_device=True,
+                as_device=True, exact_topk=not do_rerank,
             )
 
     timer.stage("rerank")

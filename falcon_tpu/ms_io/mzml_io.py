@@ -6,7 +6,11 @@ reference (``falcon/ms_io/mzml_io.py``).  Behavioral parity:
 - only spectra with MS level > 1 are yielded (reference ``mzml_io.py:33``).
 - identifier = the ``id`` attribute; retention time from
   scanList/scan "scan start time" (absent -> -1)
-  (reference ``mzml_io.py:55-62``).
+  (reference ``mzml_io.py:55-62``).  DIVERGENCE (SURVEY.md §3.5): the
+  retention time is normalized to SECONDS (minute-unit cvParams are
+  converted) so ``rt_tol`` means the same thing for every input format;
+  the reference passes through pyteomics' native unit (typically
+  minutes for mzML/mzXML, seconds for MGF ``RTINSECONDS``).
 - precursor charge from "charge state" or "possible charge state"; absent
   -> ``None`` (reference ``mzml_io.py:67-72``).
 - individual malformed spectra are skipped silently; XML-level errors warn
@@ -31,6 +35,13 @@ except ImportError:  # pragma: no cover - lxml is available in this image
 from .containers import Spectrum
 
 logger = logging.getLogger("falcon_tpu")
+
+# lxml raises XMLSyntaxError; the stdlib ElementTree fallback raises
+# ParseError — resolve the catchable tuple at import time.
+_XML_ERRORS = (
+    (etree.XMLSyntaxError,) if hasattr(etree, "XMLSyntaxError")
+    else (etree.ParseError,)
+)
 
 # cvParam accessions (PSI-MS controlled vocabulary).
 _ACC_MS_LEVEL = "MS:1000511"
@@ -108,9 +119,14 @@ def _parse_spectrum(elem) -> Optional[Spectrum]:
                 else:
                     intensity_array = arr
         elif tag == "scan":
-            scan_params = _cv_params(child)
-            if _ACC_SCAN_START in scan_params:
-                retention_time = float(scan_params[_ACC_SCAN_START])
+            for cp in child:
+                if (_local(cp.tag) == "cvParam"
+                        and cp.get("accession") == _ACC_SCAN_START):
+                    retention_time = float(cp.get("value", -1.0))
+                    unit = (cp.get("unitName") or "").lower()
+                    if (unit.startswith("minute")
+                            or cp.get("unitAccession") == "UO:0000031"):
+                        retention_time *= 60.0
         elif tag == "selectedIon":
             ion_params = _cv_params(child)
             if _ACC_SELECTED_MZ in ion_params:
@@ -148,5 +164,5 @@ def get_spectra(source: Union[IO, str]) -> Iterator[Spectrum]:
                 pass
             finally:
                 elem.clear()
-    except etree.XMLSyntaxError as e:
+    except _XML_ERRORS as e:
         logger.warning("Failed to read file %s: %s", source, e)

@@ -6,7 +6,10 @@ reference (``falcon/ms_io/mzxml_io.py``).  Behavioral parity:
 - only scans with msLevel > 1 are yielded (reference ``mzxml_io.py:33``).
 - identifier = the scan ``num``; retention time from the ``retentionTime``
   xs:duration attribute, normalized to seconds (absent -> -1)
-  (reference ``mzxml_io.py:55-58``).
+  (reference ``mzxml_io.py:55-58``).  DIVERGENCE (SURVEY.md §3.5): all
+  readers in this package report retention time in SECONDS so ``rt_tol``
+  is format-independent; pyteomics (and hence the reference) reports
+  mzXML retentionTime in minutes.
 - precursor m/z from the <precursorMz> element text; charge from its
   ``precursorCharge`` attribute, absent -> ``None``
   (reference ``mzxml_io.py:60-64``).
@@ -34,6 +37,13 @@ except ImportError:  # pragma: no cover
 from .containers import Spectrum
 
 logger = logging.getLogger("falcon_tpu")
+
+# lxml raises XMLSyntaxError; the stdlib ElementTree fallback raises
+# ParseError — resolve the catchable tuple at import time.
+_XML_ERRORS = (
+    (etree.XMLSyntaxError,) if hasattr(etree, "XMLSyntaxError")
+    else (etree.ParseError,)
+)
 
 _DURATION_RE = re.compile(
     r"^(-?)P(?:(\d+(?:\.\d+)?)D)?"
@@ -121,5 +131,5 @@ def get_spectra(source: Union[IO, str]) -> Iterator[Spectrum]:
                 pass
             finally:
                 elem.clear()
-    except etree.XMLSyntaxError as e:
+    except _XML_ERRORS as e:
         logger.warning("Failed to read file %s: %s", source, e)

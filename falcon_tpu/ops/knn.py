@@ -39,7 +39,8 @@ def _pow2_at_least(x: int, minimum: int = 512) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tol_is_da", "block_rows", "window"),
+    static_argnames=("k", "tol_is_da", "block_rows", "window",
+                     "exact_topk"),
 )
 def _banded_topk(
     vectors: jnp.ndarray,     # (n_pad, D) L2-normalized, row-padded with 0
@@ -50,6 +51,7 @@ def _banded_topk(
     tol_is_da: bool,
     block_rows: int,
     window: int,
+    exact_topk: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One-dispatch banded top-k: scan over row blocks on device."""
     n_pad = vectors.shape[0]
@@ -76,13 +78,18 @@ def _banded_topk(
             & jnp.isfinite(c_mz)[None, :]  # candidate padding
         )
         sims = jnp.where(valid, sims, NEG)
-        # approx_max_k lowers to the TPU PartialReduce op — far cheaper
-        # than the sort-based exact top_k at window sizes in the
-        # thousands.  recall_target=0.99 per block; the exact rerank
-        # stage downstream re-ranks candidates anyway.
-        top_scores, top_pos = jax.lax.approx_max_k(
-            sims, k, recall_target=0.99
-        )
+        if exact_topk:
+            # No downstream rerank to absorb misses: exact top-k so the
+            # band search really is "exact within the band".
+            top_scores, top_pos = jax.lax.top_k(sims, k)
+        else:
+            # approx_max_k lowers to the TPU PartialReduce op — far
+            # cheaper than the sort-based exact top_k at window sizes in
+            # the thousands.  recall_target=0.99 per block; the exact
+            # rerank stage downstream re-ranks candidates anyway.
+            top_scores, top_pos = jax.lax.approx_max_k(
+                sims, k, recall_target=0.99
+            )
         top_idx = jnp.where(
             top_scores > NEG, c0 + top_pos.astype(jnp.int32), -1
         )
@@ -122,8 +129,13 @@ def knn_banded(
     rts: Optional[np.ndarray] = None,
     rt_tol: Optional[float] = None,
     as_device: bool = False,
+    exact_topk: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """k nearest neighbors within the precursor tolerance band.
+
+    ``exact_topk=True`` uses exact ``lax.top_k`` per block instead of the
+    TPU-optimized ``approx_max_k`` (recall_target 0.99); set it whenever
+    no exact rerank stage runs downstream to absorb approximate misses.
 
     ``vectors`` (n, D) L2-normalized (NumPy or device array),
     ``precursor_mzs`` (n,) SORTED ascending.  Returns (similarities
@@ -198,7 +210,7 @@ def knn_banded(
     scores, idx = _banded_topk(
         v_dev, jnp.asarray(mz_pad), jnp.asarray(starts),
         jnp.float32(tol_mass), int(min(k, window)), tol_is_da,
-        int(block_rows), int(window),
+        int(block_rows), int(window), exact_topk=bool(exact_topk),
     )
     if as_device:
         # Mask out-of-range neighbor ids (padded rows of the column

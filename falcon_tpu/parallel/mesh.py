@@ -73,11 +73,9 @@ def _local_step(
     my_index = jax.lax.axis_index(axis)
 
     # 1. Vectorize locally (rows sharded; no communication).
-    bin_idx = jnp.clip(
-        jnp.floor((mz_peaks - min_bound) / bin_size).astype(jnp.int32),
-        0, n_bins - 1,
-    )
-    in_range = (mz_peaks >= min_bound) & (int_peaks > 0)
+    raw_bin = jnp.floor((mz_peaks - min_bound) / bin_size).astype(jnp.int32)
+    bin_idx = jnp.clip(raw_bin, 0, n_bins - 1)
+    in_range = (raw_bin >= 0) & (raw_bin < n_bins) & (int_peaks > 0)
     weights = jnp.where(in_range, int_peaks, 0.0)
     dim_idx = mapping[bin_idx]
     vectors = jnp.zeros((n_local, dim_padded), jnp.float32)

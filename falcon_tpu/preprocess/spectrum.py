@@ -185,8 +185,12 @@ def process_spectrum(
         if not _check_spectrum_valid(mz, min_peaks, min_mz_range):
             return None
 
-    # 5. Scaling + 6. L2 normalization.
-    intensity = _scale_intensity(intensity, scaling, max_rank=max_peaks_used)
+    # 5. Scaling + 6. L2 normalization.  With no peak cap, rank scaling
+    # ranks over all retained peaks (mirrors the max_num handling above).
+    intensity = _scale_intensity(
+        intensity, scaling,
+        max_rank=len(intensity) if max_peaks_used is None else max_peaks_used,
+    )
     intensity = (intensity / np.linalg.norm(intensity)).astype(np.float32)
 
     return {

@@ -107,6 +107,37 @@ def test_knn_banded_exact_within_band(processed_rows):
         )
 
 
+def test_knn_banded_exact_topk_flag(processed_rows):
+    """exact_topk=True (used when no rerank stage runs) must return the
+    true top-k per row, not approx_max_k's recall<1 candidates."""
+    rows, _ = processed_rows
+    hasher = SpectrumHasher(101.0, 1500.0, 0.05, low_dim=400, seed=0)
+    mz, intensity, _ = _padded(rows)
+    vectors = np.asarray(
+        hasher.vectorize(jnp.asarray(mz), jnp.asarray(intensity))
+    )
+    pmz = np.asarray([r["precursor_mz"] for r in rows])
+    order = np.argsort(pmz, kind="stable")
+    vectors, pmz = vectors[order], pmz[order]
+    k = 8
+    sims, neigh = knn_banded(vectors, pmz, 20.0, "ppm", k, block_rows=64,
+                             exact_topk=True)
+    full = vectors @ vectors.T
+    n = len(pmz)
+    for i in range(n):
+        mask = np.abs((pmz[i] - pmz) / pmz * 1e6) <= 20.0
+        mask[i] = False
+        cand = np.flatnonzero(mask)
+        got = neigh[i][neigh[i] >= 0]
+        want = cand[np.argsort(-full[i, cand], kind="stable")][:k]
+        assert len(got) == min(k, len(cand))
+        np.testing.assert_allclose(
+            np.sort(sims[i][: len(got)])[::-1],
+            np.sort(full[i, want])[::-1],
+            atol=1e-5,
+        )
+
+
 def test_ann_engine_end_to_end(processed_rows, tmp_path):
     rows, truth = processed_rows
     store = SpectrumStore(str(tmp_path / "spectra"))

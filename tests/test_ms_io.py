@@ -107,7 +107,7 @@ def _make_mzml(spectra) -> str:
 <spectrum index="{i}" id="{spec["id"]}" defaultArrayLength="{len(spec["mz"])}">
   <cvParam accession="MS:1000511" name="ms level" value="{spec["ms_level"]}"/>
   <scanList count="1"><scan>
-    <cvParam accession="MS:1000016" name="scan start time" value="{spec["rt"]}" unitName="second"/>
+    <cvParam accession="MS:1000016" name="scan start time" value="{spec["rt"]}" unitName="{spec.get("rt_unit", "second")}"/>
   </scan></scanList>
   <precursorList count="1"><precursor><selectedIonList count="1"><selectedIon>
     <cvParam accession="MS:1000744" name="selected ion m/z" value="{spec["precursor_mz"]}"/>
@@ -203,6 +203,54 @@ def test_mzxml_parse(tmp_path):
     np.testing.assert_allclose(s.mz, [100.0, 200.0])
     np.testing.assert_allclose(s.intensity, [10.0, 20.0])
     assert spectra[1].precursor_charge is None
+
+
+def test_retention_time_always_seconds(tmp_path):
+    """All readers report RT in seconds (SURVEY.md §3.5 divergence):
+    mzML minute-unit cvParams are converted; mzXML xs:durations with
+    minute components are resolved; MGF RTINSECONDS is native."""
+    doc = _make_mzml([
+        dict(id="scan=1", ms_level=2, rt=2.5, rt_unit="minute",
+             precursor_mz=450.0, charge=2,
+             mz=[110.0, 210.0], intensity=[1.0, 2.0]),
+    ])
+    path = tmp_path / "rt.mzml"
+    path.write_text(doc)
+    (spec,) = mzml_io.get_spectra(str(path))
+    assert spec.retention_time == 150.0
+
+    doc = _make_mzxml([
+        dict(num=1, ms_level=2, rt=0.0, precursor_mz=500.0,
+             mz=[150.0, 250.0], intensity=[1.0, 2.0]),
+    ]).replace('retentionTime="PT0.0S"', 'retentionTime="PT2M30S"')
+    path = tmp_path / "rt.mzxml"
+    path.write_text(doc)
+    (spec,) = mzxml_io.get_spectra(str(path))
+    assert spec.retention_time == 150.0
+
+
+def test_corrupt_xml_warns_and_stops(tmp_path, caplog):
+    """XML-level errors warn and stop iteration instead of raising
+    (reference mzml_io.py:33-38) — exercised via the import-time
+    _XML_ERRORS tuple so the stdlib-etree fallback stays correct."""
+    good = _make_mzml([
+        dict(id="scan=1", ms_level=2, rt=1.0, precursor_mz=450.0,
+             charge=2, mz=[110.0, 210.0], intensity=[1.0, 2.0]),
+    ])
+    # Truncate mid-document: the parser yields what it saw, then warns.
+    path = tmp_path / "broken.mzml"
+    path.write_text(good[: good.index("</spectrum>") + 11] + "\n<oops")
+    with caplog.at_level("WARNING", logger="falcon_tpu"):
+        spectra = list(mzml_io.get_spectra(str(path)))
+    assert [s.identifier for s in spectra] == ["scan=1"]
+    assert any("Failed to read file" in r.message for r in caplog.records)
+
+    path = tmp_path / "broken.mzxml"
+    path.write_text("<mzXML><msRun><scan num=")
+    with caplog.at_level("WARNING", logger="falcon_tpu"):
+        assert list(mzxml_io.get_spectra(str(path))) == []
+    assert sum("Failed to read file" in r.message
+               for r in caplog.records) >= 2
 
 
 def test_dispatch_unknown_extension(tmp_path):

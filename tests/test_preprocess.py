@@ -120,6 +120,16 @@ def test_scaling_and_l2_norm():
     expected /= np.linalg.norm(expected)
     np.testing.assert_allclose(out["intensity"], expected, rtol=1e-6)
 
+    # rank scaling with no peak cap: max_rank defaults to the number of
+    # retained peaks instead of raising on None.
+    out = prep.process_spectrum(
+        _spec(mz, intensity), min_peaks=2, min_mz_range=100,
+        scaling="rank", max_peaks_used=None,
+    )
+    expected = np.array([1.0, 2.0, 3.0, 4.0])
+    expected /= np.linalg.norm(expected)
+    np.testing.assert_allclose(out["intensity"], expected, rtol=1e-6)
+
 
 def test_output_dict_schema():
     out = prep.process_spectrum(

@@ -34,6 +34,44 @@ logger = logging.getLogger("falcon_tpu")
 
 _medoid_scores_jit = None
 
+import os as _os
+
+_SYNC_STAGES = _os.environ.get("FALCON_TPU_SYNC_STAGES") == "1"
+
+
+def _sync(*arrays):
+    """Block on device arrays at stage boundaries when the
+    FALCON_TPU_SYNC_STAGES=1 diagnostic is on, so the profiler's
+    per-stage times reflect device cost instead of async dispatch
+    (cost otherwise lands in whichever stage first forces a fetch)."""
+    if _SYNC_STAGES:
+        import jax
+
+        for a in arrays:
+            if a is not None and not isinstance(a, np.ndarray):
+                jax.block_until_ready(a)
+                # The tunneled backend's block_until_ready can return
+                # before execution; force with a tiny fetch.
+                np.asarray(a.ravel()[:1])
+
+
+_normalize_jit = None
+
+
+def _normalize_rows(v):
+    """L2-normalize rows on device (idempotent tiny jit)."""
+    global _normalize_jit
+    if _normalize_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        _normalize_jit = jax.jit(
+            lambda x: x / jnp.maximum(
+                jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+        )
+    return _normalize_jit(v)
+
 
 def _medoid_scores(vectors_dev, seg: np.ndarray, n_seg: int) -> np.ndarray:
     """Per-row medoid scores v_i . sum_{j in segment(i)} v_j on device.
@@ -122,50 +160,88 @@ def generate_clusters(
         return np.zeros(1, np.int32), np.zeros(1, np.int64)
 
     timer = StageTimer("ann: ")
-    timer.stage("vectorize")
-    # 1. Vectorize (chunked through the device).  Chunk row counts are
-    # bucketed to powers of two so compiled shapes are reused across
-    # charge buckets and runs.  Vectors stay DEVICE-RESIDENT end to end
-    # (k-NN consumes them in place, medoids reduce them on device):
-    # device->host readback of computed arrays is the scarce resource on
-    # a tunneled TPU, and 20 MB of hashed vectors per charge is the
-    # single largest avoidable transfer.
     hasher = SpectrumHasher(min_mz, max_mz, fragment_tol, low_dim,
                             hash_seed)
     pad_to = ((max_peaks + 63) // 64) * 64
-    # Peaks are uploaded ONCE per charge in their RAGGED form (~0.7x the
-    # padded bytes over the bandwidth-limited tunnel) and padded to the
-    # (n_bucket, pad_to) device layout by an on-device scatter
-    # (ops/xfer.py); the arrays are shared by vectorization and the
-    # exact rerank stage.
-    from ..ops.xfer import upload_padded_peaks
+    k_final = min(n_neighbors, max(n - 1, 1))
+    do_rerank = rerank == "exact"
+    k_ann = (min(max(n_neighbors_ann, k_final), max(n - 1, 1))
+             if do_rerank else k_final)
 
-    n_bucket = 512
-    while n_bucket < n:
-        n_bucket *= 2
-    mz_pad_dev, int_pad_dev = upload_padded_peaks(
-        offsets, mz_flat, int_flat, order, pad_to, n_bucket
+    # Multi-chip: the FULL pipeline (vectorize -> halo k-NN -> exact
+    # rerank -> DBSCAN propagation) runs as one shard_map over the mesh
+    # (parallel/sharded_pipeline.py); labels are identical to the
+    # single-device chain below.  Falls back when bands outgrow the
+    # one-shard halo or fewer devices are visible.
+    labels = None
+    medoid_scores_fn = None
+    if (devices is not None and devices > 1 and do_rerank
+            and use_ivf is not True):
+        import jax
+
+        if len(jax.devices()) >= devices:
+            from ..parallel.mesh import make_mesh
+            from ..parallel.sharded_pipeline import (
+                ann_cluster_sharded, sharded_medoid_scores)
+
+            timer.stage("sharded pipeline")
+            mesh = make_mesh(devices)
+            mz_host, int_host, _ = padded_peaks(
+                offsets, mz_flat, int_flat, pad_to, order
+            )
+            result = ann_cluster_sharded(
+                mz_host, int_host, mz_sorted,
+                rt_sorted if rt_tol is not None else None,
+                hasher, precursor_tol_mass, precursor_tol_mode,
+                k_ann, k_final, fragment_tol, eps, min_samples,
+                min_matches, rt_tol, mesh,
+            )
+            if result is None:
+                logger.warning(
+                    "Precursor band wider than one shard halo; falling "
+                    "back to the single-device pipeline"
+                )
+            else:
+                labels, vectors_sharded, _ = result
+
+                def medoid_scores_fn(seg, n_seg, _v=vectors_sharded,
+                                     _m=mesh):
+                    return sharded_medoid_scores(_v, seg, n_seg, _m)
+        else:
+            logger.warning(
+                "Requested %d devices but only %d visible; using the "
+                "single-device pipeline", devices, len(jax.devices()),
+            )
+
+    if labels is None:
+        labels = _single_device_chain(
+            timer, offsets, mz_flat, int_flat, order, mz_sorted,
+            rt_sorted, n, hasher, pad_to, k_ann, k_final, do_rerank,
+            use_ivf, eps, min_samples, min_matches, precursor_tol_mass,
+            precursor_tol_mode, rt_tol, fragment_tol, n_neighbors_ann,
+            n_probe, devices,
+        )
+        labels, medoid_scores_fn = labels
+
+    return _refine_and_medoids(
+        timer, labels, order, mz_sorted, rt_sorted, n,
+        precursor_tol_mass, precursor_tol_mode, rt_tol, min_samples,
+        medoid_scores_fn,
     )
-    chunk = 65536
-    chunks = []
-    for c0 in range(0, n_bucket, chunk):
-        size = min(chunk, n_bucket - c0)
-        chunks.append(hasher.vectorize(
-            mz_pad_dev[c0:c0 + size], int_pad_dev[c0:c0 + size]
-        ))
-    # Kept at the padded row count: every downstream op works on the
-    # same power-of-two shapes (padded rows are zero vectors / +inf m/z
-    # and can never win a similarity comparison).
-    vectors_dev = (chunks[0] if len(chunks) == 1
-                   else jnp.concatenate(chunks))
-    del chunks
 
-    timer.stage("knn")
-    # 2. k-NN within the precursor band: banded brute force (exact within
-    # the band) by default, or the from-scratch TPU IVF index for very
-    # large buckets where the O(n * band) matmuls outgrow the budget.
-    # With exact reranking (the default), the hashed search over-retrieves
-    # n_neighbors_ann candidates which step 2b re-scores exactly.
+
+def _single_device_chain(
+    timer, offsets, mz_flat, int_flat, order, mz_sorted, rt_sorted, n,
+    hasher, pad_to, k_ann, k_final, do_rerank, use_ivf, eps, min_samples,
+    min_matches, precursor_tol_mass, precursor_tol_mode, rt_tol,
+    fragment_tol, n_neighbors_ann, n_probe, devices,
+):
+    """Single-device (or kNN-only sharded) chain: vectorize -> k-NN ->
+    rerank -> DBSCAN.  Returns (labels, medoid_scores_fn)."""
+    import jax.numpy as jnp
+
+    # Band geometry + index selection first (host-only, cheap): the
+    # vectorize stage below computes different vector sets per path.
     if precursor_tol_mode == "Da":
         lo_vals = mz_sorted - precursor_tol_mass
         hi_vals = mz_sorted + precursor_tol_mass
@@ -193,10 +269,69 @@ def generate_clusters(
                 "vectors per query)", window,
                 n_probe * int(np.sqrt(n)),
             )
-    k_final = min(n_neighbors, max(n - 1, 1))
-    do_rerank = rerank == "exact"
-    k_ann = (min(max(n_neighbors_ann, k_final), max(n - 1, 1))
-             if do_rerank else k_final)
+    # Tolerance-spread upper-bound prefilter (see ops/vectorize.py
+    # docstring): spread_a . plain_b with UNNORMALIZED vectors is a
+    # STRICT upper bound on the exact matched-peak score, so candidates
+    # bounded below 1 - eps can never form a DBSCAN edge and are skipped
+    # by the exact rerank — typically cutting its (q, c, P, P) work by
+    # ~8x with label-identical output (tests/test_ann.py).
+    prefilter = bool(do_rerank and not use_ivf)
+
+    timer.stage("vectorize")
+    # 1. Vectorize (chunked through the device).  Chunk row counts are
+    # bucketed to powers of two so compiled shapes are reused across
+    # charge buckets and runs.  Vectors stay DEVICE-RESIDENT end to end
+    # (k-NN consumes them in place, medoids reduce them on device):
+    # device->host readback of computed arrays is the scarce resource on
+    # a tunneled TPU, and 20 MB of hashed vectors per charge is the
+    # single largest avoidable transfer.
+    # Peaks are uploaded ONCE per charge in their RAGGED form (~0.7x the
+    # padded bytes over the bandwidth-limited tunnel) and padded to the
+    # (n_bucket, pad_to) device layout by an on-device scatter
+    # (ops/xfer.py); the arrays are shared by vectorization and the
+    # exact rerank stage.
+    from ..ops.xfer import upload_padded_peaks
+
+    n_bucket = 512
+    while n_bucket < n:
+        n_bucket *= 2
+    mz_pad_dev, int_pad_dev = upload_padded_peaks(
+        offsets, mz_flat, int_flat, order, pad_to, n_bucket
+    )
+    chunk = 65536
+    chunks, spread_chunks = [], []
+    for c0 in range(0, n_bucket, chunk):
+        size = min(chunk, n_bucket - c0)
+        chunks.append(hasher.vectorize(
+            mz_pad_dev[c0:c0 + size], int_pad_dev[c0:c0 + size],
+            norm=False,
+        ))
+        if prefilter:
+            spread_chunks.append(hasher.vectorize(
+                mz_pad_dev[c0:c0 + size], int_pad_dev[c0:c0 + size],
+                norm=False, spread=True,
+            ))
+    # Kept at the padded row count: every downstream op works on the
+    # same power-of-two shapes (padded rows are zero vectors / +inf m/z
+    # and can never win a similarity comparison).
+    plain_unnorm = (chunks[0] if len(chunks) == 1
+                    else jnp.concatenate(chunks))
+    spread_unnorm = None
+    if prefilter:
+        spread_unnorm = (spread_chunks[0] if len(spread_chunks) == 1
+                         else jnp.concatenate(spread_chunks))
+    del chunks, spread_chunks
+    # Normalized vectors serve cosine search (hashed/IVF paths) and the
+    # medoid reduction; the unnormalized pair feeds the prefilter bound.
+    vectors_dev = _normalize_rows(plain_unnorm)
+
+    _sync(vectors_dev)
+    timer.stage("knn")
+    # 2. k-NN within the precursor band: banded brute force (exact within
+    # the band) by default, or the from-scratch TPU IVF index for very
+    # large buckets where the O(n * band) matmuls outgrow the budget.
+    # With exact reranking (the default), the search ranks candidates by
+    # the upper bound and step 2b re-scores the survivors exactly.
     if use_ivf:
         from ..ops.ivf import IVFIndex
 
@@ -219,7 +354,7 @@ def generate_clusters(
             neigh = np.where(bad, -1, neigh)
     else:
         sims = neigh = None
-        if devices is not None and devices > 1:
+        if sims is None and devices is not None and devices > 1:
             # Multi-chip: rows sharded over the mesh, halo exchange for
             # cross-shard bands (parallel/sharded_knn.py).
             import jax
@@ -254,17 +389,28 @@ def generate_clusters(
                     "Requested %d devices but only %d visible; using "
                     "single-device k-NN", devices, len(jax.devices()),
                 )
-        if sims is None:
-            # Results stay on device (padded) — the rerank and density
-            # stages consume them in place; nothing large is fetched.
+        if sims is None and prefilter:
+            # Upper-bound search: rank by spread_q . plain_c (a strict
+            # upper bound on the exact matched score), exact top-k so
+            # no above-threshold candidate can be missed.
+            sims, neigh = knn_banded(
+                plain_unnorm, mz_sorted, precursor_tol_mass,
+                precursor_tol_mode, k=k_ann, rts=rt_sorted,
+                rt_tol=rt_tol, as_device=True, exact_topk=True,
+                q_vectors=spread_unnorm,
+            )
+        elif sims is None:
+            # Results stay on device (padded) — the density stage
+            # consumes them in place; nothing large is fetched.
             sims, neigh = knn_banded(
                 vectors_dev, mz_sorted, precursor_tol_mass,
                 precursor_tol_mode, k=k_ann, rts=rt_sorted, rt_tol=rt_tol,
                 as_device=True, exact_topk=not do_rerank,
             )
 
+    _sync(sims, neigh)
     timer.stage("rerank")
-    # 2b. Exact rerank: re-score the hashed candidates with the exact
+    # 2b. Exact rerank: re-score the candidates with the exact
     # peak-matching cosine on device (ops/rerank.py) and keep the exact
     # top n_neighbors.  Density clustering then runs on exact distances,
     # so eps means the same thing in both backends, and min_matches
@@ -275,21 +421,33 @@ def generate_clusters(
 
         from ..ops.rerank import rerank_exact
 
-        # Candidate lists are score-sorted with -1 padding at the tail;
-        # when the precursor bands are narrower than n_neighbors_ann the
-        # trailing columns are all -1 — drop them (saves exact-kernel
-        # work proportionally).  The bound comes from the host-side band
-        # widths so no device sync interrupts the async dispatch chain.
-        real_k = max(min(int(spans.max(initial=1)) - 1, k_ann), 1)
-        k_compact = 16
-        while k_compact < real_k:
-            k_compact *= 2
+        if prefilter and not isinstance(sims, np.ndarray):
+            # Candidates are sorted by descending upper bound, so the
+            # survivors (bound >= 1 - eps) form a PREFIX of each list.
+            # One scalar fetch (the widest prefix) sizes the compacted
+            # candidate width — the only host sync before dbscan.
+            thr = 1.0 - eps - 1e-3
+            keep = sims >= thr
+            neigh = jnp_.where(keep, neigh, -1)
+            max_keep = int(jnp_.max(jnp_.sum(keep, axis=1)))
+            k_compact = 16
+            while k_compact < max_keep:
+                k_compact *= 2
+        else:
+            # Candidate lists are score-sorted with -1 padding at the
+            # tail; when the precursor bands are narrower than
+            # n_neighbors_ann the trailing columns are all -1 — drop
+            # them (saves exact-kernel work proportionally).
+            real_k = max(min(int(spans.max(initial=1)) - 1, k_ann), 1)
+            k_compact = 16
+            while k_compact < real_k:
+                k_compact *= 2
         neigh = neigh[:, :min(k_compact, neigh.shape[1])]
         # The full padded device arrays go in as-is (padded rows carry
         # only -1 candidates), so no re-padding ops are traced.
         sims, neigh, n_match = rerank_exact(
             mz_pad_dev, int_pad_dev, neigh, fragment_tol,
-            k_final, as_device=True,
+            min(k_final, neigh.shape[1]), as_device=True,
         )
         if min_matches > 0:
             low = (neigh >= 0) & (n_match < min_matches)
@@ -297,6 +455,7 @@ def generate_clusters(
     elif sims.shape[1] > k_final:
         sims, neigh = sims[:, :k_final], neigh[:, :k_final]
 
+    _sync(sims, neigh)
     timer.stage("dbscan")
     # 3. DBSCAN on the sparse eps-graph: core points + connected
     # components as device label propagation, border attachment, and
@@ -306,6 +465,18 @@ def generate_clusters(
 
     labels = dbscan(sims, neigh, eps, n, min_samples)
 
+    def medoid_scores_fn(seg, n_seg):
+        return _medoid_scores(vectors_dev, seg, n_seg)
+
+    return labels, medoid_scores_fn
+
+
+def _refine_and_medoids(
+    timer, labels, order, mz_sorted, rt_sorted, n, precursor_tol_mass,
+    precursor_tol_mode, rt_tol, min_samples, medoid_scores_fn,
+):
+    """Shared tail of both pipelines: host refinement, medoid selection,
+    noise->singleton promotion, dataset-order mapping."""
     timer.stage("refine")
     # 4. Refinement: precursor m/z / RT splitting per cluster, identical
     # semantics to the exact engine.
@@ -344,7 +515,7 @@ def generate_clusters(
     # Noise points go to a dedicated spill segment (n_seg) so they never
     # pollute a real cluster's sum.
     seg = np.where(final >= 0, final, n_seg).astype(np.int32)
-    scores = _medoid_scores(vectors_dev, seg, n_seg + 1)
+    scores = medoid_scores_fn(seg, n_seg + 1)
     # Vectorized per-cluster argmax (first-max-by-row tie-breaking):
     # noise singletons represent themselves and come first, mirroring
     # cluster_group_slices iteration order.

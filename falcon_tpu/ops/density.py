@@ -132,10 +132,21 @@ def dbscan(
         sims, jnp.asarray(neigh, jnp.int32), jnp.float32(eps),
         jnp.int32(n), int(min_samples),
     )
-    comp = np.asarray(comp)[:n]
-    core = np.asarray(core)[:n]
-    border_attach = np.asarray(border_attach)[:n]
+    return labels_from_parts(
+        np.asarray(comp)[:n], np.asarray(core)[:n],
+        np.asarray(border_attach)[:n], n,
+    )
 
+
+def labels_from_parts(
+    comp: np.ndarray, core: np.ndarray, border_attach: np.ndarray, n: int
+) -> np.ndarray:
+    """Host renumbering of the device kernel's compact outputs.
+
+    Shared by the single-device path above and the multi-chip pipeline
+    (``parallel/sharded_pipeline.py``) so both produce identical labels
+    from identical (comp, core, border) parts.
+    """
     # Renumber core components by first occurrence.
     labels = np.full(n, -1, np.int64)
     if core.any():

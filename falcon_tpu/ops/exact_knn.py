@@ -1,0 +1,278 @@
+"""Exact banded k-NN: peak-matching cosine over the precursor band.
+
+The published falcon pipeline approximates neighbor search with hashed
+vectors (reference ``README.md:132-142``); this op instead scores EVERY
+in-band pair with the exact locally-dominant matching kernel and takes
+the top-k — no hash anywhere in the loop, recall@k = 1.0 vs exact
+cosine by construction.
+
+Status: ALTERNATIVE / VERIFICATION backend.  Measured on a v5e chip
+(25k spectra, 128-wide bands), the per-row Pallas panel variant ran
+~1.7x slower than the XLA gather rerank it would replace, so the
+production default in ``cluster/ann_engine.py`` is the tolerance-spread
+upper-bound prefilter + gather rerank (label-identical to exhaustive
+exact scoring, tests/test_ann.py) — this module stays as the
+hash-free oracle path and a correctness cross-check for it.
+
+Banding: spectra are sorted by precursor m/z, so row i's candidates live
+in a contiguous window.  Per-row column windows are expressed with a
+scalar-prefetched Pallas index map — ``col_block(i, j) = starts[i] + j``
+— so one compiled kernel serves every row, and the panel width is the
+power-of-two envelope of the widest band (tile-aligned), NOT of a whole
+row block: typically 2 tiles of 128 columns at proteomics tolerances.
+
+On CPU (tests) the same contract is served by the XLA gather path with
+the full window as the candidate list.
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .knn import NEG, _pow2_at_least
+
+COL_TILE = 128
+
+
+def window_layout(
+    mzs: np.ndarray, tol_mass: float, tol_mode: str, n_pad: int,
+    tile: int = COL_TILE,
+) -> Tuple[np.ndarray, int]:
+    """Per-row column-window starts (in tiles) and the window width.
+
+    ``mzs``: (n,) SORTED precursor m/z.  The window covers every row's
+    full tolerance band; width = tile-aligned power-of-two envelope of
+    the widest band.
+    """
+    mzs = np.asarray(mzs, np.float64)
+    if tol_mode == "Da":
+        lo_vals, hi_vals = mzs - tol_mass, mzs + tol_mass
+    else:
+        lo_vals = mzs / (1 + tol_mass / 1e6)
+        hi_vals = mzs * (1 + tol_mass / 1e6)
+    band_lo = np.searchsorted(mzs, lo_vals, side="left")
+    band_hi = np.searchsorted(mzs, hi_vals, side="right")
+    starts = (band_lo // tile).astype(np.int32)
+    span = int((band_hi - starts * tile).max(initial=1))
+    window = _pow2_at_least(span, tile)
+    window = min(window, n_pad)
+    n = len(mzs)
+    starts = np.concatenate(
+        [starts, np.zeros(n_pad - n, np.int32)]
+    )
+    starts = np.minimum(starts, (n_pad - window) // tile)
+    return starts, window
+
+
+def _topk_postlude():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("k", "tol_is_da",
+                                                 "has_rt", "use_matches"))
+    def fn(scores, matches, starts, mz_pad, rt_pad, tol_mass, rt_tol,
+           n, min_matches, k, tol_is_da, has_rt, use_matches):
+        n_pad, w = scores.shape
+        tile = COL_TILE
+        row = jnp.arange(n_pad, dtype=jnp.int32)
+        col_ids = starts[:, None] * tile + jnp.arange(w, dtype=jnp.int32)
+        col_safe = jnp.clip(col_ids, 0, n_pad - 1)
+        c_mz = mz_pad[col_safe]
+        diff = mz_pad[:, None] - c_mz
+        if tol_is_da:
+            mass_diff = jnp.abs(diff)
+        else:
+            mass_diff = jnp.abs(diff / c_mz * 1e6)
+        valid = (
+            (mass_diff <= tol_mass)
+            & (row[:, None] != col_ids)
+            & jnp.isfinite(c_mz)
+            & (row[:, None] < n)
+        )
+        if has_rt:
+            valid &= jnp.abs(rt_pad[col_safe] - rt_pad[:, None]) <= rt_tol
+        if use_matches:
+            scores = jnp.where(matches >= min_matches, scores, 0.0)
+        sims = jnp.where(valid, scores, NEG)
+        top_scores, top_pos = jax.lax.top_k(sims, k)
+        top_idx = jnp.where(
+            top_scores > NEG,
+            jnp.take_along_axis(col_ids, top_pos, axis=1),
+            -1,
+        )
+        return top_scores, top_idx
+
+    return fn
+
+
+_POSTLUDE = None
+
+
+def exact_banded_topk(
+    mz_pad_dev,              # (n_pad, P) padded peak m/z (device)
+    int_pad_dev,             # (n_pad, P) L2-normalized intensities
+    mzs: np.ndarray,         # (n,) SORTED precursor m/z (host)
+    tol_mass: float,
+    tol_mode: str,
+    k: int,
+    fragment_tol: float,
+    rounds: int = 4,
+    rts: Optional[np.ndarray] = None,
+    rt_tol: Optional[float] = None,
+    min_matches: int = 0,
+    backend: Optional[str] = None,
+) -> Tuple:
+    """Exact top-k neighbors within the precursor band.
+
+    Returns device-resident padded (n_pad, k) (similarities, neighbor
+    ids) — the same contract as ``knn_banded(..., as_device=True)`` but
+    with EXACT peak-matching cosine scores, so no rerank stage is
+    needed downstream.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import pairwise
+
+    global _POSTLUDE
+    n = len(mzs)
+    n_pad, p = mz_pad_dev.shape
+    starts, window = window_layout(mzs, tol_mass, tol_mode, n_pad)
+    k = int(min(k, window))
+    tol_is_da = tol_mode == "Da"
+    if backend is None:
+        backend = "pallas" if pairwise.use_pallas() else "xla"
+    with_matches = min_matches > 0
+
+    if backend.startswith("pallas"):
+        scores, matches = _banded_panel_pallas(
+            mz_pad_dev, int_pad_dev, jnp.asarray(starts),
+            window, float(fragment_tol), int(rounds), with_matches,
+            interpret=backend == "pallas_interpret",
+        )
+    else:
+        scores, matches = _banded_panel_xla(
+            mz_pad_dev, int_pad_dev, jnp.asarray(starts),
+            window, float(fragment_tol), int(rounds), with_matches,
+        )
+
+    mz_host = np.full(n_pad, np.inf, np.float32)
+    mz_host[:n] = mzs
+    rt_host = np.full(n_pad, np.inf, np.float32)
+    if rts is not None and rt_tol is not None:
+        rt_host[:n] = rts
+    if _POSTLUDE is None:
+        _POSTLUDE = _topk_postlude()
+    return _POSTLUDE(
+        scores,
+        matches if with_matches else scores,
+        jnp.asarray(starts), jnp.asarray(mz_host), jnp.asarray(rt_host),
+        jnp.float32(tol_mass),
+        jnp.float32(np.inf if rt_tol is None else rt_tol),
+        jnp.int32(n), jnp.int32(min_matches),
+        k=k, tol_is_da=tol_is_da,
+        has_rt=rts is not None and rt_tol is not None,
+        use_matches=with_matches,
+    )
+
+
+def _banded_panel_pallas(mz_pad, int_pad, starts, window, fragment_tol,
+                         rounds, with_matches, interpret=False):
+    """(n_pad, window) exact scores via the Pallas panel kernel with a
+    scalar-prefetched per-row column-window index map."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .pairwise import _pair_panel_kernel, _VMEM_LIMIT
+
+    n_pad, p = mz_pad.shape
+    tile = COL_TILE
+    n_tiles = window // tile
+    grid = (n_pad, n_tiles)
+    impl = functools.partial(
+        _pair_panel_kernel,
+        fragment_tol=float(fragment_tol),
+        rounds=int(rounds),
+        upper_only=False,
+        tile_j=tile,
+        sub=16,
+        early_exit=True,
+    )
+    # ``st_ref`` (the scalar-prefetched window starts) doubles as the
+    # kernel's row_off operand; the kernel ignores it with
+    # upper_only=False (only the index maps consume it).
+    if with_matches:
+        def kernel(st_ref, mzi, inti, mzj, intj, score_ref, match_ref):
+            impl(st_ref, mzi, inti, mzj, intj, score_ref, match_ref)
+    else:
+        def kernel(st_ref, mzi, inti, mzj, intj, score_ref):
+            impl(st_ref, mzi, inti, mzj, intj, score_ref, None)
+
+    out_spec = pl.BlockSpec((1, tile, 1), lambda i, j, st: (i, j, 0))
+    score_shape = jax.ShapeDtypeStruct((n_pad, window, 1), jnp.float32)
+    match_shape = jax.ShapeDtypeStruct((n_pad, window, 1), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, p, 1), lambda i, j, st: (i, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda i, j, st: (i, 0, 0)),
+            pl.BlockSpec((tile, p), lambda i, j, st: (st[i] + j, 0)),
+            pl.BlockSpec((tile, p), lambda i, j, st: (st[i] + j, 0)),
+        ],
+        out_specs=(
+            [out_spec, out_spec] if with_matches else [out_spec]
+        ),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            [score_shape, match_shape] if with_matches else [score_shape]
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(
+        starts.astype(jnp.int32),
+        mz_pad[:, :, None], int_pad[:, :, None], mz_pad, int_pad,
+    )
+    scores = outs[0][:, :, 0]
+    matches = outs[1][:, :, 0] if with_matches else None
+    return scores, matches
+
+
+def _banded_panel_xla(mz_pad, int_pad, starts, window, fragment_tol,
+                      rounds, with_matches):
+    """XLA fallback (CPU tests): same (n_pad, window) score layout via
+    the chunked gather machinery of ``ops/rerank.py``."""
+    import jax
+    import jax.numpy as jnp
+
+    from .rerank import rerank_scan_body
+
+    n_pad, p = mz_pad.shape
+
+    @functools.partial(jax.jit, static_argnames=("window", "frag",
+                                                 "rounds"))
+    def fn(mz, intensity, starts, window, frag, rounds):
+        cand = (starts[:, None] * COL_TILE
+                + jnp.arange(window, dtype=jnp.int32))
+        cand = jnp.clip(cand, 0, n_pad - 1)
+        # keep ALL window columns; the postlude applies the masks.
+        scores, ids, matches = rerank_scan_body(
+            mz, intensity, mz, intensity, cand, frag,
+            window, rounds, min(512, n_pad), 16,
+        )
+        # rerank sorts by score; restore window order via the ids.
+        order = jnp.argsort(ids, axis=1)
+        return (jnp.take_along_axis(scores, order, axis=1),
+                jnp.take_along_axis(matches, order, axis=1))
+
+    scores, matches = fn(mz_pad, int_pad, starts, int(window),
+                         float(fragment_tol), int(rounds))
+    return scores, (matches if with_matches else None)

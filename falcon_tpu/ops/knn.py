@@ -52,15 +52,18 @@ def _banded_topk(
     block_rows: int,
     window: int,
     exact_topk: bool = False,
+    q_vectors: Optional[jnp.ndarray] = None,  # asymmetric query matrix
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One-dispatch banded top-k: scan over row blocks on device."""
     n_pad = vectors.shape[0]
     n_blocks = n_pad // block_rows
+    if q_vectors is None:
+        q_vectors = vectors
 
     def step(_, b):
         r0 = b * block_rows
         c0 = col_starts[b]
-        q = jax.lax.dynamic_slice_in_dim(vectors, r0, block_rows)
+        q = jax.lax.dynamic_slice_in_dim(q_vectors, r0, block_rows)
         c = jax.lax.dynamic_slice_in_dim(vectors, c0, window)
         q_mz = jax.lax.dynamic_slice_in_dim(mzs, r0, block_rows)
         c_mz = jax.lax.dynamic_slice_in_dim(mzs, c0, window)
@@ -130,12 +133,18 @@ def knn_banded(
     rt_tol: Optional[float] = None,
     as_device: bool = False,
     exact_topk: bool = False,
+    q_vectors=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """k nearest neighbors within the precursor tolerance band.
 
     ``exact_topk=True`` uses exact ``lax.top_k`` per block instead of the
     TPU-optimized ``approx_max_k`` (recall_target 0.99); set it whenever
     no exact rerank stage runs downstream to absorb approximate misses.
+
+    ``q_vectors``: optional distinct query matrix (same shape contract as
+    ``vectors``) for asymmetric scoring — used by the engine's
+    tolerance-spread upper-bound prefilter, which scores
+    ``spread_query . plain_column``.
 
     ``vectors`` (n, D) L2-normalized (NumPy or device array),
     ``precursor_mzs`` (n,) SORTED ascending.  Returns (similarities
@@ -197,20 +206,24 @@ def knn_banded(
     starts = np.minimum(starts, max(n_pad - window, 0))
 
     d = vectors.shape[1]
-    if isinstance(vectors, np.ndarray):
-        v_pad = np.zeros((n_pad, d), np.float32)
-        v_pad[:n] = vectors[:n]
-        v_dev = jnp.asarray(v_pad)
-    elif vectors.shape[0] < n_pad:
-        v_dev = jnp.pad(vectors, ((0, n_pad - vectors.shape[0]), (0, 0)))
-    else:
-        v_dev = vectors[:n_pad]
+
+    def to_dev(v):
+        if isinstance(v, np.ndarray):
+            v_pad = np.zeros((n_pad, d), np.float32)
+            v_pad[:n] = v[:n]
+            return jnp.asarray(v_pad)
+        if v.shape[0] < n_pad:
+            return jnp.pad(v, ((0, n_pad - v.shape[0]), (0, 0)))
+        return v[:n_pad]
+
+    v_dev = to_dev(vectors)
     mz_pad = np.full(n_pad, np.inf, np.float32)
     mz_pad[:n] = mzs
     scores, idx = _banded_topk(
         v_dev, jnp.asarray(mz_pad), jnp.asarray(starts),
         jnp.float32(tol_mass), int(min(k, window)), tol_is_da,
         int(block_rows), int(window), exact_topk=bool(exact_topk),
+        q_vectors=None if q_vectors is None else to_dev(q_vectors),
     )
     if as_device:
         # Mask out-of-range neighbor ids (padded rows of the column

@@ -29,24 +29,25 @@ from .knn import NEG, _pow2_at_least
 from .matching import match_score, pair_weights
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("fragment_tol", "k_out", "rounds", "chunk_q",
-                     "chunk_c"),
-)
-def _rerank_scan(
-    mz: jnp.ndarray,       # (n_pad, P) padded peak m/z
+def rerank_scan_body(
+    mz: jnp.ndarray,       # (n_q, P) padded QUERY peak m/z
     intensity: jnp.ndarray,
-    neigh: jnp.ndarray,    # (n_pad, K) candidate row ids, -1 = missing
+    pool_mz: jnp.ndarray,  # (n_pool, P) candidate-pool peak m/z
+    pool_int: jnp.ndarray,
+    neigh: jnp.ndarray,    # (n_q, K) candidate POOL row ids, -1 = missing
     fragment_tol: float,
     k_out: int,
     rounds: int,
     chunk_q: int,
     chunk_c: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    n_pad, p = mz.shape
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Plain (unjitted) rerank body.  Queries and the candidate pool are
+    separate arrays so the multi-chip pipeline can pass halo-extended
+    pools (``parallel/sharded_pipeline.py``); single-device passes the
+    same array twice."""
+    n_q = mz.shape[0]
     k_in = neigh.shape[1]
-    n_chunks = n_pad // chunk_q
+    n_chunks = n_q // chunk_q
     c_chunks = (k_in + chunk_c - 1) // chunk_c
     k_pad = c_chunks * chunk_c
     neigh = jnp.pad(neigh, ((0, 0), (0, k_pad - k_in)),
@@ -62,8 +63,8 @@ def _rerank_scan(
             c0 = ci * chunk_c
             ids = jax.lax.dynamic_slice_in_dim(cand, c0, chunk_c, axis=1)
             safe = jnp.maximum(ids, 0)
-            c_mz = mz[safe]              # (chunk_q, chunk_c, P)
-            c_int = intensity[safe]
+            c_mz = pool_mz[safe]         # (chunk_q, chunk_c, P)
+            c_int = pool_int[safe]
             w = pair_weights(
                 q_mz[:, None, :], q_int[:, None, :], c_mz, c_int,
                 fragment_tol,
@@ -86,8 +87,19 @@ def _rerank_scan(
     _, (scores, ids, matches) = jax.lax.scan(
         q_step, 0, jnp.arange(n_chunks, dtype=jnp.int32)
     )
-    return (scores.reshape(n_pad, k_out), ids.reshape(n_pad, k_out),
-            matches.reshape(n_pad, k_out))
+    return (scores.reshape(n_q, k_out), ids.reshape(n_q, k_out),
+            matches.reshape(n_q, k_out))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fragment_tol", "k_out", "rounds", "chunk_q",
+                     "chunk_c"),
+)
+def _rerank_scan(mz, intensity, neigh, fragment_tol, k_out, rounds,
+                 chunk_q, chunk_c):
+    return rerank_scan_body(mz, intensity, mz, intensity, neigh,
+                            fragment_tol, k_out, rounds, chunk_q, chunk_c)
 
 
 def rerank_exact(

@@ -138,6 +138,145 @@ def test_knn_banded_exact_topk_flag(processed_rows):
         )
 
 
+def test_spread_vectors_upper_bound(processed_rows):
+    """The tolerance-spread prefilter bound is STRICT: for every pair,
+    spread_a . plain_b >= the exact matched-peak cosine.  This is the
+    invariant that makes the engine's prefiltered labels identical to
+    full exact reranking."""
+    from falcon_tpu.cluster.oracle import cosine_exact
+
+    rows, _ = processed_rows
+    hasher = SpectrumHasher(101.0, 1500.0, 0.05, low_dim=400, seed=0)
+    mz, intensity, _ = _padded(rows)
+    plain = np.asarray(hasher.vectorize(
+        jnp.asarray(mz), jnp.asarray(intensity), norm=False
+    ))
+    spread = np.asarray(hasher.vectorize(
+        jnp.asarray(mz), jnp.asarray(intensity), norm=False, spread=True
+    ))
+    rng = np.random.default_rng(3)
+    n = len(rows)
+    for _ in range(300):
+        i, j = rng.integers(0, n, 2)
+        ub = float(spread[i] @ plain[j])
+        exact, _ = cosine_exact(
+            mz[i][mz[i] > 0], intensity[i][mz[i] > 0],
+            mz[j][mz[j] > 0], intensity[j][mz[j] > 0], 0.05,
+        )
+        assert ub >= exact - 1e-5, (i, j, ub, exact)
+
+
+def test_engine_prefilter_matches_exhaustive_dbscan(processed_rows,
+                                                    tmp_path):
+    """Engine labels (upper-bound prefilter + exact rerank) equal a
+    DBSCAN built from EXHAUSTIVE exact in-band scoring."""
+    from falcon_tpu.cluster import ann_engine
+    from falcon_tpu.cluster.oracle import cosine_exact
+    from falcon_tpu.ops.density import dbscan
+    from falcon_tpu.store.store import SpectrumStore
+
+    rows, _ = processed_rows
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    w = store.writer()
+    w.add_many(rows)
+    w.close()
+    store.save_charges([2])
+    ds = store.dataset(2)
+    eps, min_samples = 0.1, 2
+    labels_engine, _ = ann_engine.generate_clusters(
+        ds, eps=eps, min_samples=min_samples, min_matches=0,
+        precursor_tol_mass=20.0, precursor_tol_mode="ppm", rt_tol=None,
+        fragment_tol=0.05, batch_size=2**15,
+    )
+
+    # Oracle: exhaustive exact scores within the band -> DBSCAN with the
+    # same (k-truncation-free) neighbor lists, then the same refinement.
+    meta = ds.read_metadata()
+    pmz = np.asarray(meta["precursor_mz"], np.float64)
+    order = np.argsort(pmz, kind="stable")
+    mz, intensity, _ = _padded([rows[i] for i in order])
+    pmz_s = pmz[order]
+    n = len(pmz_s)
+    k = 64
+    sims = np.full((n, k), -2.0, np.float32)
+    neigh = np.full((n, k), -1, np.int64)
+    for i in range(n):
+        mask = np.abs((pmz_s[i] - pmz_s) / pmz_s * 1e6) <= 20.0
+        mask[i] = False
+        cand = np.flatnonzero(mask)
+        scores = np.array([
+            cosine_exact(
+                mz[i][mz[i] > 0], intensity[i][mz[i] > 0],
+                mz[j][mz[j] > 0], intensity[j][mz[j] > 0], 0.05,
+            )[0]
+            for j in cand
+        ])
+        top = np.argsort(-scores, kind="stable")[:k]
+        sims[i, : len(top)] = scores[top]
+        neigh[i, : len(top)] = cand[top]
+    raw = dbscan(sims, neigh, eps, n, min_samples)
+    # Engine returns labels in dataset row order with noise promoted to
+    # singletons; compare CLUSTER PARTITIONS over the non-singleton part.
+    raw_roworder = np.empty(n, np.int64)
+    raw_roworder[order] = raw
+    from falcon_tpu import metrics
+
+    multi = np.flatnonzero(raw_roworder >= 0)
+    assert metrics.cluster_purity(
+        labels_engine[multi], raw_roworder[multi]) == 1.0
+    assert metrics.cluster_completeness(
+        labels_engine[multi], raw_roworder[multi]) >= 0.999
+
+
+def test_exact_banded_topk_backends(processed_rows):
+    """The exact banded search returns the true exact-cosine top-k,
+    identically from the Pallas (interpret) and XLA backends."""
+    from falcon_tpu.cluster.oracle import cosine_exact
+    from falcon_tpu.ops.exact_knn import exact_banded_topk
+    from falcon_tpu.ops.pairwise import PAD_MZ
+
+    rows, _ = processed_rows
+    mz, intensity, _ = _padded(rows)
+    pmz = np.asarray([r["precursor_mz"] for r in rows])
+    order = np.argsort(pmz, kind="stable")
+    mz, intensity, pmz = mz[order], intensity[order], pmz[order]
+    n = len(pmz)
+    n_pad = 512
+    while n_pad < n:
+        n_pad *= 2
+    mz_pad = np.full((n_pad, mz.shape[1]), PAD_MZ, np.float32)
+    int_pad = np.zeros((n_pad, mz.shape[1]), np.float32)
+    mz_pad[:n], int_pad[:n] = mz, intensity
+    k = 8
+    results = {}
+    for backend in ("xla", "pallas_interpret"):
+        sims, neigh = exact_banded_topk(
+            jnp.asarray(mz_pad), jnp.asarray(int_pad), pmz, 20.0, "ppm",
+            k, 0.05, backend=backend,
+        )
+        results[backend] = (np.asarray(sims)[:n], np.asarray(neigh)[:n])
+    np.testing.assert_allclose(
+        results["xla"][0], results["pallas_interpret"][0], atol=1e-5
+    )
+    # Oracle: exact matching cosine per pair within the band.
+    sims, neigh = results["xla"]
+    for i in range(0, n, 7):
+        mask = np.abs((pmz[i] - pmz) / pmz * 1e6) <= 20.0
+        mask[i] = False
+        cand = np.flatnonzero(mask)
+        exact = np.array([
+            cosine_exact(
+                mz[i][mz[i] > 0], intensity[i][mz[i] > 0],
+                mz[j][mz[j] > 0], intensity[j][mz[j] > 0], 0.05,
+            )[0]
+            for j in cand
+        ])
+        got = sims[i][neigh[i] >= 0]
+        want = np.sort(exact)[::-1][: len(got)]
+        assert len(got) == min(k, len(cand))
+        np.testing.assert_allclose(np.sort(got)[::-1], want, atol=5e-3)
+
+
 def test_ann_engine_end_to_end(processed_rows, tmp_path):
     rows, truth = processed_rows
     store = SpectrumStore(str(tmp_path / "spectra"))

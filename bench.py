@@ -141,17 +141,18 @@ def main() -> int:
     input_path = _ensure_dataset()
     n_spectra = _count_spectra(input_path)
 
-    # Warmup: a small run through the same code paths / kernel shape
-    # buckets absorbs the one-time compile cost.
+    # Warmup: one UNTIMED full run of the same input absorbs the
+    # per-process compile/executable-load cost at the exact kernel
+    # shapes the timed run uses (shapes are power-of-two bucketed, so a
+    # small warmup corpus would compile the wrong buckets; loading a
+    # 32768-row executable over the axon tunnel costs real time even
+    # when the persistent compile cache hits).  The timed run below
+    # still executes the complete pipeline from scratch — parse,
+    # preprocess, store, device chain, export.
     warm_dir = tempfile.mkdtemp()
     try:
-        spectra, _ = make_clustered_spectra(
-            n_clusters=20, cluster_size=5, n_noise=50, seed=7
-        )
-        warm_mgf = os.path.join(warm_dir, "warm.mgf")
-        write_mgf(warm_mgf, spectra)
         cli.main([
-            warm_mgf, os.path.join(warm_dir, "out"),
+            input_path, os.path.join(warm_dir, "out"),
             "--work_dir", os.path.join(warm_dir, "work"),
             "--backend", "ann", "--eps", "0.10", "--overwrite",
         ])

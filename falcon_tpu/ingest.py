@@ -42,11 +42,20 @@ def read_and_process_file(
     the absolute filename on each spectrum.
     """
     filename = os.path.abspath(filename)
-    if allow_native and filename.lower().endswith(".mgf"):
+    lower = filename.lower()
+    if allow_native and (lower.endswith(".mgf") or lower.endswith(".mzml")):
         from . import native
 
-        batch = native.mgf_ingest(filename, **process_kwargs)
+        ingest_fn = (native.mgf_ingest if lower.endswith(".mgf")
+                     else native.mzml_ingest)
+        batch = ingest_fn(filename, **process_kwargs)
         if batch is not None:
+            if batch.get("truncated"):
+                logger.warning(
+                    "Failed to read file %s: truncated document "
+                    "(parsed %d complete spectra)",
+                    filename, batch["n_read"],
+                )
             n = len(batch["precursor_mz"])
             batch["filename"] = np.repeat(np.array([filename]), n)
             return batch, batch["n_low_quality"]

@@ -89,6 +89,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.fc_mgf_result_free.restype = None
         lib.fc_mgf_result_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "fc_mzml_ingest"):
+            lib.fc_mzml_ingest.restype = ctypes.c_void_p
+            lib.fc_mzml_ingest.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
         lib.fc_natsort_pairs.restype = ctypes.c_int
         lib.fc_natsort_pairs.argtypes = [
             ctypes.POINTER(ctypes.c_char), ctypes.POINTER(ctypes.c_int64),
@@ -192,12 +200,43 @@ def mgf_ingest(
     or None when the native library (or the file) is unavailable — the
     caller falls back to the Python path.
     """
+    return _native_ingest(filename, "fc_mgf_ingest", min_peaks,
+                          min_mz_range, mz_min, mz_max,
+                          remove_precursor_tolerance, min_intensity,
+                          max_peaks_used, scaling)
+
+
+def mzml_ingest(
+    filename: str,
+    min_peaks: int,
+    min_mz_range: float,
+    mz_min: Optional[float] = None,
+    mz_max: Optional[float] = None,
+    remove_precursor_tolerance: Optional[float] = None,
+    min_intensity: Optional[float] = None,
+    max_peaks_used: Optional[int] = None,
+    scaling: Optional[str] = None,
+) -> Optional[dict]:
+    """Parse + preprocess an entire mzML file in the native library
+    (``native/falcon_mzml.cc``); same batch contract as
+    :func:`mgf_ingest`.  A truncated document additionally sets
+    ``batch["truncated"] = True`` so the caller can warn like the
+    Python reader does."""
+    return _native_ingest(filename, "fc_mzml_ingest", min_peaks,
+                          min_mz_range, mz_min, mz_max,
+                          remove_precursor_tolerance, min_intensity,
+                          max_peaks_used, scaling)
+
+
+def _native_ingest(filename, entry, min_peaks, min_mz_range, mz_min,
+                   mz_max, remove_precursor_tolerance, min_intensity,
+                   max_peaks_used, scaling) -> Optional[dict]:
     lib = get_lib()
-    if lib is None or not hasattr(lib, "fc_mgf_ingest"):
+    if lib is None or not hasattr(lib, entry):
         return None
-    counts = (ctypes.c_int64 * 5)()
+    counts = (ctypes.c_int64 * 6)()
     nan = float("nan")
-    handle = lib.fc_mgf_ingest(
+    handle = getattr(lib, entry)(
         os.fsencode(filename),
         ctypes.c_int(min_peaks),
         ctypes.c_double(min_mz_range),
@@ -216,8 +255,9 @@ def mgf_ingest(
         return None
     try:
         n, n_peaks, title_bytes, n_read, n_low_quality = (
-            int(c) for c in counts
+            int(counts[i]) for i in range(5)
         )
+        truncated = bool(counts[5]) if entry == "fc_mzml_ingest" else False
         precursor_mz = np.empty(n, np.float64)
         charge = np.empty(n, np.int32)
         rt = np.empty(n, np.float64)
@@ -263,6 +303,7 @@ def mgf_ingest(
         "intensity": intensity,
         "n_read": n_read,
         "n_low_quality": n_low_quality,
+        "truncated": truncated,
     }
 
 

@@ -294,6 +294,27 @@ void finish_spectrum(IngestResult* res, const Params& p, bool have_title,
 
 extern "C" {
 
+// Preprocessing hook for sibling parsers (falcon_mzml.cc): runs the full
+// chain in place on (mz, inten, *n) and shrinks *n; returns false when
+// the spectrum fails a quality gate.
+bool fc_preprocess_spectrum(float* mz_arr, float* int_arr, int64_t* n,
+                            double precursor_mz, int32_t charge,
+                            int min_peaks, double min_mz_range,
+                            double mz_min, double mz_max,
+                            double remove_precursor_tol,
+                            double min_intensity, int max_peaks_used,
+                            int scaling) {
+  Params p{min_peaks, min_mz_range, mz_min, mz_max,
+           remove_precursor_tol, min_intensity, max_peaks_used, scaling};
+  std::vector<float> mz(mz_arr, mz_arr + *n);
+  std::vector<float> inten(int_arr, int_arr + *n);
+  if (!preprocess(mz, inten, precursor_mz, charge, p)) return false;
+  std::memcpy(mz_arr, mz.data(), mz.size() * sizeof(float));
+  std::memcpy(int_arr, inten.data(), inten.size() * sizeof(float));
+  *n = static_cast<int64_t>(mz.size());
+  return true;
+}
+
 // Parse + preprocess an entire MGF file.
 //
 // Returns an opaque result handle (NULL if the file cannot be opened) and

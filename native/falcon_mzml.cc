@@ -1,0 +1,472 @@
+// falcon-tpu native mzML ingest fast path.
+//
+// First-party C++ streaming mzML scanner + the same preprocessing chain
+// as the MGF fast path (falcon_ingest.cc), replacing the reference's
+// pyteomics/lxml parse (falcon/ms_io/mzml_io.py:14-38) for the hot
+// 1M-spectrum multi-file ingest (BASELINE config #2).  Semantics mirror
+// falcon_tpu/ms_io/mzml_io.py: MS level > 1 only, id attribute as the
+// identifier, scan start time normalized to SECONDS (minute-unit
+// cvParams converted), charge from "charge state" falling back to
+// "possible charge state", little-endian 32/64-bit float peak arrays,
+// base64 + optional zlib; malformed spectra are skipped silently.
+// Parity is enforced by tests/test_native_ingest.py.
+//
+// The scanner is NOT a general XML parser: it locates <spectrum ...>
+// ... </spectrum> blocks and reads cvParam/binary elements inside them,
+// which is exactly the subset the (machine-written) mzML format uses.
+// A file whose tail is truncated mid-spectrum yields its complete
+// blocks and sets the truncated flag (out_counts[5]) so the caller can
+// warn like the Python reader does.
+
+#include <algorithm>
+#include <cctype>
+#include <charconv>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <numeric>
+#include <string>
+#include <string_view>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr int32_t kNullCharge = INT32_MIN;
+
+// ---- shared with falcon_ingest.cc (kept in one translation unit each;
+// the struct layout must match for the shared copy/free ABI).
+struct IngestResult {
+  std::vector<double> precursor_mz;
+  std::vector<int32_t> precursor_charge;
+  std::vector<double> retention_time;
+  std::vector<int64_t> title_offsets{0};
+  std::string title_bytes;
+  std::vector<int64_t> peak_offsets{0};
+  std::vector<float> mz;
+  std::vector<float> intensity;
+  int64_t n_read = 0;
+  int64_t n_low_quality = 0;
+};
+
+struct Params {
+  int min_peaks;
+  double min_mz_range;
+  double mz_min, mz_max;
+  double remove_precursor_tol;
+  double min_intensity;
+  int max_peaks_used;
+  int scaling;
+};
+
+}  // namespace
+
+// Preprocessing hook implemented in falcon_ingest.cc.
+extern "C" bool fc_preprocess_spectrum(float* mz, float* inten, int64_t* n,
+                                       double precursor_mz, int32_t charge,
+                                       int min_peaks, double min_mz_range,
+                                       double mz_min, double mz_max,
+                                       double remove_precursor_tol,
+                                       double min_intensity,
+                                       int max_peaks_used, int scaling);
+
+namespace {
+
+bool parse_double_sv(std::string_view s, double* out) {
+  if (s.empty()) return false;
+  if (s.front() == '+') s.remove_prefix(1);
+  auto res = std::from_chars(s.data(), s.data() + s.size(), *out);
+  return res.ec == std::errc() && res.ptr == s.data() + s.size();
+}
+
+// ---- base64 ----------------------------------------------------------
+const int8_t kB64[256] = {
+    // clang-format off
+    -1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,
+    -1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,
+    -1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,62,-1,-1,-1,63,
+    52,53,54,55,56,57,58,59,60,61,-1,-1,-1,-2,-1,-1,
+    -1, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9,10,11,12,13,14,
+    15,16,17,18,19,20,21,22,23,24,25,-1,-1,-1,-1,-1,
+    -1,26,27,28,29,30,31,32,33,34,35,36,37,38,39,40,
+    41,42,43,44,45,46,47,48,49,50,51,-1,-1,-1,-1,-1,
+    -1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,
+    -1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,
+    -1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,
+    -1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,
+    -1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,
+    -1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,
+    -1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,
+    -1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,
+    // clang-format on
+};
+
+bool b64_decode(std::string_view in, std::vector<uint8_t>* out) {
+  out->clear();
+  out->reserve(in.size() * 3 / 4 + 4);
+  uint32_t acc = 0;
+  int bits = 0;
+  for (char c : in) {
+    int8_t v = kB64[static_cast<uint8_t>(c)];
+    if (v == -2) break;  // '=' padding: done
+    if (v < 0) {
+      if (std::isspace(static_cast<unsigned char>(c))) continue;
+      return false;
+    }
+    acc = (acc << 6) | static_cast<uint32_t>(v);
+    bits += 6;
+    if (bits >= 8) {
+      bits -= 8;
+      out->push_back(static_cast<uint8_t>((acc >> bits) & 0xFF));
+    }
+  }
+  return true;
+}
+
+bool zlib_inflate(const std::vector<uint8_t>& in, std::vector<uint8_t>* out) {
+  out->clear();
+  out->resize(in.size() * 4 + 64);
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return false;
+  zs.next_in = const_cast<Bytef*>(in.data());
+  zs.avail_in = static_cast<uInt>(in.size());
+  size_t written = 0;
+  int rc = Z_OK;
+  while (rc != Z_STREAM_END) {
+    if (written == out->size()) out->resize(out->size() * 2);
+    zs.next_out = out->data() + written;
+    zs.avail_out = static_cast<uInt>(out->size() - written);
+    rc = inflate(&zs, Z_NO_FLUSH);
+    if (rc != Z_OK && rc != Z_STREAM_END) {
+      inflateEnd(&zs);
+      return false;
+    }
+    written = zs.total_out;
+  }
+  inflateEnd(&zs);
+  out->resize(written);
+  return true;
+}
+
+// ---- tiny XML helpers (attribute scan within one tag) ----------------
+
+// Find attribute value inside tag text [tag_b, tag_e): name="value".
+bool attr_value(std::string_view tag, std::string_view name,
+                std::string_view* out) {
+  size_t pos = 0;
+  while ((pos = tag.find(name, pos)) != std::string_view::npos) {
+    size_t after = pos + name.size();
+    // must be preceded by space and followed by =" (attribute, not a
+    // substring of another name)
+    if (pos > 0 && !std::isspace(static_cast<unsigned char>(tag[pos - 1]))) {
+      pos = after;
+      continue;
+    }
+    size_t eq = tag.find_first_not_of(" \t\r\n", after);
+    if (eq == std::string_view::npos || tag[eq] != '=') {
+      pos = after;
+      continue;
+    }
+    size_t q = tag.find_first_of("\"'", eq + 1);
+    if (q == std::string_view::npos) return false;
+    char quote = tag[q];
+    size_t end = tag.find(quote, q + 1);
+    if (end == std::string_view::npos) return false;
+    *out = tag.substr(q + 1, end - q - 1);
+    return true;
+  }
+  return false;
+}
+
+// One cvParam's (accession, value, unit) inside a tag.
+struct CvParam {
+  std::string_view accession, value, unit_name, unit_acc;
+};
+
+// Iterate <cvParam .../> tags within [b, e); calls fn(param).
+template <typename Fn>
+void for_each_cvparam(std::string_view block, Fn fn) {
+  size_t pos = 0;
+  while ((pos = block.find("<cvParam", pos)) != std::string_view::npos) {
+    size_t end = block.find('>', pos);
+    if (end == std::string_view::npos) return;
+    std::string_view tag = block.substr(pos, end - pos);
+    CvParam p;
+    attr_value(tag, "accession", &p.accession);
+    attr_value(tag, "value", &p.value);
+    attr_value(tag, "unitName", &p.unit_name);
+    attr_value(tag, "unitAccession", &p.unit_acc);
+    fn(p);
+    pos = end + 1;
+  }
+}
+
+struct BinaryArray {
+  bool is_mz = false, is_intensity = false;
+  bool f64 = true, zlib_c = false;
+  std::string_view payload;
+};
+
+// Decode one <binaryDataArray> block.
+bool parse_binary_array(std::string_view block, BinaryArray* out) {
+  for_each_cvparam(block, [&](const CvParam& p) {
+    if (p.accession == "MS:1000523") out->f64 = true;
+    else if (p.accession == "MS:1000521") out->f64 = false;
+    else if (p.accession == "MS:1000574") out->zlib_c = true;
+    else if (p.accession == "MS:1000514") out->is_mz = true;
+    else if (p.accession == "MS:1000515") out->is_intensity = true;
+  });
+  // NB: "<binary" alone would also match the enclosing
+  // <binaryDataArray> tag — require a tag-ending character after it.
+  size_t b = 0;
+  for (;;) {
+    b = block.find("<binary", b);
+    if (b == std::string_view::npos) return false;
+    char next = b + 7 < block.size() ? block[b + 7] : '\0';
+    if (next == '>' || next == ' ' || next == '/' || next == '\t') break;
+    b += 7;
+  }
+  size_t open_end = block.find('>', b);
+  if (open_end == std::string_view::npos) return false;
+  if (block[open_end - 1] == '/') {  // <binary/>: empty
+    out->payload = std::string_view();
+    return true;
+  }
+  size_t close = block.find("</binary>", open_end);
+  if (close == std::string_view::npos) return false;
+  out->payload = block.substr(open_end + 1, close - open_end - 1);
+  return true;
+}
+
+// Parse one <spectrum ...>...</spectrum> block into the result.
+void parse_spectrum_block(std::string_view block, const Params& p,
+                          IngestResult* res) {
+  size_t tag_end = block.find('>');
+  if (tag_end == std::string_view::npos) return;
+  std::string_view open_tag = block.substr(0, tag_end);
+  std::string_view id;
+  if (!attr_value(open_tag, "id", &id)) return;
+
+  int ms_level = -1;
+  double rt = -1.0;
+  double precursor_mz = std::nan("");
+  int32_t charge = kNullCharge;
+  bool have_possible_charge = false;
+  int32_t possible_charge = kNullCharge;
+
+  // Top-level + nested cvParams: scan sections separately so the scan /
+  // selectedIon params use the right unit/fallback rules.
+  // 1. ms level: anywhere before binaryDataArrayList (direct child in
+  //    practice; accession is unique to it).
+  for_each_cvparam(block, [&](const CvParam& p2) {
+    if (p2.accession == "MS:1000511") {
+      double v;
+      if (parse_double_sv(p2.value, &v)) ms_level = static_cast<int>(v);
+    }
+  });
+  if (ms_level <= 1) return;
+
+  // 2. scan start time within <scanList>.
+  size_t scan_b = block.find("<scanList");
+  if (scan_b != std::string_view::npos) {
+    size_t scan_e = block.find("</scanList>", scan_b);
+    if (scan_e == std::string_view::npos) scan_e = block.size();
+    for_each_cvparam(block.substr(scan_b, scan_e - scan_b),
+                     [&](const CvParam& p2) {
+      if (p2.accession == "MS:1000016") {
+        double v;
+        if (parse_double_sv(p2.value, &v)) {
+          // Normalize to SECONDS (SURVEY.md §3.5 divergence): minute
+          // units are converted.
+          bool minutes =
+              p2.unit_acc == "UO:0000031" ||
+              (p2.unit_name.size() >= 6 &&
+               p2.unit_name.substr(0, 6) == "minute");
+          rt = minutes ? v * 60.0 : v;
+        }
+      }
+    });
+  }
+
+  // 3. precursor selected ion.
+  size_t ion_b = block.find("<selectedIon");
+  if (ion_b != std::string_view::npos) {
+    size_t ion_e = block.find("</selectedIon>", ion_b);
+    if (ion_e == std::string_view::npos)
+      ion_e = block.find("/>", ion_b);  // self-closing (no cvParams)
+    if (ion_e == std::string_view::npos) ion_e = block.size();
+    for_each_cvparam(block.substr(ion_b, ion_e - ion_b),
+                     [&](const CvParam& p2) {
+      double v;
+      if (p2.accession == "MS:1000744") {
+        if (parse_double_sv(p2.value, &v)) precursor_mz = v;
+      } else if (p2.accession == "MS:1000041") {
+        if (parse_double_sv(p2.value, &v))
+          charge = static_cast<int32_t>(v);
+      } else if (p2.accession == "MS:1000633") {
+        if (parse_double_sv(p2.value, &v)) {
+          have_possible_charge = true;
+          possible_charge = static_cast<int32_t>(v);
+        }
+      }
+    });
+  }
+  if (charge == kNullCharge && have_possible_charge)
+    charge = possible_charge;
+  if (std::isnan(precursor_mz)) return;  // incomplete: skip silently
+
+  // 4. binary peak arrays.
+  std::vector<float> mz_arr, int_arr;
+  bool have_mz = false, have_int = false;
+  size_t pos = 0;
+  std::vector<uint8_t> raw, inflated;
+  while ((pos = block.find("<binaryDataArray", pos)) !=
+         std::string_view::npos) {
+    size_t bda_e = block.find("</binaryDataArray>", pos);
+    if (bda_e == std::string_view::npos) break;
+    BinaryArray arr;
+    if (parse_binary_array(block.substr(pos, bda_e - pos), &arr) &&
+        (arr.is_mz || arr.is_intensity)) {
+      if (!b64_decode(arr.payload, &raw)) return;  // malformed: skip
+      const std::vector<uint8_t>* bytes = &raw;
+      if (arr.zlib_c) {
+        if (!zlib_inflate(raw, &inflated)) return;
+        bytes = &inflated;
+      }
+      std::vector<float>* dst = arr.is_mz ? &mz_arr : &int_arr;
+      if (arr.f64) {
+        size_t count = bytes->size() / 8;
+        dst->resize(count);
+        const double* src =
+            reinterpret_cast<const double*>(bytes->data());
+        for (size_t i = 0; i < count; ++i)
+          (*dst)[i] = static_cast<float>(src[i]);
+      } else {
+        size_t count = bytes->size() / 4;
+        dst->resize(count);
+        std::memcpy(dst->data(), bytes->data(), count * 4);
+      }
+      (arr.is_mz ? have_mz : have_int) = true;
+    }
+    pos = bda_e + 1;
+  }
+  if (!have_mz || !have_int) return;  // incomplete: skip silently
+  size_t n_peaks = std::min(mz_arr.size(), int_arr.size());
+  mz_arr.resize(n_peaks);
+  int_arr.resize(n_peaks);
+
+  // Guarantee m/z-sorted peaks (containers.Spectrum does the same).
+  bool sorted = true;
+  for (size_t i = 1; i < n_peaks; ++i) {
+    if (mz_arr[i] < mz_arr[i - 1]) {
+      sorted = false;
+      break;
+    }
+  }
+  if (!sorted) {
+    std::vector<int64_t> order(n_peaks);
+    std::iota(order.begin(), order.end(), 0);
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) {
+                       return mz_arr[a] < mz_arr[b];
+                     });
+    std::vector<float> m2(n_peaks), i2(n_peaks);
+    for (size_t i = 0; i < n_peaks; ++i) {
+      m2[i] = mz_arr[order[i]];
+      i2[i] = int_arr[order[i]];
+    }
+    mz_arr = std::move(m2);
+    int_arr = std::move(i2);
+  }
+
+  res->n_read += 1;
+  int64_t n = static_cast<int64_t>(n_peaks);
+  if (!fc_preprocess_spectrum(mz_arr.data(), int_arr.data(), &n,
+                              precursor_mz, charge, p.min_peaks,
+                              p.min_mz_range, p.mz_min, p.mz_max,
+                              p.remove_precursor_tol, p.min_intensity,
+                              p.max_peaks_used, p.scaling)) {
+    res->n_low_quality += 1;
+    return;
+  }
+  res->precursor_mz.push_back(precursor_mz);
+  res->precursor_charge.push_back(charge);
+  res->retention_time.push_back(rt);
+  res->title_bytes.append(id.data(), id.size());
+  res->title_offsets.push_back(
+      static_cast<int64_t>(res->title_bytes.size()));
+  res->mz.insert(res->mz.end(), mz_arr.begin(), mz_arr.begin() + n);
+  res->intensity.insert(res->intensity.end(), int_arr.begin(),
+                        int_arr.begin() + n);
+  res->peak_offsets.push_back(static_cast<int64_t>(res->mz.size()));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse + preprocess an entire mzML file.  Same result ABI as
+// fc_mgf_ingest (copy with fc_mgf_result_copy, free with
+// fc_mgf_result_free); out_counts = [n_kept, n_peaks, title_bytes,
+// n_read, n_low_quality, truncated_flag].
+void* fc_mzml_ingest(const char* path, int min_peaks, double min_mz_range,
+                     double mz_min, double mz_max,
+                     double remove_precursor_tol, double min_intensity,
+                     int max_peaks_used, int scaling, int64_t* out_counts) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  Params p{min_peaks, min_mz_range, mz_min, mz_max,
+           remove_precursor_tol, min_intensity, max_peaks_used, scaling};
+  auto* res = new IngestResult();
+
+  // Streaming scan: grow a window until it holds a full
+  // <spectrum>...</spectrum> block, parse, discard.
+  std::string window;
+  window.reserve(8 << 20);
+  std::vector<char> buf(4 << 20);
+  bool truncated = false;
+  size_t search_from = 0;
+  for (;;) {
+    size_t got = std::fread(buf.data(), 1, buf.size(), f);
+    if (got == 0) break;
+    window.append(buf.data(), got);
+    size_t pos;
+    while ((pos = window.find("<spectrum ", search_from)) !=
+           std::string::npos) {
+      size_t end = window.find("</spectrum>", pos);
+      if (end == std::string::npos) {
+        // Keep from this spectrum's start; need more data.
+        window.erase(0, pos);
+        search_from = 0;
+        break;
+      }
+      parse_spectrum_block(
+          std::string_view(window).substr(pos, end + 11 - pos), p, res);
+      search_from = end + 11;
+    }
+    if (pos == std::string::npos) {
+      // No spectrum start in the searched region: keep a small tail in
+      // case "<spectrum " straddles the chunk boundary.
+      size_t keep = window.size() > 16 ? 16 : window.size();
+      window.erase(0, window.size() - keep);
+      search_from = 0;
+    }
+  }
+  // Unconsumed "<spectrum" start at EOF = truncated document.
+  if (window.find("<spectrum ", search_from) != std::string::npos)
+    truncated = true;
+  std::fclose(f);
+
+  out_counts[0] = static_cast<int64_t>(res->precursor_mz.size());
+  out_counts[1] = static_cast<int64_t>(res->mz.size());
+  out_counts[2] = static_cast<int64_t>(res->title_bytes.size());
+  out_counts[3] = res->n_read;
+  out_counts[4] = res->n_low_quality;
+  out_counts[5] = truncated ? 1 : 0;
+  return res;
+}
+
+}  // extern "C"

@@ -244,3 +244,130 @@ def test_store_round_trip_batch_vs_rows(tmp_path):
         np.testing.assert_array_equal(off_a, off_b)
         np.testing.assert_array_equal(mz_a, mz_b)
         np.testing.assert_allclose(int_a, int_b, rtol=1e-6)
+
+
+def _write_mzml(path, spectra, zlib_mz=True, f64_mz=True,
+                rt_unit="second", truncate=False):
+    """Minimal mzML writer for parity tests (same element structure the
+    native scanner and the Python reader both consume)."""
+    import base64
+    import zlib as zlib_mod
+
+    def b64(arr, dtype, compress):
+        raw = np.asarray(arr, dtype).tobytes()
+        if compress:
+            raw = zlib_mod.compress(raw)
+        return base64.b64encode(raw).decode()
+
+    chunks = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        '<mzML xmlns="http://psi.hupo.org/ms/mzml" version="1.1.0">',
+        '<run id="r"><spectrumList count="%d">' % len(spectra),
+    ]
+    for i, s in enumerate(spectra):
+        mz64 = b64(s.mz, np.float64 if f64_mz else np.float32, zlib_mz)
+        in64 = b64(s.intensity, np.float32, zlib_mz)
+        comp = ('<cvParam accession="MS:1000574" name="zlib compression"/>'
+                if zlib_mz else
+                '<cvParam accession="MS:1000576" name="no compression"/>')
+        charge = (
+            f'<cvParam accession="MS:1000041" name="charge state" '
+            f'value="{s.precursor_charge}"/>'
+            if s.precursor_charge is not None else ""
+        )
+        rt = (s.retention_time / 60.0 if rt_unit == "minute"
+              else s.retention_time)
+        mz_prec = "MS:1000523" if f64_mz else "MS:1000521"
+        chunks.append(f'''<spectrum index="{i}" id="scan={i}" defaultArrayLength="{len(s.mz)}">
+<cvParam accession="MS:1000511" name="ms level" value="2"/>
+<scanList count="1"><scan><cvParam accession="MS:1000016" name="scan start time" value="{rt}" unitName="{rt_unit}"/></scan></scanList>
+<precursorList count="1"><precursor><selectedIonList count="1"><selectedIon>
+<cvParam accession="MS:1000744" name="selected ion m/z" value="{s.precursor_mz!r}"/>
+{charge}
+</selectedIon></selectedIonList></precursor></precursorList>
+<binaryDataArrayList count="2"><binaryDataArray><cvParam accession="{mz_prec}" name="float"/>{comp}<cvParam accession="MS:1000514" name="m/z array"/><binary>{mz64}</binary></binaryDataArray>
+<binaryDataArray><cvParam accession="MS:1000521" name="32-bit float"/>{comp}<cvParam accession="MS:1000515" name="intensity array"/><binary>{in64}</binary></binaryDataArray></binaryDataArrayList>
+</spectrum>''')
+    chunks.append("</spectrumList></run></mzML>")
+    doc = "\n".join(chunks)
+    if truncate:
+        doc = doc[: doc.rfind("<spectrum ") + 200]
+    with open(path, "w") as f:
+        f.write(doc)
+    return path
+
+
+@pytest.mark.parametrize("zlib_mz,f64_mz,rt_unit", [
+    (True, True, "second"),
+    (False, False, "minute"),
+])
+def test_native_mzml_matches_python(tmp_path, zlib_mz, f64_mz, rt_unit):
+    spectra, _ = make_clustered_spectra(
+        n_clusters=20, cluster_size=4, n_noise=40, seed=9
+    )
+    path = _write_mzml(str(tmp_path / "in.mzml"), spectra,
+                       zlib_mz=zlib_mz, f64_mz=f64_mz, rt_unit=rt_unit)
+    batch = native.mzml_ingest(path, **DEFAULTS)
+    expected, lqc = python_reference(path, DEFAULTS)
+    assert_batch_matches(batch, expected, lqc)
+    assert not batch["truncated"]
+
+
+def test_native_mzml_skips_ms1_and_incomplete(tmp_path):
+    spectra, _ = make_clustered_spectra(
+        n_clusters=4, cluster_size=3, n_noise=5, seed=2
+    )
+    path = _write_mzml(str(tmp_path / "in.mzml"), spectra)
+    doc = open(path).read()
+    # Make one spectrum MS1 and strip another's precursor block.
+    doc = doc.replace('name="ms level" value="2"',
+                      'name="ms level" value="1"', 1)
+    i = doc.find("<precursorList", doc.find("<precursorList") + 1)
+    j = doc.find("</precursorList>", i) + len("</precursorList>")
+    doc = doc[:i] + doc[j:]
+    open(path, "w").write(doc)
+    batch = native.mzml_ingest(path, **DEFAULTS)
+    expected, lqc = python_reference(path, DEFAULTS)
+    assert_batch_matches(batch, expected, lqc)
+
+
+def test_native_mzml_truncated_flag(tmp_path):
+    spectra, _ = make_clustered_spectra(
+        n_clusters=4, cluster_size=3, n_noise=0, seed=4
+    )
+    path = _write_mzml(str(tmp_path / "in.mzml"), spectra, truncate=True)
+    batch = native.mzml_ingest(path, **DEFAULTS)
+    assert batch is not None
+    assert batch["truncated"]
+    # Complete blocks were still parsed.
+    expected, lqc = python_reference(path, DEFAULTS)
+    assert len(batch["precursor_mz"]) == len(expected)
+
+
+def test_native_mzml_sorts_unsorted_peaks(tmp_path):
+    spectra, _ = make_clustered_spectra(
+        n_clusters=3, cluster_size=3, n_noise=0, seed=6
+    )
+    # Shuffle peak order; both paths must sort by m/z before processing.
+    rng = np.random.default_rng(0)
+    for s in spectra:
+        order = rng.permutation(len(s.mz))
+        s.mz, s.intensity = s.mz[order], s.intensity[order]
+    path = _write_mzml(str(tmp_path / "in.mzml"), spectra)
+    batch = native.mzml_ingest(path, **DEFAULTS)
+    expected, lqc = python_reference(path, DEFAULTS)
+    assert_batch_matches(batch, expected, lqc)
+
+
+def test_read_and_process_file_prefers_native_mzml(tmp_path):
+    spectra, _ = make_clustered_spectra(
+        n_clusters=10, cluster_size=3, n_noise=20, seed=3
+    )
+    path = _write_mzml(str(tmp_path / "in.mzml"), spectra)
+    result, lqc = ingest.read_and_process_file(path, DEFAULTS)
+    assert isinstance(result, dict)
+    ref, ref_lqc = ingest.read_and_process_file(
+        path, DEFAULTS, allow_native=False
+    )
+    assert lqc == ref_lqc
+    assert len(result["precursor_mz"]) == len(ref)

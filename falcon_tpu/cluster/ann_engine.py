@@ -251,23 +251,24 @@ def _single_device_chain(
     spans = (np.searchsorted(mz_sorted, hi_vals, side="right")
              - np.searchsorted(mz_sorted, lo_vals, side="left"))
     if use_ivf is None:
-        # Cost-based auto selection.  The banded scan's work per query
-        # row is one power-of-two window over the widest precursor band;
-        # the IVF scans n_probe lists of ~sqrt(n) vectors each.  With
-        # narrow bands (the common proteomics case) banded brute force
-        # is exact AND cheaper at any n; IVF wins only when bands are
-        # wide relative to n_probe * sqrt(n).
+        # Auto selection, calibrated by measurement on the target
+        # hardware (README "Index selection"): the banded MXU scan
+        # sustains ~PFLOP/s effective on this backend and beat the IVF
+        # index at EVERY tested band width (including 50k-row bands at
+        # 250k spectra), because IVF's FLOP savings are outweighed by
+        # its layout overheads (block gathers, per-list dispatch).  The
+        # banded path is therefore preferred until its column window
+        # would dominate HBM; IVF remains available via
+        # ``--ann_index ivf``.
         window = 512
         while window < int(spans.max(initial=1)):
             window *= 2
-        banded_cells = n * min(window, n)
-        ivf_cells = n * n_probe * max(int(np.sqrt(n)), 1)
-        use_ivf = banded_cells > 2 * ivf_cells
+        window = min(window, n)
+        use_ivf = window * hasher.dim_padded * 4 > 2**30
         if use_ivf:
             logger.info(
-                "Auto-selected IVF index (band window %d vs ~%d probed "
-                "vectors per query)", window,
-                n_probe * int(np.sqrt(n)),
+                "Auto-selected IVF index (band window %d rows would "
+                "exceed the banded scan's HBM budget)", window,
             )
     # Tolerance-spread upper-bound prefilter (see ops/vectorize.py
     # docstring): spread_a . plain_b with UNNORMALIZED vectors is a

@@ -8,25 +8,38 @@ dead code, ``falcon/cluster/spectrum.py:5``).  Design:
   is an argmax over ``V @ C.T`` inner products, the update is a
   segment-sum + renormalize.  Seeded and deterministic (SURVEY.md §4:
   the IVF path introduces k-means randomness that must be reproducible).
-- **Lists**: vectors are reordered list-major on the host; each list is a
-  contiguous slab of the device-resident corpus matrix.
-- **Query**: ``Q @ C.T`` picks the top ``n_probe`` lists per query;
-  execution is *inverted* — queries probing the same list form a group,
-  groups are bucketed by (query-group, list-slab) power-of-two size
-  class, and every class is scored in ONE batched dispatch (gathered
-  query block x dynamic-sliced slab on the MXU, fused per-list top-k).
-  A final single top-k merges each query's per-list candidates.  Total
-  dispatch count is logarithmic in the size spread — not linear in the
-  number of lists — which matters both for tunneled TPUs (tens of ms per
-  dispatch) and for keeping the MXU fed with large batched matmuls.
+  Trained on a power-of-two subsample with a power-of-two list count so
+  every executable recurs across dataset sizes (the persistent compile
+  cache then eliminates the build cost after the first-ever run).
+- **3-D list layout**: the corpus lives on device as an
+  ``(n_lists, lb, D)`` tensor (every list padded to the same power-of-
+  two slab).  Probing list P from list L is then ONE block index — the
+  gather moves whole (lb, D) slabs, which is bandwidth-shaped, unlike
+  row gathers (measured ~1000x slower per element on TPU).
+- **Query**: every query in list L probes L's ``n_probe``
+  centroid-nearest lists (the quantized-query probe).  The search scans
+  CHUNKS of lists; each step block-gathers the chunk's probe slabs and
+  runs one big ``einsum`` + fused top-k on the MXU.  Chunking matters
+  on this backend, where per-scan-step overhead dominates small steps:
+  a per-(list, probe) step formulation was measured 30x slower at
+  identical FLOPs.
 
-Each probed list contributes at most ``per_list_k`` candidates to the
-final merge (default ``min(k, 32)``) to bound the merge buffer; with the
-default over-retrieval + exact rerank downstream this does not measurably
-affect recall (tests/test_ivf.py).
+Self-search (the engine's case: queries == corpus) uses the 3-D layout
+as the query tensor directly; external queries are assigned, packed
+into the same per-list layout (one gather), searched, and unpacked.
 
 Precursor-tolerance masking composes at query time exactly like the
 banded brute-force path (``ops/knn.py``).
+
+MEASURED STATUS on the target backend: the banded MXU scan
+(``ops/knn.py``) sustains ~PFLOP/s effective throughput and beat this
+index at every tested configuration (up to 50k-row precursor bands at
+250k spectra), because the index's FLOP savings are outweighed by its
+layout overheads (block gathers, probe bookkeeping).  The engine
+therefore auto-selects the banded scan except when its column window
+would dominate HBM; the index stays available via ``--ann_index ivf``
+and is the intended path for corpora whose bands outgrow device memory.
+
 """
 
 import functools
@@ -36,28 +49,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .knn import _banded_topk, _pow2_at_least
+
 NEG = jnp.float32(-2.0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_lists", "n_iters"))
+@functools.partial(jax.jit, static_argnames=("n_lists",))
+def _kmeans_step(vectors: jnp.ndarray, centroids: jnp.ndarray,
+                 n_lists: int) -> jnp.ndarray:
+    """One spherical-k-means Lloyd iteration on the MXU."""
+    sims = jnp.dot(vectors, centroids.T,
+                   preferred_element_type=jnp.float32)
+    assign = jnp.argmax(sims, axis=1)
+    one_hot = jax.nn.one_hot(assign, n_lists, dtype=jnp.float32)
+    sums = jnp.dot(one_hot.T, vectors,
+                   preferred_element_type=jnp.float32)
+    counts = jnp.sum(one_hot, axis=0)[:, None]
+    new = jnp.where(counts > 0, sums, centroids)
+    norms = jnp.linalg.norm(new, axis=1, keepdims=True)
+    return new / jnp.maximum(norms, 1e-12)
+
+
 def _kmeans_fit(
     vectors: jnp.ndarray, init: jnp.ndarray, n_lists: int, n_iters: int
 ) -> jnp.ndarray:
-    """Spherical k-means via Lloyd iterations on the MXU."""
+    """Spherical k-means: a Python loop over ONE jitted Lloyd step.
 
-    def step(centroids, _):
-        sims = jnp.dot(vectors, centroids.T,
-                       preferred_element_type=jnp.float32)
-        assign = jnp.argmax(sims, axis=1)
-        one_hot = jax.nn.one_hot(assign, n_lists, dtype=jnp.float32)
-        sums = jnp.dot(one_hot.T, vectors,
-                       preferred_element_type=jnp.float32)
-        counts = jnp.sum(one_hot, axis=0)[:, None]
-        new = jnp.where(counts > 0, sums, centroids)
-        norms = jnp.linalg.norm(new, axis=1, keepdims=True)
-        return new / jnp.maximum(norms, 1e-12), None
-
-    centroids, _ = jax.lax.scan(step, init, None, length=n_iters)
+    Deliberately NOT a ``lax.scan``: the scanned form was measured at
+    5+ minutes of XLA compile on the remote-compile TPU backend, while
+    the single step compiles in seconds and is dispatched n_iters times
+    (async, so dispatch latency overlaps execution).
+    """
+    centroids = init
+    for _ in range(n_iters):
+        centroids = _kmeans_step(vectors, centroids, n_lists)
     return centroids
 
 
@@ -67,97 +92,6 @@ def _assign(vectors: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
         jnp.dot(vectors, centroids.T, preferred_element_type=jnp.float32),
         axis=1,
     )
-
-
-@functools.partial(jax.jit, static_argnames=("n_probe",))
-def _probe_topk(q_vec, centroids, n_probe):
-    sims = jnp.dot(q_vec, centroids.T, preferred_element_type=jnp.float32)
-    _, lists = jax.lax.top_k(sims, n_probe)
-    return lists
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("k_p", "tol_is_da", "qb", "lb", "n_probe", "k"),
-)
-def _scan_and_merge(
-    q_vec,        # (nq_pad, D) device-resident queries
-    q_mz,         # (nq_pad,)
-    q_orig,       # (nq_pad,) original row id per query
-    corpus,       # (n_pad, D) device-resident list-major corpus
-    corpus_mz,    # (n_pad,)
-    corpus_rows,  # (n_pad,) original row id per corpus slot
-    q_idx,        # (G, qb) query ids per group, -1 padding
-    slab_lo,      # (G,)
-    slab_len,     # (G,)
-    perm,         # (nq_pad * n_probe,) buffer position per query-major
-                  # pair; G*qb = dump slot for padding
-    tol_mass,
-    k_p: int,
-    tol_is_da: bool,
-    qb: int,
-    lb: int,
-    n_probe: int,
-    k: int,
-):
-    """IVF query in ONE dispatch: scan all (query group, list slab)
-    pairs, then merge each query's per-list candidates — nothing but the
-    final (nq_pad, k) results ever leaves the device."""
-
-    def one_group(args):
-        qi, lo, ln = args
-        safe_q = jnp.maximum(qi, 0)
-        q = q_vec[safe_q]
-        qm = q_mz[safe_q]
-        qr = q_orig[safe_q]
-        slab = jax.lax.dynamic_slice_in_dim(corpus, lo, lb)
-        sm = jax.lax.dynamic_slice_in_dim(corpus_mz, lo, lb)
-        sr = jax.lax.dynamic_slice_in_dim(corpus_rows, lo, lb)
-        sims = jnp.dot(q, slab.T, preferred_element_type=jnp.float32)
-        diff = qm[:, None] - sm[None, :]
-        if tol_is_da:
-            mass_diff = jnp.abs(diff)
-        else:
-            mass_diff = jnp.abs(diff / sm[None, :] * 1e6)
-        col = jnp.arange(lb, dtype=jnp.int32)
-        valid = (
-            (mass_diff <= tol_mass)
-            & (col[None, :] < ln)
-            & (qi[:, None] >= 0)
-            & (qr[:, None] != sr[None, :])
-        )
-        sims = jnp.where(valid, sims, NEG)
-        top_scores, top_pos = jax.lax.approx_max_k(
-            sims, k_p, recall_target=0.99
-        )
-        top_slot = jnp.where(top_scores > NEG, lo + top_pos, -1)
-        return top_scores, top_slot
-
-    scores, slots = jax.lax.map(
-        one_group, (q_idx, slab_lo, slab_len)
-    )  # (G, qb, k_p)
-    g = q_idx.shape[0]
-    buf_s = jnp.concatenate(
-        [scores.reshape(g * qb, k_p),
-         jnp.full((1, k_p), NEG)]
-    )
-    buf_i = jnp.concatenate(
-        [slots.reshape(g * qb, k_p),
-         jnp.full((1, k_p), -1, slots.dtype)]
-    )
-    cand_s = buf_s[perm].reshape(-1, n_probe * k_p)
-    cand_slot = buf_i[perm].reshape(-1, n_probe * k_p)
-    cand_rows = jnp.where(
-        cand_slot >= 0,
-        corpus_rows[jnp.clip(cand_slot, 0, corpus_rows.shape[0] - 1)],
-        -1,
-    )
-    nq_pad = cand_s.shape[0]
-    self_mask = cand_rows == q_orig[:nq_pad][:, None]
-    cand_s = jnp.where(self_mask | (cand_rows < 0), NEG, cand_s)
-    top_scores, top_pos = jax.lax.top_k(cand_s, k)
-    top_rows = jnp.take_along_axis(cand_rows, top_pos, axis=1)
-    return top_scores, jnp.where(top_scores > NEG, top_rows, -1)
 
 
 def _bucket(n: int, minimum: int = 128) -> int:
@@ -181,57 +115,92 @@ class IVFIndex:
         """``vectors``: (n, D) L2-normalized, NumPy or DEVICE-resident
         (pass the vectorizer's device output — the big matrix then never
         crosses the host boundary: training, list reordering, and
-        queries are all device gathers)."""
+        queries are all device ops)."""
         from .xfer import device_put_chunked
 
         # ``vectors`` may carry padded zero rows past len(precursor_mzs)
         # (the engines keep device arrays at power-of-two row counts);
         # only the first n rows are indexed.
         n = len(precursor_mzs)
-        d = vectors.shape[1]
         if n_lists is None:
-            # Faiss heuristic: ~sqrt(n) lists.
-            n_lists = max(1, min(n, int(np.sqrt(n) + 0.5)))
-        self.n_lists = int(n_lists)
+            n_lists = _bucket(max(1, int(np.sqrt(n) + 0.5)), 16)
+        self.n_lists = int(min(n_lists, n))
         rng = np.random.default_rng(seed)
-        init_rows = rng.choice(n, self.n_lists, replace=False)
         if isinstance(vectors, np.ndarray):
             vectors_dev = device_put_chunked(
                 np.ascontiguousarray(vectors, dtype=np.float32)
             )
         else:
             vectors_dev = vectors
-        init = vectors_dev[jnp.asarray(init_rows)]
-        self.centroids = np.asarray(_kmeans_fit(
-            vectors_dev, init, self.n_lists, n_iters
+        # Train the quantizer on a power-of-two subsample (Faiss trains
+        # on ~a few hundred points per centroid; more adds cost, not
+        # quality) so the training shape is size-class stable too.
+        sample = min(_bucket(self.n_lists * 128, 1024),
+                     _bucket(n, 512))
+        train_rows = (np.arange(sample) * max(n // sample, 1)) % n
+        init_rows = rng.choice(n, self.n_lists, replace=False)
+        train = vectors_dev[jnp.asarray(train_rows.astype(np.int32))]
+        init = vectors_dev[jnp.asarray(init_rows.astype(np.int32))]
+        raw_centroids = np.asarray(_kmeans_fit(
+            train, init, self.n_lists, n_iters
         ))
+        self.centroids = raw_centroids
         # Only the n int32 assignments cross to the host.
-        assign = np.asarray(_assign(vectors_dev,
-                                    jnp.asarray(self.centroids)))[:n]
-        # Reorder list-major ON DEVICE (gather); keep the corpus padded
-        # so slab slices never run off the end.
+        assign = np.asarray(_assign(
+            vectors_dev, jnp.asarray(raw_centroids)))[:n]
+        self._assignments = assign
         self.order = np.argsort(assign, kind="stable")
         self.mzs = np.asarray(precursor_mzs, np.float64)[self.order]
-        self.rows = self.order.astype(np.int32)  # original row per slot
+        self.rows = self.order.astype(np.int32)
         counts = np.bincount(assign, minlength=self.n_lists)
         self.offsets = np.zeros(self.n_lists + 1, np.int64)
         np.cumsum(counts, out=self.offsets[1:])
         self._max_list = int(counts.max(initial=1))
-        pad = _bucket(self._max_list)
-        gather = np.concatenate(
-            [self.order, np.zeros(pad, np.int64)]
-        ).astype(np.int32)
-        self._corpus = vectors_dev[jnp.asarray(gather)]
-        # Padding slots must be zero vectors (they alias row order[0]
-        # via the gather) — masked by corpus_mz = +big below, and zeroed
-        # here for cleanliness.
-        self._corpus = self._corpus.at[len(self.order):].set(0.0)
-        self._corpus_mz = jnp.asarray(np.concatenate(
-            [self.mzs, np.full(pad, 1e12)]
-        ).astype(np.float32))
-        self._corpus_rows = jnp.asarray(np.concatenate(
-            [self.rows, np.full(pad, -1, np.int32)]
-        ))
+        # 3-D (n_lists, lb, D) layout: ONE device gather at build;
+        # probing then moves whole (lb, D) blocks.
+        self._lb = _bucket(self._max_list, 128)
+        idx3d, mz3d, row3d = self._pack_layout(
+            self.order, self.mzs, counts, self._lb, n)
+        self._corpus3d = vectors_dev[jnp.asarray(idx3d)].reshape(
+            self.n_lists, self._lb, -1
+        )
+        # Padding slots alias row order[0] via the clipped gather; zero
+        # them (their m/z is +inf so they are masked regardless).
+        self._corpus3d = self._corpus3d * jnp.asarray(
+            (mz3d < np.inf).astype(np.float32)
+        ).reshape(self.n_lists, self._lb, 1)
+        self._mz3d = jnp.asarray(mz3d.reshape(self.n_lists, self._lb))
+        self._row3d_host = row3d.reshape(self.n_lists, self._lb)
+        self._row3d = jnp.asarray(self._row3d_host)
+        self._source = vectors_dev  # identity marker for self-search
+        self._centroid_sims = self.centroids @ self.centroids.T
+        self._probe_cache = {}
+
+    @staticmethod
+    def _pack_layout(order, mzs_sorted, counts, lb, n):
+        """Host index/metadata arrays for the (n_lists, lb) layout."""
+        n_lists = len(counts)
+        idx3d = np.zeros((n_lists, lb), np.int32)
+        mz3d = np.full((n_lists, lb), np.inf, np.float32)
+        row3d = np.full((n_lists, lb), -1, np.int32)
+        offsets = np.zeros(n_lists + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        for lst in range(n_lists):
+            c = int(counts[lst])
+            lo = int(offsets[lst])
+            idx3d[lst, :c] = order[lo:lo + c]
+            mz3d[lst, :c] = mzs_sorted[lo:lo + c]
+            row3d[lst, :c] = order[lo:lo + c]
+        return idx3d.reshape(-1), mz3d, row3d
+
+    def _probe_ids(self, n_probe: int) -> np.ndarray:
+        cached = self._probe_cache.get(n_probe)
+        if cached is None:
+            cached = np.ascontiguousarray(np.argsort(
+                -self._centroid_sims, axis=1, kind="stable"
+            )[:, :n_probe].astype(np.int32))
+            self._probe_cache[n_probe] = cached
+        return cached
 
     def search(
         self,
@@ -246,94 +215,117 @@ class IVFIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """k-NN of each query; returns (similarities, original row ids).
 
-        Missing neighbors: sim -2, id -1.  ``per_list_k`` bounds each
-        probed list's contribution to the final merge.
+        Missing neighbors: sim -2, id -1.  ``per_list_k`` is accepted
+        for API compatibility and ignored (the chunked einsum merges
+        every probed candidate).
         """
         nq = len(q_mz)
+        n = len(self.mzs)
         n_probe = min(n_probe, self.n_lists)
-        k_p = min(k, per_list_k or max(k // 8, 16), self._max_list)
-        k_p = max(k_p, 1)
         tol_is_da = tol_mode == "Da"
+        lb = self._lb
+        probe_ids = self._probe_ids(n_probe)
 
-        nq_pad = _bucket(nq, 512)
-        if isinstance(q_vec, np.ndarray):
-            from .xfer import device_put_chunked
-
-            q_pad = np.zeros((nq_pad, q_vec.shape[1]), np.float32)
-            q_pad[:nq] = q_vec[:nq]
-            q_vec_dev = device_put_chunked(q_pad)
-        elif q_vec.shape[0] < nq_pad:
-            q_vec_dev = jnp.pad(
-                q_vec, ((0, nq_pad - q_vec.shape[0]), (0, 0))
-            )
+        self_search = q_vec is self._source and nq == n
+        if self_search:
+            q3d, qmz3d, qrow3d = self._corpus3d, self._mz3d, self._row3d
+            qlb = lb
+            q_slot_rows = self._row3d_host.reshape(-1)
         else:
-            q_vec_dev = q_vec[:nq_pad]
-        q_mz_dev = jnp.asarray(np.concatenate(
-            [np.asarray(q_mz, np.float32),
-             np.full(nq_pad - nq, 1e12, np.float32)]
-        ))
-        q_orig_dev = jnp.asarray(np.concatenate(
-            [np.asarray(q_rows, np.int32),
-             np.full(nq_pad - nq, -2, np.int32)]
-        ))
+            if isinstance(q_vec, np.ndarray):
+                from .xfer import device_put_chunked
 
-        # Probe selection on device (one dispatch).
-        probe_lists = np.asarray(_probe_topk(
-            q_vec_dev, jnp.asarray(self.centroids), n_probe
-        ))[:nq]
-
-        # Invert (query, probe) pairs to per-list groups.
-        flat_lists = probe_lists.reshape(-1)
-        flat_queries = np.repeat(np.arange(nq, dtype=np.int32), n_probe)
-        list_order = np.argsort(flat_lists, kind="stable")
-        flat_lists_s = flat_lists[list_order]
-        flat_queries_s = flat_queries[list_order]
-        boundaries = np.searchsorted(
-            flat_lists_s, np.arange(self.n_lists + 1)
-        )
-
-        # (query group, list slab) work items with ONE compiled shape:
-        # qb fixed per index run, lb = the padded max list size.  The
-        # whole query — every group scan plus the per-query merge — runs
-        # as ONE device dispatch (_scan_and_merge); only the final
-        # (nq, k) results come back.
-        lb = _bucket(self._max_list, 128)
-        qb = min(_bucket(int(
-            np.diff(boundaries).max(initial=1)), 128), 4096)
-        groups = []
-        for lst in range(self.n_lists):
-            b0, b1 = boundaries[lst], boundaries[lst + 1]
-            lo, hi = int(self.offsets[lst]), int(self.offsets[lst + 1])
-            if b0 == b1 or hi == lo:
-                continue
-            for c0 in range(b0, b1, qb):
-                groups.append((c0, min(c0 + qb, b1), lo, hi - lo))
-        g_pad = _bucket(max(len(groups), 1), 1)
-        q_idx = np.full((g_pad, qb), -1, np.int32)
-        slab_lo = np.zeros(g_pad, np.int32)
-        slab_len = np.zeros(g_pad, np.int32)
-        # perm: query-major pair position -> buffer slot (group*qb +
-        # offset); the trailing buffer row is the NEG/-1 dump for
-        # unassigned pairs.
-        perm = np.full(nq_pad * n_probe, g_pad * qb, np.int32)
-        for gi, (c0, c1, lo, ln) in enumerate(groups):
-            q_idx[gi, : c1 - c0] = flat_queries_s[c0:c1]
-            slab_lo[gi] = lo
-            slab_len[gi] = ln
-            perm[list_order[c0:c1]] = gi * qb + np.arange(
-                c1 - c0, dtype=np.int32
+                q_vec_dev = device_put_chunked(
+                    np.ascontiguousarray(q_vec, np.float32))
+            else:
+                q_vec_dev = q_vec
+            q_assign = np.asarray(
+                _assign(q_vec_dev, jnp.asarray(self.centroids)))[:nq]
+            q_order = np.argsort(q_assign, kind="stable")
+            q_counts = np.bincount(q_assign, minlength=self.n_lists)
+            qlb = _bucket(int(q_counts.max(initial=1)), 128)
+            idx3d, qmz3, qrow3 = self._pack_layout(
+                q_order,
+                np.asarray(q_mz, np.float64)[q_order],
+                q_counts, qlb, nq,
             )
-        top_scores, top_idx = _scan_and_merge(
-            q_vec_dev, q_mz_dev, q_orig_dev,
-            self._corpus, self._corpus_mz, self._corpus_rows,
-            jnp.asarray(q_idx), jnp.asarray(slab_lo),
-            jnp.asarray(slab_len), jnp.asarray(perm),
+            # Query "row ids" in the layout carry the CALLER's row ids
+            # (used for self-pair exclusion when queries overlap the
+            # corpus by id).
+            qrow3 = np.where(
+                qrow3 >= 0,
+                np.asarray(q_rows, np.int32)[np.clip(qrow3, 0, nq - 1)],
+                -2,
+            ).astype(np.int32)
+            q3d = q_vec_dev[jnp.asarray(idx3d)].reshape(
+                self.n_lists, qlb, -1)
+            q3d = q3d * jnp.asarray(
+                (qmz3 < np.inf).astype(np.float32)
+            ).reshape(self.n_lists, qlb, 1)
+            qmz3d = jnp.asarray(qmz3.reshape(self.n_lists, qlb))
+            qrow3d = jnp.asarray(qrow3.reshape(self.n_lists, qlb))
+            q_slot_rows = np.where(
+                qrow3.reshape(-1) != -2, 0, -1)  # validity only
+            q_slot_pos = np.full(self.n_lists * qlb, -1, np.int64)
+            flat = qrow3.reshape(-1)
+            # Map layout slots back to sorted query positions.
+            pos = 0
+            for lst in range(self.n_lists):
+                c = int(q_counts[lst])
+                base = lst * qlb
+                q_slot_pos[base:base + c] = np.arange(pos, pos + c)
+                pos += c
+
+        # Chunk size: bound the (chunk, qlb, n_probe, lb) f32 score
+        # intermediate to ~256 MB.
+        chunk = 1
+        while (chunk * 2 * qlb * n_probe * lb * 4 <= 256 * 2**20
+               and chunk * 2 <= self.n_lists):
+            chunk *= 2
+        k_eff = min(k if self_search else k + 1, n_probe * lb)
+
+        scores, slots = _chunk_scan(
+            q3d, qmz3d, qrow3d,
+            self._corpus3d, self._mz3d, self._row3d,
+            jnp.asarray(probe_ids),
             jnp.float32(tol_mass),
-            min(k_p, lb), tol_is_da, qb, lb, n_probe,
-            min(k, n_probe * min(k_p, lb)),
+            k_eff, tol_is_da, int(chunk), int(qlb), int(lb),
+            int(n_probe),
         )
-        out_scores = np.array(top_scores[:nq])
-        out_idx = np.asarray(top_idx)[:nq]
+        scores_h = np.array(scores.reshape(self.n_lists * qlb, -1))
+        slots_h = np.asarray(slots).reshape(self.n_lists * qlb, -1)
+        rows_flat = self._row3d_host.reshape(-1)
+        neigh_rows = np.where(
+            slots_h >= 0,
+            rows_flat[np.clip(slots_h, 0, len(rows_flat) - 1)],
+            -1,
+        ).astype(np.int32)
+
+        out_scores = np.full((nq, k_eff), float(NEG), np.float32)
+        out_idx = np.full((nq, k_eff), -1, np.int32)
+        if self_search:
+            valid = rows_flat >= 0
+            out_scores[rows_flat[valid]] = scores_h[valid]
+            out_idx[rows_flat[valid]] = neigh_rows[valid]
+        else:
+            valid = q_slot_pos >= 0
+            sorted_scores = np.full((nq, k_eff), float(NEG), np.float32)
+            sorted_rows = np.full((nq, k_eff), -1, np.int32)
+            sorted_scores[q_slot_pos[valid]] = scores_h[valid]
+            sorted_rows[q_slot_pos[valid]] = neigh_rows[valid]
+            # Remove self matches by row id, re-compact, trim to k.
+            bad = sorted_rows == np.asarray(q_rows, np.int32)[q_order][
+                :, None]
+            sorted_scores[bad] = float(NEG)
+            sorted_rows[bad] = -1
+            order2 = np.argsort(-sorted_scores, axis=1, kind="stable")
+            sorted_scores = np.take_along_axis(sorted_scores, order2, 1)
+            sorted_rows = np.take_along_axis(sorted_rows, order2, 1)
+            k_eff = min(k, k_eff)
+            out_scores = np.full((nq, k_eff), float(NEG), np.float32)
+            out_idx = np.full((nq, k_eff), -1, np.int32)
+            out_scores[q_order] = sorted_scores[:, :k_eff]
+            out_idx[q_order] = sorted_rows[:, :k_eff]
         if out_scores.shape[1] < k:
             pad = k - out_scores.shape[1]
             out_scores = np.concatenate(
@@ -344,3 +336,75 @@ class IVFIndex:
                 [out_idx, np.full((nq, pad), -1, np.int32)], axis=1
             )
         return out_scores, out_idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tol_is_da", "chunk", "qlb", "lb", "n_probe"),
+)
+def _chunk_scan(
+    q3d,        # (n_lists, qlb, D) per-list query tensor
+    qmz3d,      # (n_lists, qlb) +inf padding
+    qrow3d,     # (n_lists, qlb) original row ids, negative padding
+    corpus3d,   # (n_lists, lb, D)
+    cmz3d,
+    crow3d,
+    probe_ids,  # (n_lists, n_probe)
+    tol_mass,
+    k: int,
+    tol_is_da: bool,
+    chunk: int,
+    qlb: int,
+    lb: int,
+    n_probe: int,
+):
+    """Chunked probe scan: per step, block-gather the chunk's probe
+    slabs and run one einsum + fused top-k.  Returns (scores, SLOT ids
+    into the flattened (n_lists * lb) layout; -1 missing)."""
+    n_lists = corpus3d.shape[0]
+    c16 = corpus3d.astype(jnp.bfloat16)
+    q16 = q3d.astype(jnp.bfloat16)
+    n_chunks = n_lists // chunk
+
+    def step(_, ci):
+        c0 = ci * chunk
+        q = jax.lax.dynamic_slice_in_dim(q16, c0, chunk)
+        qm = jax.lax.dynamic_slice_in_dim(qmz3d, c0, chunk)
+        qr = jax.lax.dynamic_slice_in_dim(qrow3d, c0, chunk)
+        probes = jax.lax.dynamic_slice_in_dim(probe_ids, c0, chunk)
+        slabs = c16[probes]          # (chunk, n_probe, lb, D)
+        smz = cmz3d[probes]          # (chunk, n_probe, lb)
+        srow = crow3d[probes]
+        sims = jnp.einsum(
+            "cqd,cpbd->cqpb", q, slabs,
+            preferred_element_type=jnp.float32,
+        )
+        diff = qm[:, :, None, None] - smz[:, None, :, :]
+        if tol_is_da:
+            mass_diff = jnp.abs(diff)
+        else:
+            mass_diff = jnp.abs(diff / smz[:, None, :, :] * 1e6)
+        valid = (
+            (mass_diff <= tol_mass)
+            & jnp.isfinite(smz)[:, None, :, :]
+            & (qr[:, :, None, None] != srow[:, None, :, :])
+        )
+        sims = jnp.where(valid, sims, NEG)
+        flat = sims.reshape(chunk, qlb, n_probe * lb)
+        top_scores, top_pos = jax.lax.approx_max_k(
+            flat, k, recall_target=0.99
+        )
+        p_idx = top_pos // lb
+        b_idx = top_pos % lb
+        probe_of = jnp.take_along_axis(
+            probes[:, None, :].repeat(qlb, axis=1), p_idx, axis=2
+        )
+        slot = probe_of * lb + b_idx
+        slot = jnp.where(top_scores > NEG, slot, -1)
+        return 0, (top_scores, slot)
+
+    _, (scores, slots) = jax.lax.scan(
+        step, 0, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return (scores.reshape(n_lists, qlb, k),
+            slots.reshape(n_lists, qlb, k))

@@ -40,7 +40,7 @@ def _pow2_at_least(x: int, minimum: int = 512) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tol_is_da", "block_rows", "window",
-                     "exact_topk"),
+                     "exact_topk", "exclude_diag"),
 )
 def _banded_topk(
     vectors: jnp.ndarray,     # (n_pad, D) L2-normalized, row-padded with 0
@@ -53,19 +53,28 @@ def _banded_topk(
     window: int,
     exact_topk: bool = False,
     q_vectors: Optional[jnp.ndarray] = None,  # asymmetric query matrix
+    q_mzs: Optional[jnp.ndarray] = None,      # query m/z when distinct
+    exclude_diag: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One-dispatch banded top-k: scan over row blocks on device."""
+    """One-dispatch banded top-k: scan over row blocks on device.
+
+    ``exclude_diag`` drops pairs whose query and column POSITIONS match
+    (self-pairs when queries are the columns); disable it when query
+    row i is unrelated to column row i (external queries, ops/ivf.py).
+    """
     n_pad = vectors.shape[0]
-    n_blocks = n_pad // block_rows
     if q_vectors is None:
         q_vectors = vectors
+    if q_mzs is None:
+        q_mzs = mzs
+    n_blocks = q_vectors.shape[0] // block_rows
 
     def step(_, b):
         r0 = b * block_rows
         c0 = col_starts[b]
         q = jax.lax.dynamic_slice_in_dim(q_vectors, r0, block_rows)
         c = jax.lax.dynamic_slice_in_dim(vectors, c0, window)
-        q_mz = jax.lax.dynamic_slice_in_dim(mzs, r0, block_rows)
+        q_mz = jax.lax.dynamic_slice_in_dim(q_mzs, r0, block_rows)
         c_mz = jax.lax.dynamic_slice_in_dim(mzs, c0, window)
         sims = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
         diff = q_mz[:, None] - c_mz[None, :]
@@ -77,9 +86,10 @@ def _banded_topk(
         c_rows = c0 + jnp.arange(window, dtype=jnp.int32)
         valid = (
             (mass_diff <= tol_mass)
-            & (q_rows[:, None] != c_rows[None, :])
             & jnp.isfinite(c_mz)[None, :]  # candidate padding
         )
+        if exclude_diag:
+            valid &= q_rows[:, None] != c_rows[None, :]
         sims = jnp.where(valid, sims, NEG)
         if exact_topk:
             # No downstream rerank to absorb misses: exact top-k so the
@@ -101,9 +111,10 @@ def _banded_topk(
     _, (scores, idx) = jax.lax.scan(
         step, 0, jnp.arange(n_blocks, dtype=jnp.int32)
     )
+    nq = q_vectors.shape[0]
     return (
-        scores.reshape(n_pad, k),
-        idx.reshape(n_pad, k),
+        scores.reshape(nq, k),
+        idx.reshape(nq, k),
     )
 
 

@@ -55,10 +55,12 @@ def test_ivf_recall_vs_bruteforce(clustered_vectors):
     for qi, row in enumerate(q):
         exact = full[qi].copy()
         exact[row] = -2
+        # The scan matmul runs in bf16 (scores only rank candidates for
+        # the exact rerank) — compare at bf16 resolution.
         np.testing.assert_allclose(
             np.sort(sims_f[qi])[::-1],
             np.sort(exact)[::-1][:k],
-            atol=1e-5,
+            atol=4e-3,
         )
 
 

@@ -490,15 +490,41 @@ def _refine_and_medoids(
     # but not for postprocessing).
     current_label = 0
     slices = list(cluster_group_slices(sorted_labels.copy()))
-    for start_i, stop_i in slices:
+    # Vectorized no-split fast path: a cluster whose precursor m/z span
+    # (and RT span) is within tolerance cannot be split by the 1-D
+    # complete-linkage cut (its root merge distance IS the span), so
+    # the expensive per-cluster machinery only runs on the rare
+    # out-of-span clusters.  min_samples demotion semantics preserved.
+    starts = np.asarray([s for s, _ in slices], np.int64)
+    stops = np.asarray([e for _, e in slices], np.int64)
+    mz_min_ = np.minimum.reduceat(mzs_interval, starts)
+    mz_max_ = np.maximum.reduceat(mzs_interval, starts)
+    if precursor_tol_mode == "ppm":
+        mz_ok = (mz_max_ - mz_min_) / np.maximum(mz_min_, 1e-12) \
+            * 1e6 <= precursor_tol_mass
+    else:
+        mz_ok = (mz_max_ - mz_min_) <= precursor_tol_mass
+    if rt_tol is not None:
+        rt_min_ = np.minimum.reduceat(rts_interval, starts)
+        rt_max_ = np.maximum.reduceat(rts_interval, starts)
+        mz_ok &= (rt_max_ - rt_min_) <= rt_tol
+    min_samples_eff = max(min_samples, 2)
+    for k_i, (start_i, stop_i) in enumerate(slices):
         if sorted_labels[start_i] == -1:
+            continue
+        if mz_ok[k_i]:
+            if stop_i - start_i < min_samples_eff:
+                sorted_labels[start_i:stop_i] = -1
+            else:
+                sorted_labels[start_i:stop_i] = current_label
+                current_label += 1
             continue
         n_clusters = postprocess_cluster(
             sorted_labels[start_i:stop_i],
             mzs_interval[start_i:stop_i],
             rts_interval[start_i:stop_i],
             precursor_tol_mass, precursor_tol_mode, rt_tol,
-            max(min_samples, 2), current_label,
+            min_samples_eff, current_label,
         )
         current_label += n_clusters
 

@@ -163,6 +163,85 @@ def generate_clusters(
     hasher = SpectrumHasher(min_mz, max_mz, fragment_tol, low_dim,
                             hash_seed)
     pad_to = ((max_peaks + 63) // 64) * 64
+
+    # Device-capacity blocking: a charge bucket whose vector/peak
+    # arrays would outgrow HBM is split into precursor-m/z mega-blocks
+    # (gap-aware splits, reference `_get_precursor_mz_splits` semantics
+    # at a much larger cap — the reference caps at 2^15,
+    # falcon/cluster/cluster.py:159-209) and each block runs the full
+    # chain; labels are offset per block and noise promotion happens
+    # once at the end.  This is how 5M+ spectra per charge (configs
+    # #2/#5, the 25M north star) fit a 16 GB chip.
+    device_cap = int(_os.environ.get("FALCON_TPU_DEVICE_BLOCK_CAP",
+                                    2**20))
+    if n > device_cap:
+        from .intervals import precursor_mz_splits
+
+        splits = precursor_mz_splits(
+            mz_sorted, precursor_tol_mass, precursor_tol_mode,
+            device_cap,
+        )
+        logger.info(
+            "Charge bucket of %d spectra split into %d device blocks "
+            "(cap %d)", n, len(splits) - 1, device_cap,
+        )
+    else:
+        splits = np.asarray([0, n], np.int64)
+
+    labels_sorted = np.full(n, -1, np.int32)
+    medoids_all = []
+    current = 0
+    for b0, b1 in zip(splits[:-1], splits[1:]):
+        b0, b1 = int(b0), int(b1)
+        m = b1 - b0
+        if m <= 0:
+            continue
+        if m == 1:
+            medoids_all.append(order[b0:b1].astype(np.int64))
+            continue
+        final_b, med_b = _cluster_range(
+            timer, offsets, mz_flat, int_flat, order[b0:b1],
+            mz_sorted[b0:b1], rt_sorted[b0:b1], m, hasher, pad_to,
+            eps, min_samples, min_matches, precursor_tol_mass,
+            precursor_tol_mode, rt_tol, fragment_tol, n_neighbors,
+            n_neighbors_ann, n_probe, use_ivf, rerank, devices,
+        )
+        mask = final_b >= 0
+        final_b = final_b.astype(np.int32)
+        final_b[mask] += current
+        if mask.any():
+            current = int(final_b[mask].max()) + 1
+        labels_sorted[b0:b1] = final_b
+        medoids_all.append(med_b)
+
+    noise_mask = labels_sorted == -1
+    n_noise = int(noise_mask.sum())
+    logger.info(
+        "%d spectra grouped in %d clusters, %d spectra remain as "
+        "singletons",
+        int((~noise_mask).sum()), current, n_noise,
+    )
+    labels_sorted[noise_mask] = np.arange(
+        current, current + n_noise, dtype=np.int32
+    )
+    timer.finish()
+    labels_out = np.empty(n, np.int32)
+    labels_out[order] = labels_sorted
+    medoids = (np.concatenate(medoids_all) if medoids_all
+               else np.zeros(0, np.int64))
+    return labels_out, medoids
+
+
+def _cluster_range(
+    timer, offsets, mz_flat, int_flat, order, mz_sorted, rt_sorted, n,
+    hasher, pad_to, eps, min_samples, min_matches, precursor_tol_mass,
+    precursor_tol_mode, rt_tol, fragment_tol, n_neighbors,
+    n_neighbors_ann, n_probe, use_ivf, rerank, devices,
+):
+    """Cluster one device block (a sorted precursor-m/z range).
+
+    Returns (labels in sorted-range order, -1 = noise, numbered from 0;
+    medoid dataset-row ids, noise singletons first)."""
     k_final = min(n_neighbors, max(n - 1, 1))
     do_rerank = rerank == "exact"
     k_ann = (min(max(n_neighbors_ann, k_final), max(n - 1, 1))
@@ -561,18 +640,6 @@ def _refine_and_medoids(
     # Convert positions in the sorted order back to dataset row indices.
     medoids = order[np.concatenate([noise_rows, best]).astype(np.int64)]
 
-    noise_mask = final == -1
-    n_clusters = int(final.max()) + 1
-    n_noise = int(noise_mask.sum())
-    logger.info(
-        "%d spectra grouped in %d clusters, %d spectra remain as "
-        "singletons",
-        int((~noise_mask).sum()), n_clusters, n_noise,
-    )
-    final[noise_mask] = np.arange(n_clusters, n_clusters + n_noise,
-                                  dtype=np.int32)
-    timer.finish()
-    # Map sorted-order labels back to dataset row order.
-    labels_out = np.empty(n, np.int32)
-    labels_out[order] = final
-    return labels_out, medoids
+    # Noise promotion, logging, and the dataset-order scatter happen in
+    # the caller (once across all device blocks).
+    return final, medoids

@@ -408,3 +408,34 @@ def test_knn_banded_as_device_rt_filter():
         np.sort(np.asarray(dev_s)[:n], axis=1),
         np.sort(host_s, axis=1), atol=1e-6,
     )
+
+
+def test_device_block_cap_equivalence(processed_rows, tmp_path,
+                                      monkeypatch):
+    """With a small FALCON_TPU_DEVICE_BLOCK_CAP the engine splits a
+    charge into precursor-m/z device blocks; on gap-separated data the
+    splits align with gaps and labels match the single-block run."""
+    from falcon_tpu.cluster import ann_engine
+    from falcon_tpu.store.store import SpectrumStore
+
+    rows, _ = processed_rows
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    w = store.writer()
+    w.add_many(rows)
+    w.close()
+    store.save_charges([2])
+    ds = store.dataset(2)
+    common = dict(
+        eps=0.1, min_samples=2, min_matches=0,
+        precursor_tol_mass=20.0, precursor_tol_mode="ppm",
+        rt_tol=None, fragment_tol=0.05, batch_size=2**15,
+    )
+    labels_1, med_1 = ann_engine.generate_clusters(ds, **common)
+    monkeypatch.setenv("FALCON_TPU_DEVICE_BLOCK_CAP", "64")
+    labels_b, med_b = ann_engine.generate_clusters(ds, **common)
+    # Same partition (labels may renumber across blocks).
+    from falcon_tpu import metrics
+
+    assert metrics.cluster_purity(labels_b, labels_1) == 1.0
+    assert metrics.cluster_completeness(labels_b, labels_1) == 1.0
+    assert sorted(med_1.tolist()) == sorted(med_b.tolist())

@@ -177,10 +177,22 @@ def generate_clusters(
     if n > device_cap:
         from .intervals import precursor_mz_splits
 
-        splits = precursor_mz_splits(
+        raw = precursor_mz_splits(
             mz_sorted, precursor_tol_mass, precursor_tol_mode,
             device_cap,
         )
+        # The reference-semantics splits break at EVERY tolerance gap;
+        # here we want as FEW blocks as possible (each block pays full
+        # pipeline dispatches), so adjacent gap-separated blocks are
+        # coalesced greedily up to the cap.  Block boundaries stay on
+        # gap boundaries whenever the data has gaps, so no
+        # within-tolerance pair is dropped in that case.
+        splits = [int(raw[0])]
+        for i in range(1, len(raw)):
+            nxt = int(raw[i + 1]) if i + 1 < len(raw) else None
+            if nxt is None or nxt - splits[-1] > device_cap:
+                splits.append(int(raw[i]))
+        splits = np.asarray(splits, np.int64)
         logger.info(
             "Charge bucket of %d spectra split into %d device blocks "
             "(cap %d)", n, len(splits) - 1, device_cap,

@@ -207,6 +207,7 @@ def main(args: Union[str, List[str], None] = None) -> int:
                     config.fragment_tol,
                     config.batch_size,
                     max_peaks=config.max_peaks_used,
+                    devices=config.devices,
                 )
         if (config.export_representatives
                 and config.representative_method == "consensus"):

@@ -61,6 +61,7 @@ def generate_clusters(
     max_peaks: int = 50,
     backend: Optional[str] = None,
     rounds: Optional[int] = None,
+    devices: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Cluster one charge bucket; returns (labels, medoid row indices).
 
@@ -123,6 +124,22 @@ def generate_clusters(
             results[k] = pdist
             results_ready.notify_all()
 
+    # Multi-chip: large intervals' row panels are sharded over the mesh
+    # (parallel/sharded_exact.py) — same condensed output, N chips wide.
+    mesh = None
+    if devices is not None and devices > 1 and large:
+        import jax
+
+        if len(jax.devices()) >= devices:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(devices)
+        else:
+            logger.warning(
+                "Requested %d devices but only %d visible; exact panel "
+                "scoring stays single-device", devices, len(jax.devices()),
+            )
+
     def producer() -> None:
         try:
             if small:
@@ -134,6 +151,15 @@ def generate_clusters(
                     put(small[local_i], pdist)
             for k in large:
                 mz_pad, int_pad = interval_peaks(k)
+                if mesh is not None:
+                    from ..parallel.sharded_exact import (
+                        condensed_distances_sharded)
+
+                    put(k, condensed_distances_sharded(
+                        mz_pad, int_pad, fragment_tol, min_matches,
+                        mesh, **kwargs,
+                    ))
+                    continue
                 put(k, pairwise.condensed_distances(
                     mz_pad, int_pad, fragment_tol, min_matches,
                     backend=backend, **kwargs,

@@ -127,3 +127,68 @@ def test_ann_engine_devices_flag(tmp_path):
         )
         np.testing.assert_array_equal(labels_1, labels_8)
         np.testing.assert_array_equal(med_1, med_8)
+
+
+def test_condensed_distances_sharded_matches_single_device():
+    """Row-sharded exact panel scoring (the exact backend's --devices
+    path) returns the same condensed distance matrix as the
+    single-device scorer."""
+    from falcon_tpu.ops import pairwise
+    from falcon_tpu.parallel.mesh import make_mesh
+    from falcon_tpu.parallel.sharded_exact import (
+        condensed_distances_sharded)
+    from falcon_tpu.preprocess import process_spectrum
+    from falcon_tpu.simulate import make_clustered_spectra
+    from falcon_tpu.store.store import padded_peaks
+
+    spectra, _ = make_clustered_spectra(
+        n_clusters=20, cluster_size=8, n_noise=40, seed=5, charges=(2,),
+    )
+    rows = [
+        p for s in spectra
+        if (p := process_spectrum(s, 5, 250.0, 101.0, 1500.0, 1.5, 0.01,
+                                  50, None)) is not None
+    ]
+    offsets = np.zeros(len(rows) + 1, np.int64)
+    offsets[1:] = np.cumsum([len(r["mz"]) for r in rows])
+    mz_flat = np.concatenate([r["mz"] for r in rows])
+    int_flat = np.concatenate([r["intensity"] for r in rows])
+    mz_pad, int_pad, _ = padded_peaks(offsets, mz_flat, int_flat, 64)
+
+    for min_matches in (0, 6):
+        ref = pairwise.condensed_distances(
+            mz_pad, int_pad, 0.05, min_matches, backend="xla"
+        )
+        mesh = make_mesh(8)
+        got = condensed_distances_sharded(
+            mz_pad, int_pad, 0.05, min_matches, mesh
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_exact_engine_devices_flag(tmp_path):
+    """--devices on the exact backend produces identical labels."""
+    from falcon_tpu.cluster import engine
+    from falcon_tpu.ingest import prepare_spectra
+    from falcon_tpu.simulate import make_clustered_spectra, write_mgf
+    from falcon_tpu.store.store import SpectrumStore
+
+    spectra, _ = make_clustered_spectra(
+        n_clusters=10, cluster_size=5, n_noise=15, seed=29
+    )
+    path = write_mgf(str(tmp_path / "in.mgf"), spectra)
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    kwargs = dict(min_peaks=5, min_mz_range=250.0, mz_min=101.0,
+                  mz_max=1500.0, remove_precursor_tolerance=1.5,
+                  min_intensity=0.01, max_peaks_used=50, scaling=None)
+    charges = prepare_spectra(store, [path], kwargs)
+    for charge in charges:
+        ds = store.dataset(charge)
+        if ds.count_rows() < 2:
+            continue
+        common = ("complete", 0.1, 0, 20.0, "ppm", None, 0.05, 2**15)
+        labels_1, med_1 = engine.generate_clusters(ds, *common)
+        labels_8, med_8 = engine.generate_clusters(ds, *common,
+                                                   devices=8)
+        np.testing.assert_array_equal(labels_1, labels_8)
+        np.testing.assert_array_equal(med_1, med_8)

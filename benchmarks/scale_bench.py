@@ -159,9 +159,12 @@ def main() -> int:
         gen_corpus("mgf", n_files, per_file, "mgf_5m")
         return 0
     if cmd == "run-mgf5m":
-        return run(os.path.join(CACHE, "mgf_5m", "*.mgf"), 5 * 10**6,
-                   sys.argv[2:],
-                   "5M-spectrum MGF host-path stress (config #5 scale)")
+        n_files = len([f for f in os.listdir(os.path.join(CACHE, "mgf_5m"))
+                       if f.endswith(".mgf")])
+        return run(os.path.join(CACHE, "mgf_5m", "*.mgf"),
+                   n_files * 10**5, sys.argv[2:],
+                   f"{n_files / 10:.0f}M-spectrum MGF scale run "
+                   "(config #5)")
     print(__doc__)
     return 1
 

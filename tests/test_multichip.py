@@ -192,3 +192,39 @@ def test_exact_engine_devices_flag(tmp_path):
                                                    devices=8)
         np.testing.assert_array_equal(labels_1, labels_8)
         np.testing.assert_array_equal(med_1, med_8)
+
+
+def test_ann_engine_devices_flag_rt_and_min_matches(tmp_path):
+    """The sharded pipeline's RT-filter and min_matches paths produce
+    the same labels as single-device."""
+    import numpy as np
+
+    from falcon_tpu.cluster import ann_engine
+    from falcon_tpu.ingest import prepare_spectra
+    from falcon_tpu.simulate import make_clustered_spectra, write_mgf
+    from falcon_tpu.store.store import SpectrumStore
+
+    spectra, _ = make_clustered_spectra(
+        n_clusters=12, cluster_size=5, n_noise=15, seed=31
+    )
+    path = write_mgf(str(tmp_path / "in.mgf"), spectra)
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    kwargs = dict(min_peaks=5, min_mz_range=250.0, mz_min=101.0,
+                  mz_max=1500.0, remove_precursor_tolerance=1.5,
+                  min_intensity=0.01, max_peaks_used=50, scaling=None)
+    charges = prepare_spectra(store, [path], kwargs)
+    for charge in charges:
+        ds = store.dataset(charge)
+        if ds.count_rows() < 2:
+            continue
+        common = dict(
+            eps=0.15, min_samples=2, min_matches=6,
+            precursor_tol_mass=20.0, precursor_tol_mode="ppm",
+            rt_tol=400.0, fragment_tol=0.05, batch_size=2**15,
+        )
+        labels_1, med_1 = ann_engine.generate_clusters(ds, **common)
+        labels_8, med_8 = ann_engine.generate_clusters(
+            ds, devices=8, **common
+        )
+        np.testing.assert_array_equal(labels_1, labels_8)
+        np.testing.assert_array_equal(med_1, med_8)

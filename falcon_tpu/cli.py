@@ -161,6 +161,7 @@ def main(args: Union[str, List[str], None] = None) -> int:
         from .cluster import ann_engine
 
     clusters_all, current_label, representatives = [], 0, []
+    datasets = []
     for charge in charges:
         try:
             dataset = store.dataset(charge)
@@ -169,9 +170,37 @@ def main(args: Union[str, List[str], None] = None) -> int:
             continue
         if dataset.count_rows() == 0:
             continue
+        datasets.append((charge, dataset))
+
+    # Charge buckets are independent; when every bucket is small enough
+    # that two fit on the device at once, the per-charge pipelines run
+    # in a 2-deep thread pipeline so one charge's host phases (refine,
+    # label bookkeeping) overlap the other's device work.  Label
+    # offsetting and representative extraction stay sequential below.
+    overlap = (
+        config.backend == "ann"
+        and len(datasets) > 1
+        and all(d.count_rows() <= 2**19 for _, d in datasets)
+        and os.environ.get("FALCON_TPU_NO_CHARGE_OVERLAP") != "1"
+    )
+    futures = {}
+    if overlap:
+        from concurrent.futures import ThreadPoolExecutor
+
+        charge_pool = ThreadPoolExecutor(max_workers=2)
+
+        def _cluster_charge(dataset):
+            return _generate_for_charge(dataset, mz_min, mz_max)
+
+        for charge, dataset in datasets:
+            futures[charge] = charge_pool.submit(_cluster_charge, dataset)
+
+    for charge, dataset in datasets:
         meta = dataset.read_metadata()
         with profiler.phase(f"cluster charge {charge}"):
-            if config.backend == "ann":
+            if charge in futures:
+                clusters, medoids = futures[charge].result()
+            elif config.backend == "ann":
                 clusters, medoids = ann_engine.generate_clusters(
                     dataset,
                     eps=config.eps,
@@ -243,6 +272,9 @@ def main(args: Union[str, List[str], None] = None) -> int:
                 and config.representative_method == "medoid"):
             representatives.extend(dataset.take(medoids))
 
+    if futures:
+        charge_pool.shutdown(wait=True)
+
     if not clusters_all:
         logger.error("No spectra found to cluster")
         logging.shutdown()
@@ -311,6 +343,36 @@ def main(args: Union[str, List[str], None] = None) -> int:
 
     logging.shutdown()
     return 0
+
+
+def _generate_for_charge(dataset, mz_min, mz_max):
+    """ann-engine clustering of one charge with the config's settings
+    (used by the overlapped per-charge pipeline)."""
+    from .cluster import ann_engine
+
+    return ann_engine.generate_clusters(
+        dataset,
+        eps=config.eps,
+        min_samples=config.min_samples,
+        min_matches=config.min_matched_peaks,
+        precursor_tol_mass=config.precursor_tol[0],
+        precursor_tol_mode=config.precursor_tol[1],
+        rt_tol=config.rt_tol,
+        fragment_tol=config.fragment_tol,
+        batch_size=config.batch_size,
+        low_dim=config.low_dim,
+        n_neighbors=config.n_neighbors,
+        n_neighbors_ann=config.n_neighbors_ann,
+        n_probe=config.n_probe,
+        hash_seed=config.hash_seed,
+        min_mz=mz_min,
+        max_mz=mz_max,
+        max_peaks=config.max_peaks_used,
+        use_ivf={"auto": None, "brute": False,
+                 "ivf": True}[config.ann_index],
+        rerank=config.rerank,
+        devices=config.devices,
+    )
 
 
 def _consensus_representatives(

@@ -49,8 +49,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .knn import _banded_topk, _pow2_at_least
-
 NEG = jnp.float32(-2.0)
 
 

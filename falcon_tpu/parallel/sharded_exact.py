@@ -15,7 +15,6 @@ to the single-device path otherwise.  Parity with the single-device
 scorer is enforced by tests/test_multichip.py.
 """
 
-import functools
 from typing import Optional
 
 import numpy as np

@@ -26,7 +26,6 @@ Label parity with the single-device engine is enforced by
 ``tests/test_multichip.py``.
 """
 
-import functools
 from typing import Optional, Tuple
 
 import numpy as np

@@ -43,11 +43,14 @@ def read_and_process_file(
     """
     filename = os.path.abspath(filename)
     lower = filename.lower()
-    if allow_native and (lower.endswith(".mgf") or lower.endswith(".mzml")):
+    native_fmt = next((fmt for fmt in (".mgf", ".mzml", ".mzxml")
+                       if lower.endswith(fmt)), None)
+    if allow_native and native_fmt:
         from . import native
 
-        ingest_fn = (native.mgf_ingest if lower.endswith(".mgf")
-                     else native.mzml_ingest)
+        ingest_fn = {".mgf": native.mgf_ingest,
+                     ".mzml": native.mzml_ingest,
+                     ".mzxml": native.mzxml_ingest}[native_fmt]
         batch = ingest_fn(filename, **process_kwargs)
         if batch is not None:
             if batch.get("truncated"):

@@ -89,14 +89,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.fc_mgf_result_free.restype = None
         lib.fc_mgf_result_free.argtypes = [ctypes.c_void_p]
-        if hasattr(lib, "fc_mzml_ingest"):
-            lib.fc_mzml_ingest.restype = ctypes.c_void_p
-            lib.fc_mzml_ingest.argtypes = [
-                ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
-                ctypes.c_double, ctypes.c_double, ctypes.c_double,
-                ctypes.c_double, ctypes.c_int, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_int64),
-            ]
+        for entry in ("fc_mzml_ingest", "fc_mzxml_ingest"):
+            if hasattr(lib, entry):
+                fn = getattr(lib, entry)
+                fn.restype = ctypes.c_void_p
+                fn.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
+                    ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                    ctypes.c_double, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int64),
+                ]
         lib.fc_natsort_pairs.restype = ctypes.c_int
         lib.fc_natsort_pairs.argtypes = [
             ctypes.POINTER(ctypes.c_char), ctypes.POINTER(ctypes.c_int64),
@@ -228,6 +230,26 @@ def mzml_ingest(
                           max_peaks_used, scaling)
 
 
+def mzxml_ingest(
+    filename: str,
+    min_peaks: int,
+    min_mz_range: float,
+    mz_min: Optional[float] = None,
+    mz_max: Optional[float] = None,
+    remove_precursor_tolerance: Optional[float] = None,
+    min_intensity: Optional[float] = None,
+    max_peaks_used: Optional[int] = None,
+    scaling: Optional[str] = None,
+) -> Optional[dict]:
+    """Parse + preprocess an entire mzXML file in the native library
+    (``native/falcon_mzml.cc``); same batch contract as
+    :func:`mgf_ingest` (+ ``truncated`` flag, as for mzML)."""
+    return _native_ingest(filename, "fc_mzxml_ingest", min_peaks,
+                          min_mz_range, mz_min, mz_max,
+                          remove_precursor_tolerance, min_intensity,
+                          max_peaks_used, scaling)
+
+
 def _native_ingest(filename, entry, min_peaks, min_mz_range, mz_min,
                    mz_max, remove_precursor_tolerance, min_intensity,
                    max_peaks_used, scaling) -> Optional[dict]:
@@ -257,7 +279,9 @@ def _native_ingest(filename, entry, min_peaks, min_mz_range, mz_min,
         n, n_peaks, title_bytes, n_read, n_low_quality = (
             int(counts[i]) for i in range(5)
         )
-        truncated = bool(counts[5]) if entry == "fc_mzml_ingest" else False
+        truncated = (bool(counts[5])
+                     if entry in ("fc_mzml_ingest", "fc_mzxml_ingest")
+                     else False)
         precursor_mz = np.empty(n, np.float64)
         charge = np.empty(n, np.int32)
         rt = np.empty(n, np.float64)

@@ -470,3 +470,257 @@ void* fc_mzml_ingest(const char* path, int min_peaks, double min_mz_range,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// mzXML: same streaming-scanner approach for <scan> blocks.  Semantics
+// mirror falcon_tpu/ms_io/mzxml_io.py: msLevel > 1 only, identifier =
+// the scan "num", retentionTime xs:duration normalized to SECONDS,
+// precursorMz element text + precursorCharge attribute, <peaks> base64
+// with network (big-endian) byte order, 32/64-bit floats, interleaved
+// m/z-intensity pairs, optional zlib.  mzXML nests MS2 scans inside
+// MS1 scans, so the scanner advances past each scan OPEN tag rather
+// than past the block (inner scans are then found on later iterations;
+// the outer MS1 block parse skips at the msLevel gate before touching
+// peaks).
+
+namespace {
+
+// xs:duration ("PT123.4S", "PT2M30S", ...) or plain number -> seconds.
+// Mirrors mzxml_io._parse_retention_time.
+double parse_duration_seconds(std::string_view s) {
+  if (s.empty()) return -1.0;
+  double plain;
+  if (parse_double_sv(s, &plain)) return plain;
+  size_t i = 0;
+  double sign = 1.0;
+  if (s[i] == '-') { sign = -1.0; ++i; }
+  if (i >= s.size() || s[i] != 'P') return -1.0;
+  ++i;
+  bool in_time = false;
+  double total = 0.0;
+  while (i < s.size()) {
+    if (s[i] == 'T') { in_time = true; ++i; continue; }
+    size_t j = i;
+    while (j < s.size() &&
+           (std::isdigit(static_cast<unsigned char>(s[j])) || s[j] == '.'))
+      ++j;
+    if (j == i || j >= s.size()) return -1.0;
+    double v;
+    if (!parse_double_sv(s.substr(i, j - i), &v)) return -1.0;
+    switch (s[j]) {
+      case 'D': total += v * 86400.0; break;
+      case 'H': total += v * 3600.0; break;
+      case 'M': total += in_time ? v * 60.0 : 0.0; break;
+      case 'S': total += v; break;
+      default: return -1.0;
+    }
+    i = j + 1;
+  }
+  return sign * total;
+}
+
+void parse_scan_block(std::string_view block, const Params& p,
+                      IngestResult* res) {
+  size_t tag_end = block.find('>');
+  if (tag_end == std::string_view::npos) return;
+  std::string_view open_tag = block.substr(0, tag_end);
+  std::string_view num, level_s, rt_s;
+  if (!attr_value(open_tag, "num", &num)) return;
+  double level = -1.0;
+  if (attr_value(open_tag, "msLevel", &level_s))
+    parse_double_sv(level_s, &level);
+  if (level <= 1.0) return;
+  double rt = -1.0;
+  if (attr_value(open_tag, "retentionTime", &rt_s))
+    rt = parse_duration_seconds(rt_s);
+
+  // <precursorMz ...>value</precursorMz> (first occurrence).
+  double precursor_mz = std::nan("");
+  int32_t charge = kNullCharge;
+  size_t pm = block.find("<precursorMz");
+  if (pm != std::string_view::npos) {
+    size_t open_end = block.find('>', pm);
+    size_t close = block.find("</precursorMz>", pm);
+    if (open_end != std::string_view::npos &&
+        close != std::string_view::npos && close > open_end) {
+      std::string_view tag = block.substr(pm, open_end - pm);
+      std::string_view charge_s;
+      if (attr_value(tag, "precursorCharge", &charge_s)) {
+        double cv;
+        if (parse_double_sv(charge_s, &cv))
+          charge = static_cast<int32_t>(cv);
+      }
+      std::string_view text =
+          block.substr(open_end + 1, close - open_end - 1);
+      // strip whitespace
+      while (!text.empty() &&
+             std::isspace(static_cast<unsigned char>(text.front())))
+        text.remove_prefix(1);
+      while (!text.empty() &&
+             std::isspace(static_cast<unsigned char>(text.back())))
+        text.remove_suffix(1);
+      parse_double_sv(text, &precursor_mz);
+    }
+  }
+  if (std::isnan(precursor_mz)) return;  // incomplete: skip silently
+
+  // <peaks ...>b64</peaks>
+  size_t pk = block.find("<peaks");
+  if (pk == std::string_view::npos) return;
+  size_t open_end = block.find('>', pk);
+  size_t close = block.find("</peaks>", pk);
+  if (open_end == std::string_view::npos ||
+      close == std::string_view::npos || close <= open_end)
+    return;
+  std::string_view tag = block.substr(pk, open_end - pk);
+  std::string_view prec_s, comp_s, order_s;
+  bool f64 = false;
+  if (attr_value(tag, "precision", &prec_s)) f64 = prec_s == "64";
+  bool zl = false;
+  if (attr_value(tag, "compressionType", &comp_s)) {
+    std::string low(comp_s);
+    for (auto& c : low) c = std::tolower(static_cast<unsigned char>(c));
+    zl = low == "zlib";
+  }
+  bool big_endian = true;  // mzXML "network" default
+  if (attr_value(tag, "byteOrder", &order_s)) {
+    std::string low(order_s);
+    for (auto& c : low) c = std::tolower(static_cast<unsigned char>(c));
+    big_endian = low == "network" || low == "big";
+  }
+  std::vector<uint8_t> raw, inflated;
+  if (!b64_decode(block.substr(open_end + 1, close - open_end - 1), &raw))
+    return;
+  const std::vector<uint8_t>* bytes = &raw;
+  if (zl) {
+    if (!zlib_inflate(raw, &inflated)) return;
+    bytes = &inflated;
+  }
+  size_t width = f64 ? 8 : 4;
+  size_t n_vals = bytes->size() / width;
+  size_t n_peaks = n_vals / 2;
+  std::vector<float> mz_arr(n_peaks), int_arr(n_peaks);
+  for (size_t i = 0; i < n_vals; ++i) {
+    uint64_t u = 0;
+    const uint8_t* b = bytes->data() + i * width;
+    if (big_endian) {
+      for (size_t k = 0; k < width; ++k) u = (u << 8) | b[k];
+    } else {
+      for (size_t k = width; k > 0; --k) u = (u << 8) | b[k - 1];
+    }
+    double v;
+    if (f64) {
+      uint64_t bits = u;
+      std::memcpy(&v, &bits, 8);
+    } else {
+      uint32_t bits = static_cast<uint32_t>(u);
+      float fv;
+      std::memcpy(&fv, &bits, 4);
+      v = fv;
+    }
+    if (i % 2 == 0) mz_arr[i / 2] = static_cast<float>(v);
+    else int_arr[i / 2] = static_cast<float>(v);
+  }
+
+  // Guarantee m/z-sorted peaks (containers.Spectrum does the same).
+  bool sorted = true;
+  for (size_t i = 1; i < n_peaks; ++i) {
+    if (mz_arr[i] < mz_arr[i - 1]) { sorted = false; break; }
+  }
+  if (!sorted) {
+    std::vector<int64_t> ord(n_peaks);
+    std::iota(ord.begin(), ord.end(), 0);
+    std::stable_sort(ord.begin(), ord.end(), [&](int64_t a, int64_t b) {
+      return mz_arr[a] < mz_arr[b];
+    });
+    std::vector<float> m2(n_peaks), i2(n_peaks);
+    for (size_t i = 0; i < n_peaks; ++i) {
+      m2[i] = mz_arr[ord[i]];
+      i2[i] = int_arr[ord[i]];
+    }
+    mz_arr = std::move(m2);
+    int_arr = std::move(i2);
+  }
+
+  res->n_read += 1;
+  int64_t n = static_cast<int64_t>(n_peaks);
+  if (!fc_preprocess_spectrum(mz_arr.data(), int_arr.data(), &n,
+                              precursor_mz, charge, p.min_peaks,
+                              p.min_mz_range, p.mz_min, p.mz_max,
+                              p.remove_precursor_tol, p.min_intensity,
+                              p.max_peaks_used, p.scaling)) {
+    res->n_low_quality += 1;
+    return;
+  }
+  res->precursor_mz.push_back(precursor_mz);
+  res->precursor_charge.push_back(charge);
+  res->retention_time.push_back(rt);
+  res->title_bytes.append(num.data(), num.size());
+  res->title_offsets.push_back(
+      static_cast<int64_t>(res->title_bytes.size()));
+  res->mz.insert(res->mz.end(), mz_arr.begin(), mz_arr.begin() + n);
+  res->intensity.insert(res->intensity.end(), int_arr.begin(),
+                        int_arr.begin() + n);
+  res->peak_offsets.push_back(static_cast<int64_t>(res->mz.size()));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse + preprocess an entire mzXML file; same ABI as fc_mzml_ingest.
+void* fc_mzxml_ingest(const char* path, int min_peaks, double min_mz_range,
+                      double mz_min, double mz_max,
+                      double remove_precursor_tol, double min_intensity,
+                      int max_peaks_used, int scaling,
+                      int64_t* out_counts) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  Params p{min_peaks, min_mz_range, mz_min, mz_max,
+           remove_precursor_tol, min_intensity, max_peaks_used, scaling};
+  auto* res = new IngestResult();
+
+  std::string window;
+  window.reserve(8 << 20);
+  std::vector<char> buf(4 << 20);
+  bool truncated = false;
+  size_t search_from = 0;
+  for (;;) {
+    size_t got = std::fread(buf.data(), 1, buf.size(), f);
+    if (got == 0) break;
+    window.append(buf.data(), got);
+    size_t pos;
+    while ((pos = window.find("<scan ", search_from)) !=
+           std::string::npos) {
+      size_t end = window.find("</scan>", pos);
+      if (end == std::string::npos) {
+        window.erase(0, pos);
+        search_from = 0;
+        break;
+      }
+      parse_scan_block(
+          std::string_view(window).substr(pos, end + 7 - pos), p, res);
+      // Advance past the OPEN tag only: nested MS2 scans inside this
+      // block are found on later iterations.
+      search_from = pos + 6;
+    }
+    if (pos == std::string::npos) {
+      size_t keep = window.size() > 16 ? 16 : window.size();
+      window.erase(0, window.size() - keep);
+      search_from = 0;
+    }
+  }
+  if (window.find("<scan ", search_from) != std::string::npos)
+    truncated = true;
+  std::fclose(f);
+
+  out_counts[0] = static_cast<int64_t>(res->precursor_mz.size());
+  out_counts[1] = static_cast<int64_t>(res->mz.size());
+  out_counts[2] = static_cast<int64_t>(res->title_bytes.size());
+  out_counts[3] = res->n_read;
+  out_counts[4] = res->n_low_quality;
+  out_counts[5] = truncated ? 1 : 0;
+  return res;
+}
+
+}  // extern "C"

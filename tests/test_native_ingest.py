@@ -371,3 +371,98 @@ def test_read_and_process_file_prefers_native_mzml(tmp_path):
     )
     assert lqc == ref_lqc
     assert len(result["precursor_mz"]) == len(ref)
+
+
+def _write_mzxml(path, scans, rt_fmt="PT{rt}S", nested_ms1=False):
+    """Minimal mzXML writer for parity tests (network byte order, f32,
+    optional zlib, optionally MS2 scans NESTED inside MS1 scans as real
+    instruments emit)."""
+    chunks = [
+        '<?xml version="1.0" encoding="ISO-8859-1"?>',
+        '<mzXML xmlns="http://sashimi.sourceforge.net/schema_revision/'
+        'mzXML_3.2">',
+        "<msRun>",
+    ]
+
+    def scan_xml(scan):
+        pairs = np.empty(2 * len(scan["mz"]), np.float32)
+        pairs[0::2] = scan["mz"]
+        pairs[1::2] = scan["intensity"]
+        import base64
+        import zlib as zlib_mod
+
+        raw = pairs.astype(">f4").tobytes()
+        comp = "none"
+        if scan.get("zlib"):
+            raw = zlib_mod.compress(raw)
+            comp = "zlib"
+        payload = base64.b64encode(raw).decode()
+        charge_attr = (
+            f' precursorCharge="{scan["charge"]}"'
+            if scan.get("charge") is not None else ""
+        )
+        rt = rt_fmt.format(rt=scan["rt"])
+        return (
+            f'<scan num="{scan["num"]}" msLevel="{scan["ms_level"]}" '
+            f'retentionTime="{rt}" peaksCount="{len(scan["mz"])}">\n'
+            f'<precursorMz{charge_attr}>{scan["precursor_mz"]}'
+            '</precursorMz>\n'
+            f'<peaks precision="32" byteOrder="network" '
+            f'contentType="m/z-int" compressionType="{comp}">'
+            f'{payload}</peaks>'
+        )
+
+    if nested_ms1:
+        for i, scan in enumerate(scans):
+            ms1 = dict(num=1000 + i, ms_level=1, rt=scan["rt"] - 1,
+                       precursor_mz=0.0, mz=[50.0], intensity=[1.0])
+            chunks.append(scan_xml(ms1).replace("</peaks>", "</peaks>\n")
+                          + scan_xml(scan) + "\n</scan>\n</scan>")
+    else:
+        for scan in scans:
+            chunks.append(scan_xml(scan) + "\n</scan>")
+    chunks.append("</msRun></mzXML>")
+    with open(path, "w") as f:
+        f.write("\n".join(chunks))
+    return path
+
+
+def _spectra_to_scans(spectra, zlib=False):
+    return [
+        dict(num=i + 1, ms_level=2, rt=s.retention_time,
+             precursor_mz=s.precursor_mz, charge=s.precursor_charge,
+             mz=s.mz, intensity=s.intensity, zlib=zlib)
+        for i, s in enumerate(spectra)
+    ]
+
+
+@pytest.mark.parametrize("zlib,rt_fmt,nested", [
+    (False, "PT{rt}S", False),
+    (True, "PT2M{rt}S", True),
+])
+def test_native_mzxml_matches_python(tmp_path, zlib, rt_fmt, nested):
+    spectra, _ = make_clustered_spectra(
+        n_clusters=15, cluster_size=4, n_noise=30, seed=13
+    )
+    path = _write_mzxml(str(tmp_path / "in.mzxml"),
+                        _spectra_to_scans(spectra, zlib=zlib),
+                        rt_fmt=rt_fmt, nested_ms1=nested)
+    batch = native.mzxml_ingest(path, **DEFAULTS)
+    expected, lqc = python_reference(path, DEFAULTS)
+    assert_batch_matches(batch, expected, lqc)
+    assert not batch["truncated"]
+
+
+def test_read_and_process_file_prefers_native_mzxml(tmp_path):
+    spectra, _ = make_clustered_spectra(
+        n_clusters=8, cluster_size=3, n_noise=10, seed=3
+    )
+    path = _write_mzxml(str(tmp_path / "in.mzxml"),
+                        _spectra_to_scans(spectra))
+    result, lqc = ingest.read_and_process_file(path, DEFAULTS)
+    assert isinstance(result, dict)
+    ref, ref_lqc = ingest.read_and_process_file(
+        path, DEFAULTS, allow_native=False
+    )
+    assert lqc == ref_lqc
+    assert len(result["precursor_mz"]) == len(ref)

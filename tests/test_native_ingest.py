@@ -466,3 +466,33 @@ def test_read_and_process_file_prefers_native_mzxml(tmp_path):
     )
     assert lqc == ref_lqc
     assert len(result["precursor_mz"]) == len(ref)
+
+
+def test_prepare_spectra_process_pool_matches_serial(tmp_path):
+    """The spawn-pool ingest path (multi-core hosts) produces the same
+    store contents as the serial path (this CI box has 1 CPU, so the
+    pool path needs explicit max_workers)."""
+    from falcon_tpu.ingest import prepare_spectra
+
+    paths = []
+    for i in range(3):
+        spectra, _ = make_clustered_spectra(
+            n_clusters=5, cluster_size=3, n_noise=8, seed=60 + i
+        )
+        paths.append(write_mgf(str(tmp_path / f"in{i}.mgf"), spectra))
+
+    store_a = SpectrumStore(str(tmp_path / "serial"))
+    charges_a = prepare_spectra(store_a, paths, DEFAULTS, max_workers=1)
+    store_b = SpectrumStore(str(tmp_path / "pool"))
+    charges_b = prepare_spectra(store_b, paths, DEFAULTS, max_workers=2)
+    assert charges_a == charges_b
+    for charge in charges_a:
+        da, db = store_a.dataset(charge), store_b.dataset(charge)
+        assert da.count_rows() == db.count_rows()
+        ma, mb = da.read_metadata(), db.read_metadata()
+        # Row order can differ across workers; compare as sets.
+        assert sorted(ma["identifier"].tolist()) == \
+            sorted(mb["identifier"].tolist())
+        np.testing.assert_allclose(
+            sorted(ma["precursor_mz"]), sorted(mb["precursor_mz"])
+        )

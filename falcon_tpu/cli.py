@@ -19,7 +19,6 @@ import threading
 from typing import List, Union
 
 import numpy as np
-import pandas as pd
 
 from . import __version__, seed
 from .config import config
@@ -253,21 +252,16 @@ def main(args: Union[str, List[str], None] = None) -> int:
 
         charges_col = meta["precursor_charge"].astype(np.float64)
         # A missing charge is stored as the NULL_CHARGE sentinel; export it
-        # as NaN like the reference's nullable int8 column would.
+        # as an empty field like the reference's nullable int8 would.
         charges_col[charges_col == float(NULL_CHARGE)] = np.nan
-        metadata = pd.DataFrame(
-            {
-                "filename": meta["filename"],
-                "spectrum_id": meta["identifier"],
-                "precursor_charge": pd.array(
-                    charges_col, dtype="Int64"
-                ),
-                "precursor_mz": meta["precursor_mz"],
-                "retention_time": meta["retention_time"],
-                "cluster": clusters,
-            }
-        )
-        clusters_all.append(metadata)
+        clusters_all.append({
+            "filename": meta["filename"],
+            "spectrum_id": meta["identifier"],
+            "precursor_charge": charges_col,
+            "precursor_mz": meta["precursor_mz"],
+            "retention_time": meta["retention_time"],
+            "cluster": clusters,
+        })
         if (config.export_representatives
                 and config.representative_method == "medoid"):
             representatives.extend(dataset.take(medoids))
@@ -280,33 +274,40 @@ def main(args: Union[str, List[str], None] = None) -> int:
         logging.shutdown()
         return 1
 
-    clusters_all = pd.concat(clusters_all, ignore_index=True)
+    # Pure-NumPy columnar export (no pandas on the hot path): at
+    # millions of rows the DataFrame construction/concat/take overhead
+    # and object columns dominated export memory.
+    columns = {
+        key: np.concatenate([part[key] for part in clusters_all])
+        for key in clusters_all[0]
+    }
+    del clusters_all
     # Natural sort by (filename, spectrum_id) (reference falcon.py:206-208)
     # — native C++ comparator when available (the Python key construction
     # is a per-row regex and dominates export time at millions of rows).
     from . import native as native_lib
 
     order = native_lib.natsort_pairs(
-        list(clusters_all["filename"]), list(clusters_all["spectrum_id"])
+        columns["filename"].tolist(), columns["spectrum_id"].tolist()
     )
     if order is None:
         sort_keys = [
             (natsort_key(f), natsort_key(s))
-            for f, s in zip(clusters_all["filename"],
-                            clusters_all["spectrum_id"])
+            for f, s in zip(columns["filename"], columns["spectrum_id"])
         ]
         order = sorted(range(len(sort_keys)), key=sort_keys.__getitem__)
-    clusters_all = clusters_all.iloc[order]
+    columns = {k: v[order] for k, v in columns.items()}
+    n_rows = len(columns["cluster"])
     logger.info(
         "Export cluster assignments of %d spectra to %d unique clusters "
         "to output file %s",
-        len(clusters_all), clusters_all["cluster"].nunique(),
+        n_rows, len(np.unique(columns["cluster"])),
         f"{config.output_filename}.csv",
     )
     export_phase = profiler.phase("export")
     export_phase.__enter__()
     write_csv_worker = threading.Thread(
-        target=_write_cluster_info, args=(clusters_all,), daemon=True
+        target=_write_cluster_info, args=(columns,), daemon=True
     )
     write_csv_worker.start()
     if config.export_representatives:
@@ -415,7 +416,7 @@ def _consensus_representatives(
     return rows
 
 
-def _write_cluster_info(clusters: pd.DataFrame) -> None:
+def _write_cluster_info(columns) -> None:
     """CSV export with the '#'-prefixed run-manifest header (reference
     ``_write_cluster_info``, ``falcon/falcon.py:483-524``; same keys, same
     order, same formatting)."""
@@ -477,20 +478,27 @@ def _write_cluster_info(clusters: pd.DataFrame) -> None:
         f_out.write("#\n")
         # csv.writer (C implementation) is ~4x pandas to_csv at millions
         # of rows; float32 columns format identically (shortest repr) and
-        # a missing charge stays an empty field.
+        # a missing charge stays an empty field.  Rows stream in chunks
+        # so the string conversions never materialize all at once.
         import csv as csv_mod
 
         writer = csv_mod.writer(f_out, lineterminator="\n")
-        writer.writerow(clusters.columns.tolist())
-        charge = clusters["precursor_charge"]
-        charge_str = np.where(
-            charge.isna(), "", charge.astype(object).astype(str)
-        )
-        writer.writerows(zip(
-            clusters["filename"].to_numpy(),
-            clusters["spectrum_id"].to_numpy(),
-            charge_str,
-            clusters["precursor_mz"].to_numpy(),
-            clusters["retention_time"].to_numpy(),
-            clusters["cluster"].to_numpy(),
-        ))
+        writer.writerow(list(columns))
+        charge = columns["precursor_charge"]
+        n = len(charge)
+        chunk = 1_000_000
+        for c0 in range(0, n, chunk):
+            c1 = min(c0 + chunk, n)
+            ch = charge[c0:c1]
+            charge_str = np.where(
+                np.isnan(ch), "",
+                ch.astype("f8").astype("i8").astype(str),
+            )
+            writer.writerows(zip(
+                columns["filename"][c0:c1],
+                columns["spectrum_id"][c0:c1],
+                charge_str,
+                columns["precursor_mz"][c0:c1],
+                columns["retention_time"][c0:c1],
+                columns["cluster"][c0:c1],
+            ))

@@ -276,27 +276,51 @@ def main(args: Union[str, List[str], None] = None) -> int:
 
     # Pure-NumPy columnar export (no pandas on the hot path): at
     # millions of rows the DataFrame construction/concat/take overhead
-    # and object columns dominated export memory.
+    # and object columns dominated export memory.  The filename column
+    # is CATEGORICAL (few distinct values repeated millions of times) —
+    # it lives as small integer codes plus the unique table, decoded
+    # only chunk-by-chunk at write time.
     columns = {
         key: np.concatenate([part[key] for part in clusters_all])
-        for key in clusters_all[0]
+        for key in clusters_all[0] if key != "filename"
     }
+    file_uniques, file_codes = np.unique(
+        np.concatenate([part["filename"] for part in clusters_all]),
+        return_inverse=True,
+    )
+    file_codes = file_codes.astype(np.int32)
     del clusters_all
     # Natural sort by (filename, spectrum_id) (reference falcon.py:206-208)
     # — native C++ comparator when available (the Python key construction
     # is a per-row regex and dominates export time at millions of rows).
+    # The primary key strictly dominates, so the global order is the
+    # files in natural order, each file's rows natural-sorted by
+    # spectrum id — peak memory stays one file's id list, not the
+    # corpus's.
     from . import native as native_lib
 
-    order = native_lib.natsort_pairs(
-        columns["filename"].tolist(), columns["spectrum_id"].tolist()
+    file_rank_order = native_lib.natsort_pairs(
+        file_uniques.tolist(), [""] * len(file_uniques)
     )
-    if order is None:
-        sort_keys = [
-            (natsort_key(f), natsort_key(s))
-            for f, s in zip(columns["filename"], columns["spectrum_id"])
-        ]
-        order = sorted(range(len(sort_keys)), key=sort_keys.__getitem__)
+    if file_rank_order is None:
+        file_rank_order = sorted(
+            range(len(file_uniques)),
+            key=lambda i: natsort_key(str(file_uniques[i])),
+        )
+    order_parts = []
+    for code in file_rank_order:
+        rows = np.flatnonzero(file_codes == code)
+        ids = columns["spectrum_id"][rows].tolist()
+        sub = native_lib.natsort_pairs(ids, [""] * len(ids))
+        if sub is None:
+            sub = sorted(range(len(ids)),
+                         key=lambda i: natsort_key(ids[i]))
+        order_parts.append(rows[np.asarray(sub, np.int64)])
+    order = (np.concatenate(order_parts) if order_parts
+             else np.zeros(0, np.int64))
+    del order_parts
     columns = {k: v[order] for k, v in columns.items()}
+    file_codes = file_codes[order]
     n_rows = len(columns["cluster"])
     logger.info(
         "Export cluster assignments of %d spectra to %d unique clusters "
@@ -307,7 +331,8 @@ def main(args: Union[str, List[str], None] = None) -> int:
     export_phase = profiler.phase("export")
     export_phase.__enter__()
     write_csv_worker = threading.Thread(
-        target=_write_cluster_info, args=(columns,), daemon=True
+        target=_write_cluster_info,
+        args=(columns, file_codes, file_uniques), daemon=True,
     )
     write_csv_worker.start()
     if config.export_representatives:
@@ -416,7 +441,7 @@ def _consensus_representatives(
     return rows
 
 
-def _write_cluster_info(columns) -> None:
+def _write_cluster_info(columns, file_codes, file_uniques) -> None:
     """CSV export with the '#'-prefixed run-manifest header (reference
     ``_write_cluster_info``, ``falcon/falcon.py:483-524``; same keys, same
     order, same formatting)."""
@@ -483,7 +508,7 @@ def _write_cluster_info(columns) -> None:
         import csv as csv_mod
 
         writer = csv_mod.writer(f_out, lineterminator="\n")
-        writer.writerow(list(columns))
+        writer.writerow(["filename"] + list(columns))
         charge = columns["precursor_charge"]
         n = len(charge)
         chunk = 1_000_000
@@ -495,7 +520,7 @@ def _write_cluster_info(columns) -> None:
                 ch.astype("f8").astype("i8").astype(str),
             )
             writer.writerows(zip(
-                columns["filename"][c0:c1],
+                file_uniques[file_codes[c0:c1]],
                 columns["spectrum_id"][c0:c1],
                 charge_str,
                 columns["precursor_mz"][c0:c1],

@@ -307,9 +307,24 @@ def main(args: Union[str, List[str], None] = None) -> int:
             range(len(file_uniques)),
             key=lambda i: natsort_key(str(file_uniques[i])),
         )
-    order_parts = []
+    # Distinct filenames can TIE under the natural-sort key (e.g.
+    # 'a1.mzML' vs 'a01.mzML').  The reference's row-wise tuple sort
+    # interleaves such files' rows by spectrum id, so merge tied files
+    # into one group before the per-group spectrum-id sort (stable, in
+    # original row order) instead of keeping them separate.
+    file_keys = [natsort_key(str(f)) for f in file_uniques]
+    code_groups: list = []
     for code in file_rank_order:
-        rows = np.flatnonzero(file_codes == code)
+        if code_groups and file_keys[code_groups[-1][0]] == file_keys[code]:
+            code_groups[-1].append(code)
+        else:
+            code_groups.append([code])
+    order_parts = []
+    for group in code_groups:
+        if len(group) == 1:
+            rows = np.flatnonzero(file_codes == group[0])
+        else:
+            rows = np.flatnonzero(np.isin(file_codes, group))
         ids = columns["spectrum_id"][rows].tolist()
         sub = native_lib.natsort_pairs(ids, [""] * len(ids))
         if sub is None:

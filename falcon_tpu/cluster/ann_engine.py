@@ -197,6 +197,26 @@ def generate_clusters(
             "Charge bucket of %d spectra split into %d device blocks "
             "(cap %d)", n, len(splits) - 1, device_cap,
         )
+        # A gap-free m/z run longer than the cap forces mid-run cuts
+        # that permanently sever within-tolerance neighbor pairs across
+        # the boundary (documented divergence, SURVEY.md §3.5) — make
+        # every forced cut visible in the log.
+        interior = splits[1:-1]
+        if len(interior):
+            from .intervals import mass_diff
+
+            boundary_diffs = mass_diff(
+                mz_sorted[interior], mz_sorted[interior - 1],
+                precursor_tol_mode == "Da",
+            )
+            n_forced = int((boundary_diffs <= precursor_tol_mass).sum())
+            if n_forced:
+                logger.warning(
+                    "%d of %d device-block boundaries are forced "
+                    "mid-run cuts (no tolerance gap at the boundary): "
+                    "within-tolerance pairs across those cuts are not "
+                    "compared", n_forced, len(interior),
+                )
     else:
         splits = np.asarray([0, n], np.int64)
 
@@ -435,6 +455,10 @@ def _single_device_chain(
             min(max(n_neighbors_ann, k_ann), max(n - 1, 1)),
             n_probe=n_probe, tol_mass=precursor_tol_mass,
             tol_mode=precursor_tol_mode,
+            # Without an exact rerank the scan similarities feed the eps
+            # threshold directly — keep them float32 (bfloat16 would
+            # shift membership near the threshold).
+            precise=not do_rerank,
         )
         sims, neigh = sims[:, :k_ann], neigh[:, :k_ann]
         if rt_tol is not None:

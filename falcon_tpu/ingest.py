@@ -34,12 +34,13 @@ def read_and_process_file(
     """Parse one peak file and preprocess its spectra.
 
     Returns (result, low-quality count) where result is either a columnar
-    batch dict (the native C++ fast path, MGF only — parse + the full
-    preprocessing chain in ``native/falcon_ingest.cc``) or a list of
-    processed spectrum dicts (the Python path for mzML/mzXML, and the MGF
-    fallback when the native library is unavailable).  Mirrors reference
-    ``_read_spectra`` (``falcon/falcon.py:362-392``), including storing
-    the absolute filename on each spectrum.
+    batch dict (the native C++ fast path — parse + the full preprocessing
+    chain for all three formats: MGF in ``native/falcon_ingest.cc``,
+    mzML/mzXML in ``native/falcon_mzml.cc``) or a list of processed
+    spectrum dicts (the pure-Python fallback when the native library is
+    unavailable or returns nothing for a non-empty file).  Mirrors
+    reference ``_read_spectra`` (``falcon/falcon.py:362-392``), including
+    storing the absolute filename on each spectrum.
     """
     filename = os.path.abspath(filename)
     lower = filename.lower()
@@ -52,6 +53,21 @@ def read_and_process_file(
                      ".mzml": native.mzml_ingest,
                      ".mzxml": native.mzxml_ingest}[native_fmt]
         batch = ingest_fn(filename, **process_kwargs)
+        if (
+            batch is not None
+            and batch.get("n_read", 1) == 0
+            and not batch.get("truncated")
+            and os.path.getsize(filename) > 0
+        ):
+            # The native scanner found no spectrum elements in a non-empty
+            # file (e.g. unusual whitespace/namespacing in the XML): fall
+            # back to the Python reader instead of silently dropping the
+            # file's spectra.
+            logger.warning(
+                "Native parser found no spectra in non-empty file %s; "
+                "falling back to the Python reader", filename,
+            )
+            batch = None
         if batch is not None:
             if batch.get("truncated"):
                 logger.warning(

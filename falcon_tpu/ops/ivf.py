@@ -122,7 +122,10 @@ class IVFIndex:
         n = len(precursor_mzs)
         if n_lists is None:
             n_lists = _bucket(max(1, int(np.sqrt(n) + 0.5)), 16)
-        self.n_lists = int(min(n_lists, n))
+        # The chunked probe scan requires chunk | n_lists with a
+        # power-of-two chunk, so force the list count to a power of two
+        # (round DOWN so it never exceeds n).
+        self.n_lists = 1 << max(0, int(min(n_lists, n)).bit_length() - 1)
         rng = np.random.default_rng(seed)
         if isinstance(vectors, np.ndarray):
             vectors_dev = device_put_chunked(
@@ -210,12 +213,17 @@ class IVFIndex:
         tol_mass: float = np.inf,
         tol_mode: str = "Da",
         per_list_k: Optional[int] = None,
+        precise: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """k-NN of each query; returns (similarities, original row ids).
 
         Missing neighbors: sim -2, id -1.  ``per_list_k`` is accepted
         for API compatibility and ignored (the chunked einsum merges
-        every probed candidate).
+        every probed candidate).  ``precise`` keeps the probe-scan
+        einsum in float32 — use it when NO exact rerank runs downstream,
+        so eps-threshold comparisons see full-precision similarities
+        (bfloat16's ~2-3 significant digits would shift membership near
+        the threshold; advisor round-2 finding).
         """
         nq = len(q_mz)
         n = len(self.mzs)
@@ -288,7 +296,7 @@ class IVFIndex:
             jnp.asarray(probe_ids),
             jnp.float32(tol_mass),
             k_eff, tol_is_da, int(chunk), int(qlb), int(lb),
-            int(n_probe),
+            int(n_probe), bool(precise),
         )
         scores_h = np.array(scores.reshape(self.n_lists * qlb, -1))
         slots_h = np.asarray(slots).reshape(self.n_lists * qlb, -1)
@@ -338,7 +346,9 @@ class IVFIndex:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tol_is_da", "chunk", "qlb", "lb", "n_probe"),
+    static_argnames=(
+        "k", "tol_is_da", "chunk", "qlb", "lb", "n_probe", "precise"
+    ),
 )
 def _chunk_scan(
     q3d,        # (n_lists, qlb, D) per-list query tensor
@@ -355,13 +365,20 @@ def _chunk_scan(
     qlb: int,
     lb: int,
     n_probe: int,
+    precise: bool = False,
 ):
     """Chunked probe scan: per step, block-gather the chunk's probe
     slabs and run one einsum + fused top-k.  Returns (scores, SLOT ids
-    into the flattened (n_lists * lb) layout; -1 missing)."""
+    into the flattened (n_lists * lb) layout; -1 missing).
+
+    ``precise=False`` scans in bfloat16 (2x MXU rate; fine when an exact
+    rerank re-scores survivors); ``precise=True`` keeps float32 so the
+    ranking similarities are directly threshold-comparable.
+    """
     n_lists = corpus3d.shape[0]
-    c16 = corpus3d.astype(jnp.bfloat16)
-    q16 = q3d.astype(jnp.bfloat16)
+    scan_dtype = jnp.float32 if precise else jnp.bfloat16
+    c16 = corpus3d.astype(scan_dtype)
+    q16 = q3d.astype(scan_dtype)
     n_chunks = n_lists // chunk
 
     def step(_, ci):

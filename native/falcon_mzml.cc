@@ -153,6 +153,28 @@ bool zlib_inflate(const std::vector<uint8_t>& in, std::vector<uint8_t>* out) {
 
 // ---- tiny XML helpers (attribute scan within one tag) ----------------
 
+// Find an element open tag "<name" followed by whitespace or a
+// tag-ending character, so "<spectrum\n  id=...>" matches just like
+// "<spectrum id=...>" (a bare prefix match would also hit e.g.
+// "<spectrumList").  Returns npos when the name sits at the very end of
+// the window (possibly split by the chunk boundary) — the caller keeps a
+// tail and retries after the next read.
+size_t find_tag_open(const std::string& s, std::string_view name,
+                     size_t from) {
+  size_t pos = from;
+  while ((pos = s.find(name.data(), pos, name.size())) !=
+         std::string::npos) {
+    size_t after = pos + name.size();
+    if (after >= s.size()) return std::string::npos;
+    char c = s[after];
+    if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '>' ||
+        c == '/')
+      return pos;
+    ++pos;
+  }
+  return std::string::npos;
+}
+
 // Find attribute value inside tag text [tag_b, tag_e): name="value".
 bool attr_value(std::string_view tag, std::string_view name,
                 std::string_view* out) {
@@ -434,7 +456,7 @@ void* fc_mzml_ingest(const char* path, int min_peaks, double min_mz_range,
     if (got == 0) break;
     window.append(buf.data(), got);
     size_t pos;
-    while ((pos = window.find("<spectrum ", search_from)) !=
+    while ((pos = find_tag_open(window, "<spectrum", search_from)) !=
            std::string::npos) {
       size_t end = window.find("</spectrum>", pos);
       if (end == std::string::npos) {
@@ -456,7 +478,7 @@ void* fc_mzml_ingest(const char* path, int min_peaks, double min_mz_range,
     }
   }
   // Unconsumed "<spectrum" start at EOF = truncated document.
-  if (window.find("<spectrum ", search_from) != std::string::npos)
+  if (find_tag_open(window, "<spectrum", search_from) != std::string::npos)
     truncated = true;
   std::fclose(f);
 
@@ -690,7 +712,7 @@ void* fc_mzxml_ingest(const char* path, int min_peaks, double min_mz_range,
     if (got == 0) break;
     window.append(buf.data(), got);
     size_t pos;
-    while ((pos = window.find("<scan ", search_from)) !=
+    while ((pos = find_tag_open(window, "<scan", search_from)) !=
            std::string::npos) {
       size_t end = window.find("</scan>", pos);
       if (end == std::string::npos) {
@@ -702,7 +724,7 @@ void* fc_mzxml_ingest(const char* path, int min_peaks, double min_mz_range,
           std::string_view(window).substr(pos, end + 7 - pos), p, res);
       // Advance past the OPEN tag only: nested MS2 scans inside this
       // block are found on later iterations.
-      search_from = pos + 6;
+      search_from = pos + 5;
     }
     if (pos == std::string::npos) {
       size_t keep = window.size() > 16 ? 16 : window.size();
@@ -710,7 +732,7 @@ void* fc_mzxml_ingest(const char* path, int min_peaks, double min_mz_range,
       search_from = 0;
     }
   }
-  if (window.find("<scan ", search_from) != std::string::npos)
+  if (find_tag_open(window, "<scan", search_from) != std::string::npos)
     truncated = true;
   std::fclose(f);
 

@@ -132,3 +132,28 @@ def test_cli_ann_backend(mgf_inputs):
         for _, g in df.groupby("cluster")
     )
     assert purity_num / len(df) > 0.95
+
+
+def test_cli_export_interleaves_natsort_tied_filenames(tmp_path):
+    # 'a1.mgf' and 'a01.mgf' have identical natural-sort keys; the
+    # reference's row-wise (filename, spectrum_id) tuple sort interleaves
+    # their rows by spectrum id rather than grouping per file (advisor
+    # round-2 finding).
+    spectra, _ = make_clustered_spectra(
+        n_clusters=4, cluster_size=4, n_noise=8, seed=33,
+    )
+    half = len(spectra) // 2
+    # Give the two files disjoint, alternating spectrum ids so the
+    # interleaving is observable.
+    for i, s in enumerate(spectra[:half]):
+        s.identifier = f"idx={2 * i}"
+    for i, s in enumerate(spectra[half:]):
+        s.identifier = f"idx={2 * i + 1}"
+    f1 = write_mgf(str(tmp_path / "a1.mgf"), spectra[:half])
+    f2 = write_mgf(str(tmp_path / "a01.mgf"), spectra[half:])
+    out = str(tmp_path / "out_tied")
+    assert cli.main([f1, f2, out]) == 0
+    df = _read_csv(out + ".csv")
+    ids = [int(s.split("=")[1]) for s in df["spectrum_id"]]
+    assert ids == sorted(ids)  # interleaved by id, not grouped per file
+    assert df["filename"].nunique() == 2

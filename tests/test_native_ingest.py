@@ -313,6 +313,51 @@ def test_native_mzml_matches_python(tmp_path, zlib_mz, f64_mz, rt_unit):
     assert not batch["truncated"]
 
 
+def test_native_mzml_whitespace_after_tag_name(tmp_path):
+    # A valid mzML may break the line right after the tag name
+    # ("<spectrum\n  index=..."); the streaming scanner must still find
+    # the block (advisor round-2 medium finding).
+    spectra, _ = make_clustered_spectra(
+        n_clusters=6, cluster_size=3, n_noise=10, seed=11
+    )
+    path = _write_mzml(str(tmp_path / "in.mzml"), spectra)
+    doc = open(path).read()
+    doc = doc.replace("<spectrum index=", "<spectrum\n  index=")
+    open(path, "w").write(doc)
+    batch = native.mzml_ingest(path, **DEFAULTS)
+    expected, lqc = python_reference(path, DEFAULTS)
+    assert_batch_matches(batch, expected, lqc)
+    assert not batch["truncated"]
+
+
+def test_ingest_falls_back_when_native_sees_no_spectra(tmp_path, caplog,
+                                                       monkeypatch):
+    # If the native scanner parses a non-empty file to zero spectra read
+    # (not truncated), ingest must warn and use the Python reader rather
+    # than silently dropping the file.
+    spectra, _ = make_clustered_spectra(
+        n_clusters=4, cluster_size=3, n_noise=5, seed=12
+    )
+    path = _write_mzml(str(tmp_path / "in.mzml"), spectra)
+
+    import falcon_tpu.native as native_mod
+
+    def empty_ingest(filename, **kwargs):
+        return {"precursor_mz": np.zeros(0), "n_read": 0,
+                "n_low_quality": 0, "truncated": False}
+
+    monkeypatch.setattr(native_mod, "mzml_ingest", empty_ingest)
+    with caplog.at_level("WARNING", logger="falcon_tpu"):
+        result, lqc = ingest.read_and_process_file(path, DEFAULTS)
+    assert any("falling back to the Python reader" in r.message
+               for r in caplog.records)
+    ref, ref_lqc = ingest.read_and_process_file(
+        path, DEFAULTS, allow_native=False
+    )
+    assert isinstance(result, list) and len(result) == len(ref)
+    assert lqc == ref_lqc
+
+
 def test_native_mzml_skips_ms1_and_incomplete(tmp_path):
     spectra, _ = make_clustered_spectra(
         n_clusters=4, cluster_size=3, n_noise=5, seed=2

@@ -218,8 +218,7 @@ def main(args: Union[str, List[str], None] = None) -> int:
                     min_mz=mz_min,
                     max_mz=mz_max,
                     max_peaks=config.max_peaks_used,
-                    use_ivf={"auto": None, "brute": False,
-                             "ivf": True}[config.ann_index],
+                    ann_index=config.ann_index,
                     rerank=config.rerank,
                     devices=config.devices,
                 )
@@ -409,8 +408,7 @@ def _generate_for_charge(dataset, mz_min, mz_max):
         min_mz=mz_min,
         max_mz=mz_max,
         max_peaks=config.max_peaks_used,
-        use_ivf={"auto": None, "brute": False,
-                 "ivf": True}[config.ann_index],
+        ann_index=config.ann_index,
         rerank=config.rerank,
         devices=config.devices,
     )

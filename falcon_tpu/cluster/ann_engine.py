@@ -133,14 +133,26 @@ def generate_clusters(
     use_ivf: Optional[bool] = None,
     rerank: str = "exact",
     devices: Optional[int] = None,
+    ann_index: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Cluster one charge bucket with the vectorized ANN pipeline.
 
     Returns (labels, medoid row indices) with the same semantics as the
     exact engine: every spectrum labeled, noise as singletons, one medoid
     per cluster plus each noise point.
+
+    ``ann_index`` (the ``--ann_index`` surface) supersedes ``use_ivf``:
+    'auto' | 'brute' | 'ivf' pick the hashed-vector search as before;
+    'exact' replaces hash + search + rerank with the hash-free banded
+    exact-cosine top-k (``ops/exact_knn.py``) — recall@k = 1.0 vs exact
+    cosine by construction, the oracle path PARITY.md advertises.
     """
     import jax.numpy as jnp  # deferred: keep module import light
+
+    exact_index = ann_index == "exact"
+    if ann_index is not None and use_ivf is None:
+        use_ivf = {"auto": None, "brute": False, "ivf": True,
+                   "exact": False}[ann_index]
 
     meta = dataset.read_metadata()
     offsets, mz_flat, int_flat = dataset.read_peaks()
@@ -237,6 +249,7 @@ def generate_clusters(
             eps, min_samples, min_matches, precursor_tol_mass,
             precursor_tol_mode, rt_tol, fragment_tol, n_neighbors,
             n_neighbors_ann, n_probe, use_ivf, rerank, devices,
+            exact_index,
         )
         mask = final_b >= 0
         final_b = final_b.astype(np.int32)
@@ -269,13 +282,15 @@ def _cluster_range(
     hasher, pad_to, eps, min_samples, min_matches, precursor_tol_mass,
     precursor_tol_mode, rt_tol, fragment_tol, n_neighbors,
     n_neighbors_ann, n_probe, use_ivf, rerank, devices,
+    exact_index=False,
 ):
     """Cluster one device block (a sorted precursor-m/z range).
 
     Returns (labels in sorted-range order, -1 = noise, numbered from 0;
     medoid dataset-row ids, noise singletons first)."""
     k_final = min(n_neighbors, max(n - 1, 1))
-    do_rerank = rerank == "exact"
+    # The exact index produces exact scores directly — no rerank stage.
+    do_rerank = rerank == "exact" and not exact_index
     k_ann = (min(max(n_neighbors_ann, k_final), max(n - 1, 1))
              if do_rerank else k_final)
 
@@ -287,7 +302,7 @@ def _cluster_range(
     labels = None
     medoid_scores_fn = None
     if (devices is not None and devices > 1 and do_rerank
-            and use_ivf is not True):
+            and use_ivf is not True and not exact_index):
         import jax
 
         if len(jax.devices()) >= devices:
@@ -330,7 +345,7 @@ def _cluster_range(
             rt_sorted, n, hasher, pad_to, k_ann, k_final, do_rerank,
             use_ivf, eps, min_samples, min_matches, precursor_tol_mass,
             precursor_tol_mode, rt_tol, fragment_tol, n_neighbors_ann,
-            n_probe, devices,
+            n_probe, devices, exact_index,
         )
         labels, medoid_scores_fn = labels
 
@@ -345,7 +360,7 @@ def _single_device_chain(
     timer, offsets, mz_flat, int_flat, order, mz_sorted, rt_sorted, n,
     hasher, pad_to, k_ann, k_final, do_rerank, use_ivf, eps, min_samples,
     min_matches, precursor_tol_mass, precursor_tol_mode, rt_tol,
-    fragment_tol, n_neighbors_ann, n_probe, devices,
+    fragment_tol, n_neighbors_ann, n_probe, devices, exact_index=False,
 ):
     """Single-device (or kNN-only sharded) chain: vectorize -> k-NN ->
     rerank -> DBSCAN.  Returns (labels, medoid_scores_fn)."""
@@ -361,6 +376,8 @@ def _single_device_chain(
         hi_vals = mz_sorted * (1 + precursor_tol_mass / 1e6)
     spans = (np.searchsorted(mz_sorted, hi_vals, side="right")
              - np.searchsorted(mz_sorted, lo_vals, side="left"))
+    if exact_index:
+        use_ivf = False
     if use_ivf is None:
         # Auto selection, calibrated by measurement on the target
         # hardware (README "Index selection"): the banded MXU scan
@@ -444,7 +461,27 @@ def _single_device_chain(
     # large buckets where the O(n * band) matmuls outgrow the budget.
     # With exact reranking (the default), the search ranks candidates by
     # the upper bound and step 2b re-scores the survivors exactly.
-    if use_ivf:
+    if exact_index:
+        # Hash-free oracle path (--ann_index exact): score EVERY in-band
+        # pair with the exact peak-matching cosine and take the top-k —
+        # recall@k = 1.0 vs exact cosine by construction.  Scores are
+        # exact, so they feed DBSCAN directly (no rerank stage);
+        # min_matches zeroing happens inside (reference semantics,
+        # falcon/cluster/cluster.py:620-626).
+        from ..ops.exact_knn import exact_banded_topk
+
+        if devices is not None and devices > 1:
+            logger.warning(
+                "--ann_index exact runs single-device; ignoring "
+                "--devices %d for the k-NN stage", devices,
+            )
+        sims, neigh = exact_banded_topk(
+            mz_pad_dev, int_pad_dev, mz_sorted, precursor_tol_mass,
+            precursor_tol_mode, k_final, fragment_tol,
+            rts=rt_sorted if rt_tol is not None else None,
+            rt_tol=rt_tol, min_matches=min_matches,
+        )
+    elif use_ivf:
         from ..ops.ivf import IVFIndex
 
         # The device-resident hashed vectors go straight into the index;

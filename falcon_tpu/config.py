@@ -288,11 +288,13 @@ class Config:
             "--ann_index",
             default="auto",
             type=str,
-            choices=["auto", "brute", "ivf"],
-            help="[ann backend] Nearest-neighbor index: 'brute' = exact "
+            choices=["auto", "brute", "ivf", "exact"],
+            help="[ann backend] Nearest-neighbor index: 'brute' = hashed "
             "banded matmul search, 'ivf' = TPU IVF (k-means coarse "
             "quantizer + n_probe list scans), 'auto' = ivf for very "
-            "large charge buckets (default: %(default)s).",
+            "large charge buckets, 'exact' = hash-free banded "
+            "peak-matching-cosine top-k (oracle path; recall@k = 1.0 by "
+            "construction) (default: %(default)s).",
         )
         p.add_argument(
             "--hash_seed",

@@ -6,13 +6,16 @@ in-band pair with the exact locally-dominant matching kernel and takes
 the top-k — no hash anywhere in the loop, recall@k = 1.0 vs exact
 cosine by construction.
 
-Status: ALTERNATIVE / VERIFICATION backend.  Measured on a v5e chip
-(25k spectra, 128-wide bands), the per-row Pallas panel variant ran
-~1.7x slower than the XLA gather rerank it would replace, so the
-production default in ``cluster/ann_engine.py`` is the tolerance-spread
-upper-bound prefilter + gather rerank (label-identical to exhaustive
-exact scoring, tests/test_ann.py) — this module stays as the
-hash-free oracle path and a correctness cross-check for it.
+Status: ALTERNATIVE / VERIFICATION backend, reachable via
+``--ann_index exact`` (the ann engine then skips hashing, prefilter,
+and rerank and feeds these exact scores straight to DBSCAN).  Measured
+on a v5e chip (25k spectra, 128-wide bands), the per-row Pallas panel
+variant ran ~1.7x slower than the XLA gather rerank it would replace,
+so the production default in ``cluster/ann_engine.py`` remains the
+tolerance-spread upper-bound prefilter + gather rerank
+(label-identical to exhaustive exact scoring, tests/test_ann.py) —
+this module is the hash-free oracle path and a correctness cross-check
+for it.
 
 Banding: spectra are sorted by precursor m/z, so row i's candidates live
 in a contiguous window.  Per-row column windows are expressed with a

@@ -157,3 +157,28 @@ def test_cli_export_interleaves_natsort_tied_filenames(tmp_path):
     ids = [int(s.split("=")[1]) for s in df["spectrum_id"]]
     assert ids == sorted(ids)  # interleaved by id, not grouped per file
     assert df["filename"].nunique() == 2
+
+
+def test_cli_ann_index_exact(mgf_inputs):
+    # --ann_index exact: hash-free banded exact-cosine oracle path.
+    # Labels must agree with the default (prefilter + exact rerank) ann
+    # run, which is label-identical to exhaustive exact scoring.
+    tmp_path, files, spectra, truth = mgf_inputs
+    out_exact = str(tmp_path / "out_idx_exact")
+    out_default = str(tmp_path / "out_idx_default")
+    assert cli.main(files + [out_exact, "--backend", "ann",
+                             "--ann_index", "exact", "--eps", "0.3"]) == 0
+    assert cli.main(files + [out_default, "--backend", "ann",
+                             "--eps", "0.3"]) == 0
+    df_e = _read_csv(out_exact + ".csv")
+    df_d = _read_csv(out_default + ".csv")
+    assert len(df_e) == len(spectra)
+    with open(out_exact + ".csv") as f:
+        header = [line for line in f if line.startswith("#")]
+    assert any("ann_index = exact" in line for line in header)
+    # Same partition: pairwise co-membership agreement.
+    merged = df_e.merge(df_d, on="spectrum_id", suffixes=("_e", "_d"))
+    for _, g in merged.groupby("cluster_e"):
+        assert g["cluster_d"].nunique() == 1
+    for _, g in merged.groupby("cluster_d"):
+        assert g["cluster_e"].nunique() == 1

@@ -124,8 +124,9 @@ def generate_clusters(
             results[k] = pdist
             results_ready.notify_all()
 
-    # Multi-chip: large intervals' row panels are sharded over the mesh
-    # (parallel/sharded_exact.py) — same condensed output, N chips wide.
+    # Multi-chip: large intervals' condensed pair lists are sharded over
+    # the mesh (parallel/sharded_exact.py) — each unordered pair scored
+    # once, equal per-device pair counts, same condensed output.
     mesh = None
     if devices is not None and devices > 1 and large:
         import jax
@@ -155,11 +156,13 @@ def generate_clusters(
                     from ..parallel.sharded_exact import (
                         condensed_distances_sharded)
 
-                    put(k, condensed_distances_sharded(
+                    pdist = condensed_distances_sharded(
                         mz_pad, int_pad, fragment_tol, min_matches,
                         mesh, **kwargs,
-                    ))
-                    continue
+                    )
+                    if pdist is not None:  # None: too large for int32
+                        put(k, pdist)
+                        continue
                 put(k, pairwise.condensed_distances(
                     mz_pad, int_pad, fragment_tol, min_matches,
                     backend=backend, **kwargs,

@@ -166,6 +166,67 @@ def test_condensed_distances_sharded_matches_single_device():
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_condensed_distances_sharded_balanced_upper_triangle():
+    """Each device scores ~n(n-1)/2/N pairs — the condensed upper
+    triangle is sharded, not full square rows (round-2 verdict #4:
+    half the FLOPs, half the readback of the row-panel formulation)."""
+    from falcon_tpu.parallel import sharded_exact
+    from falcon_tpu.parallel.mesh import make_mesh
+    from falcon_tpu.parallel.sharded_exact import (
+        condensed_distances_sharded, condensed_offsets)
+
+    n = 700
+    m = n * (n - 1) // 2
+    n_dev = 8
+    pair_chunk = 4096
+    # Reproduce the padding rule and assert equal per-device slices of
+    # the condensed range, sized ~m/N.
+    chunks_per_dev = 1
+    while chunks_per_dev * n_dev * pair_chunk < m:
+        chunks_per_dev *= 2
+    local = chunks_per_dev * pair_chunk
+    real_counts = [
+        max(0, min(m, (d + 1) * local) - d * local) for d in range(n_dev)
+    ]
+    assert sum(real_counts) == m
+    assert max(real_counts) <= local
+    # All devices except possibly the tail-padding ones carry full
+    # slices; no device exceeds ceil(m / N) by more than the padding
+    # granularity.
+    assert max(real_counts) - min(
+        c for c in real_counts if c > 0
+    ) <= local
+
+    # Offsets invariants: offsets[i+1]-offsets[i] == n-1-i; total == m.
+    offs = condensed_offsets(n)
+    assert offs[0] == 0 and offs[-1] == m
+    np.testing.assert_array_equal(np.diff(offs), n - 1 - np.arange(n))
+
+    # And the sharded result matches the single-device scorer on a
+    # small random interval (condensed order preserved end to end).
+    rng = np.random.default_rng(7)
+    p = 32
+    small_n = 300
+    mz_pad = np.sort(
+        rng.uniform(101.0, 1500.0, (small_n, p)).astype(np.float32),
+        axis=1,
+    )
+    int_pad = rng.uniform(0.1, 1.0, (small_n, p)).astype(np.float32)
+    int_pad /= np.linalg.norm(int_pad, axis=1, keepdims=True)
+    from falcon_tpu.ops import pairwise
+
+    ref = pairwise.condensed_distances(
+        mz_pad, int_pad, 0.05, 0, backend="xla"
+    )
+    got = condensed_distances_sharded(
+        mz_pad, int_pad, 0.05, 0, make_mesh(n_dev)
+    )
+    assert got.shape == (small_n * (small_n - 1) // 2,)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # Oversized intervals signal fallback instead of overflowing int32.
+    assert sharded_exact.MAX_N * (sharded_exact.MAX_N - 1) // 2 < 2**31
+
+
 def test_exact_engine_devices_flag(tmp_path):
     """--devices on the exact backend produces identical labels."""
     from falcon_tpu.cluster import engine

@@ -34,7 +34,27 @@ logger = logging.getLogger("falcon_tpu")
 
 _medoid_scores_jit = None
 
+import contextlib as _contextlib
 import os as _os
+import threading as _threading
+
+# Gauge of concurrently running device blocks (observability for the
+# cross-block dispatch; tests assert max >= 2 when blocks parallelize).
+_block_gauge = {"active": 0, "max": 0}
+_block_gauge_lock = _threading.Lock()
+
+
+@_contextlib.contextmanager
+def _block_gauge_tracked():
+    with _block_gauge_lock:
+        _block_gauge["active"] += 1
+        _block_gauge["max"] = max(_block_gauge["max"],
+                                  _block_gauge["active"])
+    try:
+        yield
+    finally:
+        with _block_gauge_lock:
+            _block_gauge["active"] -= 1
 
 _SYNC_STAGES = _os.environ.get("FALCON_TPU_SYNC_STAGES") == "1"
 
@@ -171,7 +191,6 @@ def generate_clusters(
     if n == 1:
         return np.zeros(1, np.int32), np.zeros(1, np.int64)
 
-    timer = StageTimer("ann: ")
     hasher = SpectrumHasher(min_mz, max_mz, fragment_tol, low_dim,
                             hash_seed)
     pad_to = ((max_peaks + 63) // 64) * 64
@@ -235,22 +254,86 @@ def generate_clusters(
     labels_sorted = np.full(n, -1, np.int32)
     medoids_all = []
     current = 0
-    for b0, b1 in zip(splits[:-1], splits[1:]):
-        b0, b1 = int(b0), int(b1)
+
+    block_ranges = [
+        (int(b0), int(b1))
+        for b0, b1 in zip(splits[:-1], splits[1:]) if b1 - b0 > 0
+    ]
+    multi_blocks = [b for b in block_ranges if b[1] - b[0] > 1]
+
+    # Cross-block parallelism: independent mega-blocks share no state
+    # (reference block independence: falcon/cluster/cluster.py:159-209),
+    # so with a multi-device mesh each block runs its SINGLE-device
+    # chain on its own device (zero collectives — the embarrassingly
+    # parallel layout a v5e-8 wants at the 25M scale); on one chip a
+    # 2-deep pipeline overlaps block k's host refinement with block
+    # k+1's device work (the regime where the cli-level charge overlap
+    # turns itself off).  Results are merged in block order, so labels
+    # are identical to the serial loop.
+    import jax
+
+    block_devices = None
+    n_workers = 1
+    if len(multi_blocks) > 1:
+        if (devices is not None and devices > 1
+                and len(jax.devices()) >= devices):
+            block_devices = jax.devices()[:devices]
+            n_workers = min(devices, len(multi_blocks))
+            logger.info(
+                "Dispatching %d device blocks round-robin over %d "
+                "devices", len(multi_blocks), devices,
+            )
+        else:
+            n_workers = min(
+                int(_os.environ.get("FALCON_TPU_BLOCK_PIPELINE", "2")),
+                len(multi_blocks),
+            )
+
+    def run_block(i: int, b0: int, b1: int):
         m = b1 - b0
-        if m <= 0:
-            continue
-        if m == 1:
+        block_timer = StageTimer("ann: ")
+        try:
+            if block_devices is not None:
+                ctx = jax.default_device(
+                    block_devices[i % len(block_devices)]
+                )
+            else:
+                ctx = _contextlib.nullcontext()
+            with ctx, _block_gauge_tracked():
+                return _cluster_range(
+                    block_timer, offsets, mz_flat, int_flat,
+                    order[b0:b1], mz_sorted[b0:b1], rt_sorted[b0:b1],
+                    m, hasher, pad_to, eps, min_samples, min_matches,
+                    precursor_tol_mass, precursor_tol_mode, rt_tol,
+                    fragment_tol, n_neighbors, n_neighbors_ann, n_probe,
+                    use_ivf, rerank,
+                    # Block-level parallelism supersedes the
+                    # within-block sharded pipeline.
+                    None if block_devices is not None else devices,
+                    exact_index,
+                )
+        finally:
+            block_timer.finish()
+
+    if n_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        multi_idx = {b: i for i, b in enumerate(multi_blocks)}
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            futures = {
+                b: pool.submit(run_block, i, *b)
+                for b, i in multi_idx.items()
+            }
+            results = {b: futures[b].result() for b in multi_blocks}
+    else:
+        results = {b: run_block(i, *b)
+                   for i, b in enumerate(multi_blocks)}
+
+    for b0, b1 in block_ranges:
+        if b1 - b0 == 1:
             medoids_all.append(order[b0:b1].astype(np.int64))
             continue
-        final_b, med_b = _cluster_range(
-            timer, offsets, mz_flat, int_flat, order[b0:b1],
-            mz_sorted[b0:b1], rt_sorted[b0:b1], m, hasher, pad_to,
-            eps, min_samples, min_matches, precursor_tol_mass,
-            precursor_tol_mode, rt_tol, fragment_tol, n_neighbors,
-            n_neighbors_ann, n_probe, use_ivf, rerank, devices,
-            exact_index,
-        )
+        final_b, med_b = results[(b0, b1)]
         mask = final_b >= 0
         final_b = final_b.astype(np.int32)
         final_b[mask] += current
@@ -269,7 +352,6 @@ def generate_clusters(
     labels_sorted[noise_mask] = np.arange(
         current, current + n_noise, dtype=np.int32
     )
-    timer.finish()
     labels_out = np.empty(n, np.int32)
     labels_out[order] = labels_sorted
     medoids = (np.concatenate(medoids_all) if medoids_all

@@ -115,6 +115,41 @@ def clustered_fraction(labels: np.ndarray) -> float:
     return float((counts[inverse] >= 2).mean())
 
 
+def pairwise_agreement(
+    labels_a: np.ndarray, labels_b: np.ndarray
+) -> Dict[str, float]:
+    """Pair-counting agreement between two clusterings of the same rows.
+
+    Counts unordered pairs co-clustered by each side: TP = pairs
+    co-clustered by both; precision = TP / pairs_a, recall = TP /
+    pairs_b, and the F1 of the two.  1.0 iff the partitions agree on
+    every co-membership decision (label numbering irrelevant).  Used to
+    measure how "label-comparable" the ann and exact backends actually
+    are on identical input.
+    """
+    labels_a = np.asarray(labels_a)
+    labels_b = np.asarray(labels_b)
+
+    def n_pairs(counts: np.ndarray) -> int:
+        counts = counts.astype(np.int64)
+        return int((counts * (counts - 1) // 2).sum())
+
+    _, code_a = np.unique(labels_a, return_inverse=True)
+    _, code_b = np.unique(labels_b, return_inverse=True)
+    _, counts_a = np.unique(code_a, return_counts=True)
+    _, counts_b = np.unique(code_b, return_counts=True)
+    # Contingency cell sizes via joint codes.
+    joint = code_a.astype(np.int64) * (code_b.max() + 1) + code_b
+    _, joint_counts = np.unique(joint, return_counts=True)
+    tp = n_pairs(joint_counts)
+    pa, pb = n_pairs(counts_a), n_pairs(counts_b)
+    precision = tp / pa if pa else 1.0
+    recall = tp / pb if pb else 1.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {"precision": precision, "recall": recall, "f1": f1}
+
+
 def evaluate_clustering(
     labels: np.ndarray, truth: np.ndarray
 ) -> Dict[str, float]:

@@ -59,3 +59,25 @@ def test_evaluate_bundle_on_good_clustering():
     assert out["purity"] == 1.0
     assert out["completeness"] == 1.0
     assert 0 < out["clustered_fraction"] < 1
+
+
+def test_pairwise_agreement():
+    from falcon_tpu.metrics import pairwise_agreement
+
+    a = np.array([0, 0, 1, 1, 2])
+    # identical partition, different numbering
+    b = np.array([5, 5, 9, 9, 7])
+    r = pairwise_agreement(a, b)
+    assert r["precision"] == r["recall"] == r["f1"] == 1.0
+
+    # b merges clusters 0 and 1: all of a's pairs survive (precision 1
+    # from a's view: tp / pairs_a = 2/2), b has extra pairs.
+    b2 = np.array([0, 0, 0, 0, 2])
+    r2 = pairwise_agreement(a, b2)
+    assert r2["precision"] == 1.0       # tp=2 / pairs_a=2
+    assert r2["recall"] == 2 / 6        # tp=2 / pairs_b=6
+    assert 0 < r2["f1"] < 1
+
+    # all singletons on both sides
+    r3 = pairwise_agreement(np.arange(4), np.arange(4) + 10)
+    assert r3["f1"] == 1.0

@@ -106,8 +106,192 @@ def gen_corpus(fmt: str, n_files: int, per_file: int, name: str) -> str:
     return out_dir
 
 
+def _csv_quality(csv_path: str) -> dict:
+    """Streaming purity/completeness vs the FILE-SCOPED identifier truth
+    (per-file generator seeds reuse cluster numbers, so the true class
+    is (filename, cluster prefix))."""
+    import csv as csv_mod
+
+    from falcon_tpu import metrics
+
+    labels, truth_codes = [], []
+    truth_map: dict = {}
+    with open(csv_path) as f:
+        header_seen = False
+        for r in csv_mod.reader(f):
+            if r[0].startswith("#"):
+                continue
+            if not header_seen:
+                header_seen = True
+                continue
+            key = (r[0], r[1].split("_scan")[0].split("_member")[0])
+            code = truth_map.get(key)
+            if code is None:
+                code = truth_map[key] = len(truth_map)
+            truth_codes.append(code)
+            labels.append(int(r[5]))
+    labels = np.asarray(labels, np.int64)
+    truth = np.asarray(truth_codes, np.int64)
+    return {
+        "purity": round(metrics.cluster_purity(labels, truth), 4),
+        "completeness": round(
+            metrics.cluster_completeness(labels, truth), 4),
+    }
+
+
+def _sampled_recall(work_dir: str, sample_per_charge: int = 512,
+                    k: int = 50) -> dict:
+    """Sampled NN recall@k of the production approximate path vs the
+    exact peak-matching cosine, computed band-limited so the pass stays
+    cheap at ANY corpus size (round-2 verdict #1).
+
+    Per charge: sample queries, gather each query's full precursor-
+    tolerance band (all tolerance-valid candidates by construction),
+    score the band EXACTLY with the rerank kernel (exact top-k oracle),
+    and separately reproduce the production path (hashed upper-bound
+    ranking -> top n_neighbors_ann -> exact rerank) on the same bands.
+    Peaks are loaded only for sampled rows + their bands via per-shard
+    mmap slices, so host memory stays O(sample x band).
+    """
+    import jax.numpy as jnp
+
+    from falcon_tpu import metrics
+    from falcon_tpu.ops.rerank import rerank_exact
+    from falcon_tpu.ops.vectorize import SpectrumHasher
+    from falcon_tpu.preprocess import get_dim
+    from falcon_tpu.store.store import SpectrumStore, padded_peaks
+
+    _, mz_min, mz_max = get_dim(101.0, 1500.0, 0.05)
+    hasher = SpectrumHasher(mz_min, mz_max, 0.05, 400, 0)
+    store = SpectrumStore(os.path.join(work_dir, "spectra"))
+    rng = np.random.default_rng(0)
+    recalls, n_queries = [], 0
+    for charge in store.load_charges() or []:
+        ds = store.dataset(charge)
+        # Precursor m/z only (small), concatenated across shards.
+        mz_parts, spans = [], []
+        base = 0
+        for shard in ds.shards:
+            arr = np.load(os.path.join(shard, "precursor_mz.npy"),
+                          allow_pickle=False)
+            mz_parts.append(np.asarray(arr, np.float64))
+            spans.append((base, base + len(arr), shard))
+            base += len(arr)
+        if base < 2:
+            continue
+        mzs_all = np.concatenate(mz_parts)
+        order = np.argsort(mzs_all, kind="stable")
+        mz_sorted = mzs_all[order]
+        n = base
+        sample = np.sort(rng.choice(n, min(sample_per_charge, n),
+                                    replace=False))
+        # 20 ppm bands in sorted space.
+        lo = np.searchsorted(
+            mz_sorted, mz_sorted[sample] / (1 + 20e-6), side="left")
+        hi = np.searchsorted(
+            mz_sorted, mz_sorted[sample] * (1 + 20e-6), side="right")
+        width = int((hi - lo).max(initial=1))
+        w_pad = 16
+        while w_pad < width:
+            w_pad *= 2
+        # Rows needed: sampled queries + their bands (sorted positions).
+        need_pos = np.unique(np.concatenate(
+            [sample] + [np.arange(a, b) for a, b in zip(lo, hi)]
+        ))
+        need_rows = order[need_pos]         # dataset row ids
+        pos_of = {int(p): i for i, p in enumerate(need_pos)}
+        # Load peaks for needed rows only, shard by shard (mmap slices).
+        mz_list = [None] * len(need_rows)
+        int_list = [None] * len(need_rows)
+        by_row = np.argsort(need_rows, kind="stable")
+        si = 0
+        for oi in by_row:
+            row = int(need_rows[oi])
+            while row >= spans[si][1]:
+                si += 1
+            s_lo, _, shard = spans[si]
+            offs = np.load(os.path.join(shard, "peak_offsets.npy"),
+                           mmap_mode="r")
+            pk_mz = np.load(os.path.join(shard, "mz.npy"), mmap_mode="r")
+            pk_in = np.load(os.path.join(shard, "intensity.npy"),
+                            mmap_mode="r")
+            local = row - s_lo
+            o0, o1 = int(offs[local]), int(offs[local + 1])
+            mz_list[oi] = np.asarray(pk_mz[o0:o1], np.float32)
+            int_list[oi] = np.asarray(pk_in[o0:o1], np.float32)
+        offsets = np.zeros(len(need_rows) + 1, np.int64)
+        offsets[1:] = np.cumsum([len(v) for v in mz_list])
+        mz_flat = (np.concatenate(mz_list) if mz_list
+                   else np.zeros(0, np.float32))
+        int_flat = (np.concatenate(int_list) if int_list
+                    else np.zeros(0, np.float32))
+        mz_pad, int_pad, _ = padded_peaks(offsets, mz_flat, int_flat, 64)
+        # Candidate lists: each query's band in compact (needed-row)
+        # coordinates, self excluded, -1 padding.
+        S = len(sample)
+        cand = np.full((S, w_pad), -1, np.int32)
+        for qi, (q, a, b) in enumerate(zip(sample, lo, hi)):
+            band = [pos_of[int(p)] for p in range(a, b) if p != q]
+            cand[qi, :len(band)] = band
+        q_idx = np.asarray([pos_of[int(q)] for q in sample], np.int32)
+        q_mz_pad = mz_pad[q_idx]
+        q_int_pad = int_pad[q_idx]
+        # EXACT oracle: exact scores of every band candidate, top-k.
+        ex_s, ex_i, _ = rerank_exact(
+            np.concatenate([q_mz_pad, mz_pad]),
+            np.concatenate([q_int_pad, int_pad]),
+            np.where(cand >= 0, cand + S, -1),
+            0.05, min(k, w_pad),
+        )
+        ex_s, ex_i = ex_s[:S], ex_i[:S]
+        exact_idx = np.where(ex_s > 0.0, ex_i - S, -1)
+        # PRODUCTION approx path on the same bands: hashed upper-bound
+        # ranking (spread_q . plain_c), top n_neighbors_ann=128, exact
+        # rerank of the survivors.
+        bucket = 512
+        while bucket < len(mz_pad):
+            bucket *= 2
+        mz_cols = np.full((bucket, 64), -1e6, np.float32)
+        int_cols = np.zeros((bucket, 64), np.float32)
+        mz_cols[:len(mz_pad)] = mz_pad
+        int_cols[:len(int_pad)] = int_pad
+        plain = np.asarray(hasher.vectorize(
+            jnp.asarray(mz_cols), jnp.asarray(int_cols), norm=False,
+        ))[:len(mz_pad)]
+        spread = np.asarray(hasher.vectorize(
+            jnp.asarray(mz_cols), jnp.asarray(int_cols), norm=False,
+            spread=True,
+        ))[:len(mz_pad)]
+        cand_safe = np.clip(cand, 0, len(plain) - 1)
+        ub = np.einsum("qd,qwd->qw", spread[q_idx], plain[cand_safe])
+        ub[cand < 0] = -np.inf
+        k_ann = min(128, w_pad)
+        top_ub = np.argsort(-ub, axis=1, kind="stable")[:, :k_ann]
+        cand_ub = np.take_along_axis(cand, top_ub, axis=1)
+        ap_s, ap_i, _ = rerank_exact(
+            np.concatenate([q_mz_pad, mz_pad]),
+            np.concatenate([q_int_pad, int_pad]),
+            np.where(cand_ub >= 0, cand_ub + S, -1),
+            0.05, min(k, k_ann),
+        )
+        ap_s, ap_i = ap_s[:S], ap_i[:S]
+        approx_idx = np.where(ap_s > 0.0, ap_i - S, -1)
+        recalls.append(metrics.nn_recall_at_k(approx_idx, exact_idx, k))
+        n_queries += S
+    out = {}
+    if recalls:
+        out["nn_recall_at_50_sampled"] = round(float(np.mean(recalls)), 4)
+        out["recall_sample_queries"] = n_queries
+    return out
+
+
 def run(pattern: str, n_spectra_hint: int, extra_args, label: str) -> int:
     from falcon_tpu import cli
+
+    extra_args = list(extra_args)
+    do_quality = "--no-quality" not in extra_args
+    if not do_quality:
+        extra_args.remove("--no-quality")
 
     out_dir = tempfile.mkdtemp()
     try:
@@ -130,12 +314,19 @@ def run(pattern: str, n_spectra_hint: int, extra_args, label: str) -> int:
         n_rows -= 1  # header
         peak_rss_mb = resource.getrusage(
             resource.RUSAGE_SELF).ru_maxrss / 1024
+        quality = {}
+        if do_quality:
+            tq = time.time()
+            quality.update(_csv_quality(os.path.join(out_dir, "out.csv")))
+            quality.update(_sampled_recall(os.path.join(out_dir, "work")))
+            quality["quality_pass_s"] = round(time.time() - tq, 1)
         print(json.dumps({
             "metric": label,
             "n_spectra": n_rows,
             "wall_s": round(elapsed, 1),
             "spectra_per_sec": round(n_rows / elapsed, 1),
             "peak_rss_mb": round(peak_rss_mb, 1),
+            **quality,
         }))
         return 0
     finally:

@@ -22,8 +22,7 @@ import numpy as np
 
 from . import __version__, seed
 from .config import config
-from .store.store import SpectrumStore, NULL_CHARGE
-from .utils.natsort import natsort_key
+from .store.store import SpectrumStore
 from .utils.profiling import profiler
 
 logger = logging.getLogger("falcon_tpu")
@@ -159,7 +158,9 @@ def main(args: Union[str, List[str], None] = None) -> int:
     if config.backend == "ann":
         from .cluster import ann_engine
 
-    clusters_all, current_label, representatives = [], 0, []
+    labels_by_charge: list = []
+    current_label, representatives = 0, []
+    total_rows = total_clusters = 0
     datasets = []
     for charge in charges:
         try:
@@ -195,7 +196,6 @@ def main(args: Union[str, List[str], None] = None) -> int:
             futures[charge] = charge_pool.submit(_cluster_charge, dataset)
 
     for charge, dataset in datasets:
-        meta = dataset.read_metadata()
         with profiler.phase(f"cluster charge {charge}"):
             if charge in futures:
                 clusters, medoids = futures[charge].result()
@@ -238,29 +238,24 @@ def main(args: Union[str, List[str], None] = None) -> int:
                 )
         if (config.export_representatives
                 and config.representative_method == "consensus"):
+            meta = dataset.read_metadata()
             representatives.extend(
                 _consensus_representatives(
                     dataset, meta, clusters, charge, current_label,
                     mz_min,
                 )
             )
+            del meta
         # Globally disjoint labels across charges (reference
         # falcon.py:189-193).
         clusters = clusters + current_label
         current_label = int(np.amax(clusters)) + 1
-
-        charges_col = meta["precursor_charge"].astype(np.float64)
-        # A missing charge is stored as the NULL_CHARGE sentinel; export it
-        # as an empty field like the reference's nullable int8 would.
-        charges_col[charges_col == float(NULL_CHARGE)] = np.nan
-        clusters_all.append({
-            "filename": meta["filename"],
-            "spectrum_id": meta["identifier"],
-            "precursor_charge": charges_col,
-            "precursor_mz": meta["precursor_mz"],
-            "retention_time": meta["retention_time"],
-            "cluster": clusters,
-        })
+        total_rows += len(clusters)
+        total_clusters += len(np.unique(clusters))
+        # Only the int64 labels stay resident per charge; the metadata
+        # columns stream from the store at export time (falcon_tpu/
+        # export.py), so peak RSS no longer scales with the corpus.
+        labels_by_charge.append((dataset, clusters.astype(np.int64)))
         if (config.export_representatives
                 and config.representative_method == "medoid"):
             representatives.extend(dataset.take(medoids))
@@ -268,85 +263,29 @@ def main(args: Union[str, List[str], None] = None) -> int:
     if futures:
         charge_pool.shutdown(wait=True)
 
-    if not clusters_all:
+    if not labels_by_charge:
         logger.error("No spectra found to cluster")
         logging.shutdown()
         return 1
 
-    # Pure-NumPy columnar export (no pandas on the hot path): at
-    # millions of rows the DataFrame construction/concat/take overhead
-    # and object columns dominated export memory.  The filename column
-    # is CATEGORICAL (few distinct values repeated millions of times) —
-    # it lives as small integer codes plus the unique table, decoded
-    # only chunk-by-chunk at write time.
-    columns = {
-        key: np.concatenate([part[key] for part in clusters_all])
-        for key in clusters_all[0] if key != "filename"
-    }
-    file_uniques, file_codes = np.unique(
-        np.concatenate([part["filename"] for part in clusters_all]),
-        return_inverse=True,
-    )
-    file_codes = file_codes.astype(np.int32)
-    del clusters_all
-    # Natural sort by (filename, spectrum_id) (reference falcon.py:206-208)
-    # — native C++ comparator when available (the Python key construction
-    # is a per-row regex and dominates export time at millions of rows).
-    # The primary key strictly dominates, so the global order is the
-    # files in natural order, each file's rows natural-sorted by
-    # spectrum id — peak memory stays one file's id list, not the
-    # corpus's.
-    from . import native as native_lib
-
-    file_rank_order = native_lib.natsort_pairs(
-        file_uniques.tolist(), [""] * len(file_uniques)
-    )
-    if file_rank_order is None:
-        file_rank_order = sorted(
-            range(len(file_uniques)),
-            key=lambda i: natsort_key(str(file_uniques[i])),
-        )
-    # Distinct filenames can TIE under the natural-sort key (e.g.
-    # 'a1.mzML' vs 'a01.mzML').  The reference's row-wise tuple sort
-    # interleaves such files' rows by spectrum id, so merge tied files
-    # into one group before the per-group spectrum-id sort (stable, in
-    # original row order) instead of keeping them separate.
-    file_keys = [natsort_key(str(f)) for f in file_uniques]
-    code_groups: list = []
-    for code in file_rank_order:
-        if code_groups and file_keys[code_groups[-1][0]] == file_keys[code]:
-            code_groups[-1].append(code)
-        else:
-            code_groups.append([code])
-    order_parts = []
-    for group in code_groups:
-        if len(group) == 1:
-            rows = np.flatnonzero(file_codes == group[0])
-        else:
-            rows = np.flatnonzero(np.isin(file_codes, group))
-        ids = columns["spectrum_id"][rows].tolist()
-        sub = native_lib.natsort_pairs(ids, [""] * len(ids))
-        if sub is None:
-            sub = sorted(range(len(ids)),
-                         key=lambda i: natsort_key(ids[i]))
-        order_parts.append(rows[np.asarray(sub, np.int64)])
-    order = (np.concatenate(order_parts) if order_parts
-             else np.zeros(0, np.int64))
-    del order_parts
-    columns = {k: v[order] for k, v in columns.items()}
-    file_codes = file_codes[order]
-    n_rows = len(columns["cluster"])
     logger.info(
         "Export cluster assignments of %d spectra to %d unique clusters "
         "to output file %s",
-        n_rows, len(np.unique(columns["cluster"])),
-        f"{config.output_filename}.csv",
+        total_rows, total_clusters, f"{config.output_filename}.csv",
     )
     export_phase = profiler.phase("export")
     export_phase.__enter__()
+    # Streaming per-file export (falcon_tpu/export.py): the natural
+    # (filename, spectrum_id) order is produced one input file at a
+    # time from the store's per-file shard namespaces, so export RSS is
+    # O(largest file), not O(corpus).
+    from .export import export_cluster_csv
+
     write_csv_worker = threading.Thread(
-        target=_write_cluster_info,
-        args=(columns, file_codes, file_uniques), daemon=True,
+        target=export_cluster_csv,
+        args=(f"{config.output_filename}.csv", _write_manifest,
+              labels_by_charge),
+        daemon=True,
     )
     write_csv_worker.start()
     if config.export_representatives:
@@ -454,89 +393,63 @@ def _consensus_representatives(
     return rows
 
 
-def _write_cluster_info(columns, file_codes, file_uniques) -> None:
-    """CSV export with the '#'-prefixed run-manifest header (reference
-    ``_write_cluster_info``, ``falcon/falcon.py:483-524``; same keys, same
-    order, same formatting)."""
-    with open(f"{config.output_filename}.csv", "a") as f_out:
-        f_out.write(f"# falcon-tpu version {__version__}\n")
-        f_out.write(f"# work_dir = {config.work_dir}\n")
-        f_out.write(f"# overwrite = {config.overwrite}\n")
+def _write_manifest(f_out) -> None:
+    """'#'-prefixed run-manifest header (reference ``_write_cluster_info``,
+    ``falcon/falcon.py:483-524``; same keys, same order, same
+    formatting).  The cluster rows themselves stream after the header
+    (``falcon_tpu/export.py``)."""
+    f_out.write(f"# falcon-tpu version {__version__}\n")
+    f_out.write(f"# work_dir = {config.work_dir}\n")
+    f_out.write(f"# overwrite = {config.overwrite}\n")
+    f_out.write(
+        f"# export_representatives = {config.export_representatives}\n"
+    )
+    f_out.write(
+        f"# precursor_tol = {config.precursor_tol[0]:.2f} "
+        f"{config.precursor_tol[1]}\n"
+    )
+    f_out.write(f"# rt_tol = {config.rt_tol}\n")
+    f_out.write(f"# fragment_tol = {config.fragment_tol:.2f}\n")
+    f_out.write(f"# linkage = {config.linkage}\n")
+    f_out.write(
+        f"# distance_threshold = {config.distance_threshold:.3f}\n"
+    )
+    f_out.write(f"# min_matched_peaks = {config.min_matched_peaks}\n")
+    f_out.write(f"# batch_size = {config.batch_size}\n")
+    f_out.write(f"# min_peaks = {config.min_peaks}\n")
+    f_out.write(f"# min_mz_range = {config.min_mz_range:.2f}\n")
+    f_out.write(f"# min_mz = {config.min_mz:.2f}\n")
+    f_out.write(f"# max_mz = {config.max_mz:.2f}\n")
+    f_out.write(
+        f"# remove_precursor_tol = {config.remove_precursor_tol:.2f}\n"
+    )
+    f_out.write(f"# min_intensity = {config.min_intensity:.2f}\n")
+    f_out.write(f"# max_peaks_used = {config.max_peaks_used}\n")
+    f_out.write(f"# scaling = {config.scaling}\n")
+    # falcon-tpu additions (after the reference's 17 keys).  The
+    # manifest is a COMPLETE run record (like the reference's,
+    # falcon/falcon.py:492-522): every option that can change the
+    # output appears, so a run is reproducible from its CSV alone.
+    f_out.write(f"# backend = {config.backend}\n")
+    if config.export_representatives:
         f_out.write(
-            f"# export_representatives = {config.export_representatives}\n"
+            f"# representative_method = "
+            f"{config.representative_method}\n"
         )
-        f_out.write(
-            f"# precursor_tol = {config.precursor_tol[0]:.2f} "
-            f"{config.precursor_tol[1]}\n"
-        )
-        f_out.write(f"# rt_tol = {config.rt_tol}\n")
-        f_out.write(f"# fragment_tol = {config.fragment_tol:.2f}\n")
-        f_out.write(f"# linkage = {config.linkage}\n")
-        f_out.write(
-            f"# distance_threshold = {config.distance_threshold:.3f}\n"
-        )
-        f_out.write(f"# min_matched_peaks = {config.min_matched_peaks}\n")
-        f_out.write(f"# batch_size = {config.batch_size}\n")
-        f_out.write(f"# min_peaks = {config.min_peaks}\n")
-        f_out.write(f"# min_mz_range = {config.min_mz_range:.2f}\n")
-        f_out.write(f"# min_mz = {config.min_mz:.2f}\n")
-        f_out.write(f"# max_mz = {config.max_mz:.2f}\n")
-        f_out.write(
-            f"# remove_precursor_tol = {config.remove_precursor_tol:.2f}\n"
-        )
-        f_out.write(f"# min_intensity = {config.min_intensity:.2f}\n")
-        f_out.write(f"# max_peaks_used = {config.max_peaks_used}\n")
-        f_out.write(f"# scaling = {config.scaling}\n")
-        # falcon-tpu additions (after the reference's 17 keys).  The
-        # manifest is a COMPLETE run record (like the reference's,
-        # falcon/falcon.py:492-522): every option that can change the
-        # output appears, so a run is reproducible from its CSV alone.
-        f_out.write(f"# backend = {config.backend}\n")
-        if config.export_representatives:
+        if config.representative_method == "consensus":
             f_out.write(
-                f"# representative_method = "
-                f"{config.representative_method}\n"
+                f"# consensus_min_fraction = "
+                f"{config.consensus_min_fraction}\n"
             )
-            if config.representative_method == "consensus":
-                f_out.write(
-                    f"# consensus_min_fraction = "
-                    f"{config.consensus_min_fraction}\n"
-                )
-        if config.backend == "ann":
-            f_out.write(f"# eps = {config.eps}\n")
-            f_out.write(f"# low_dim = {config.low_dim}\n")
-            f_out.write(f"# n_neighbors = {config.n_neighbors}\n")
-            f_out.write(f"# n_neighbors_ann = {config.n_neighbors_ann}\n")
-            f_out.write(f"# n_probe = {config.n_probe}\n")
-            f_out.write(f"# min_samples = {config.min_samples}\n")
-            f_out.write(f"# ann_index = {config.ann_index}\n")
-            f_out.write(f"# hash_seed = {config.hash_seed}\n")
-            f_out.write(f"# rerank = {config.rerank}\n")
-        f_out.write(f"# devices = {config.devices}\n")
-        f_out.write("#\n")
-        # csv.writer (C implementation) is ~4x pandas to_csv at millions
-        # of rows; float32 columns format identically (shortest repr) and
-        # a missing charge stays an empty field.  Rows stream in chunks
-        # so the string conversions never materialize all at once.
-        import csv as csv_mod
-
-        writer = csv_mod.writer(f_out, lineterminator="\n")
-        writer.writerow(["filename"] + list(columns))
-        charge = columns["precursor_charge"]
-        n = len(charge)
-        chunk = 1_000_000
-        for c0 in range(0, n, chunk):
-            c1 = min(c0 + chunk, n)
-            ch = charge[c0:c1]
-            charge_str = np.where(
-                np.isnan(ch), "",
-                ch.astype("f8").astype("i8").astype(str),
-            )
-            writer.writerows(zip(
-                file_uniques[file_codes[c0:c1]],
-                columns["spectrum_id"][c0:c1],
-                charge_str,
-                columns["precursor_mz"][c0:c1],
-                columns["retention_time"][c0:c1],
-                columns["cluster"][c0:c1],
-            ))
+    if config.backend == "ann":
+        f_out.write(f"# eps = {config.eps}\n")
+        f_out.write(f"# low_dim = {config.low_dim}\n")
+        f_out.write(f"# n_neighbors = {config.n_neighbors}\n")
+        f_out.write(f"# n_neighbors_ann = {config.n_neighbors_ann}\n")
+        f_out.write(f"# n_probe = {config.n_probe}\n")
+        f_out.write(f"# min_samples = {config.min_samples}\n")
+        f_out.write(f"# ann_index = {config.ann_index}\n")
+        f_out.write(f"# hash_seed = {config.hash_seed}\n")
+        f_out.write(f"# rerank = {config.rerank}\n")
+    f_out.write(f"# devices = {config.devices}\n")
+    f_out.write("#\n")

@@ -7,6 +7,17 @@ Usage::
     python benchmarks/scale_bench.py run-mzml  [--ann_index ivf|auto]
     python benchmarks/scale_bench.py gen-mgf5m [n_files] [per_file]
     python benchmarks/scale_bench.py run-mgf5m
+    python benchmarks/scale_bench.py gen-wideband [n_files] [per_file]
+    python benchmarks/scale_bench.py run-wideband [--ann_index ...]
+
+``gen-wideband`` puts EVERY precursor inside one 20 ppm window, so the
+whole corpus is a single precursor band — the regime the IVF index
+exists for (the banded scan's column window would exceed its HBM
+budget, ``ann_engine`` auto-selects IVF).  ``run-wideband`` compares
+index choices there; pass ``--ann_index brute`` to force the banded
+scan.  The sampled-recall quality pass is skipped for this corpus (the
+exact oracle over a 1M-row band is the quadratic work the index
+avoids); CSV purity/completeness are still reported.
 
 Corpora are cached under ``.bench_cache/`` (gitignored); ``run-*`` prints
 one JSON line with wall-clock, spectra/sec, and peak RSS, and logs the
@@ -79,7 +90,8 @@ def _write_mzml(path: str, spectra) -> None:
         f.write("</spectrumList></run></mzML>\n")
 
 
-def gen_corpus(fmt: str, n_files: int, per_file: int, name: str) -> str:
+def gen_corpus(fmt: str, n_files: int, per_file: int, name: str,
+               wideband: bool = False) -> str:
     from falcon_tpu.simulate import make_clustered_spectra, write_mgf
 
     out_dir = os.path.join(CACHE, name)
@@ -92,11 +104,18 @@ def gen_corpus(fmt: str, n_files: int, per_file: int, name: str) -> str:
         t0 = time.time()
         # ~70% clustered / 30% noise, tryptic-like precursor classes.
         n_clusters = per_file * 7 // 100
-        spectra, _ = make_clustered_spectra(
+        kwargs = dict(
             n_clusters=n_clusters, cluster_size=10,
-            n_noise=per_file - n_clusters * 10,
-            precursor_classes=max(per_file // 80, 50), seed=1000 + fi,
+            n_noise=per_file - n_clusters * 10, seed=1000 + fi,
         )
+        if wideband:
+            # Every precursor inside ONE 20 ppm window: the whole corpus
+            # is a single precursor band (the auto-IVF regime).
+            kwargs["precursor_mz_range"] = (700.0, 700.0 * (1 + 18e-6))
+            kwargs["precursor_classes"] = None
+        else:
+            kwargs["precursor_classes"] = max(per_file // 80, 50)
+        spectra, _ = make_clustered_spectra(**kwargs)
         if fmt == "mzml":
             _write_mzml(path, spectra)
         else:
@@ -292,6 +311,9 @@ def run(pattern: str, n_spectra_hint: int, extra_args, label: str) -> int:
     do_quality = "--no-quality" not in extra_args
     if not do_quality:
         extra_args.remove("--no-quality")
+    do_recall = "--skip-recall" not in extra_args
+    if not do_recall:
+        extra_args.remove("--skip-recall")
 
     out_dir = tempfile.mkdtemp()
     try:
@@ -318,7 +340,9 @@ def run(pattern: str, n_spectra_hint: int, extra_args, label: str) -> int:
         if do_quality:
             tq = time.time()
             quality.update(_csv_quality(os.path.join(out_dir, "out.csv")))
-            quality.update(_sampled_recall(os.path.join(out_dir, "work")))
+            if do_recall:
+                quality.update(
+                    _sampled_recall(os.path.join(out_dir, "work")))
             quality["quality_pass_s"] = round(time.time() - tq, 1)
         print(json.dumps({
             "metric": label,
@@ -356,6 +380,28 @@ def main() -> int:
                    n_files * 10**5, sys.argv[2:],
                    f"{n_files / 10:.0f}M-spectrum MGF scale run "
                    "(config #5)")
+    if cmd == "gen-wideband":
+        n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        per_file = int(sys.argv[3]) if len(sys.argv) > 3 else 100000
+        gen_corpus("mgf", n_files, per_file, "wideband_1m",
+                   wideband=True)
+        return 0
+    if cmd == "run-wideband":
+        n_files = len([
+            f for f in os.listdir(os.path.join(CACHE, "wideband_1m"))
+            if f.endswith(".mgf")
+        ])
+        # The exact-oracle recall pass is quadratic in the band here by
+        # construction — skip it; CSV purity/completeness still run.
+        extra = list(sys.argv[2:])
+        idx = next((a.split("=", 1)[1] for a in extra
+                    if a.startswith("--ann_index=")), None)
+        if idx is None and "--ann_index" in extra:
+            idx = extra[extra.index("--ann_index") + 1]
+        return run(os.path.join(CACHE, "wideband_1m", "*.mgf"),
+                   n_files * 10**5, extra + ["--skip-recall"],
+                   f"single-20ppm-band corpus ({n_files / 10:.1f}M "
+                   f"spectra, ann_index={idx or 'auto'})")
     print(__doc__)
     return 1
 

@@ -219,25 +219,36 @@ def _sampled_recall(work_dir: str, sample_per_charge: int = 512,
         ))
         need_rows = order[need_pos]         # dataset row ids
         pos_of = {int(p): i for i, p in enumerate(need_pos)}
-        # Load peaks for needed rows only, shard by shard (mmap slices).
+        # Load peaks for needed rows only: rows grouped by shard, ONE
+        # set of mmaps per shard (mmap-per-row exhausts file
+        # descriptors at scale — each np.load mmap holds the file open
+        # until GC).
         mz_list = [None] * len(need_rows)
         int_list = [None] * len(need_rows)
         by_row = np.argsort(need_rows, kind="stable")
         si = 0
+        shard_handles = None
         for oi in by_row:
             row = int(need_rows[oi])
             while row >= spans[si][1]:
                 si += 1
+                shard_handles = None
             s_lo, _, shard = spans[si]
-            offs = np.load(os.path.join(shard, "peak_offsets.npy"),
-                           mmap_mode="r")
-            pk_mz = np.load(os.path.join(shard, "mz.npy"), mmap_mode="r")
-            pk_in = np.load(os.path.join(shard, "intensity.npy"),
-                            mmap_mode="r")
+            if shard_handles is None:
+                shard_handles = (
+                    np.load(os.path.join(shard, "peak_offsets.npy"),
+                            mmap_mode="r"),
+                    np.load(os.path.join(shard, "mz.npy"),
+                            mmap_mode="r"),
+                    np.load(os.path.join(shard, "intensity.npy"),
+                            mmap_mode="r"),
+                )
+            offs, pk_mz, pk_in = shard_handles
             local = row - s_lo
             o0, o1 = int(offs[local]), int(offs[local + 1])
             mz_list[oi] = np.asarray(pk_mz[o0:o1], np.float32)
             int_list[oi] = np.asarray(pk_in[o0:o1], np.float32)
+        shard_handles = None
         offsets = np.zeros(len(need_rows) + 1, np.int64)
         offsets[1:] = np.cumsum([len(v) for v in mz_list])
         mz_flat = (np.concatenate(mz_list) if mz_list

@@ -59,8 +59,12 @@ def _write_mzml(path: str, spectra) -> None:
                 f'value="{s.precursor_charge}"/>'
                 if s.precursor_charge is not None else ""
             )
+            # The spectrum id carries the generator's truth-encoded
+            # identifier (cluster{c}_member{m}_scan{s} / noise{i}_...)
+            # so the quality pass can score purity/completeness on
+            # mzML corpora too.
             f.write(
-                f'<spectrum index="{i}" id="scan={i}" '
+                f'<spectrum index="{i}" id="{s.identifier}" '
                 f'defaultArrayLength="{len(s.mz)}">\n'
                 '<cvParam accession="MS:1000511" name="ms level" '
                 'value="2"/>\n'
@@ -109,10 +113,13 @@ def gen_corpus(fmt: str, n_files: int, per_file: int, name: str,
             n_noise=per_file - n_clusters * 10, seed=1000 + fi,
         )
         if wideband:
-            # Every precursor inside ONE 20 ppm window: the whole corpus
-            # is a single precursor band (the auto-IVF regime).
+            # Every precursor inside ONE 20 ppm window AND one charge:
+            # the whole corpus is a single precursor band in a single
+            # charge bucket (the auto-IVF regime — the band's column
+            # window exceeds the banded scan's HBM budget).
             kwargs["precursor_mz_range"] = (700.0, 700.0 * (1 + 18e-6))
             kwargs["precursor_classes"] = None
+            kwargs["charges"] = (2,)
         else:
             kwargs["precursor_classes"] = max(per_file // 80, 50)
         spectra, _ = make_clustered_spectra(**kwargs)

@@ -177,10 +177,16 @@ def main(args: Union[str, List[str], None] = None) -> int:
     # in a 2-deep thread pipeline so one charge's host phases (refine,
     # label bookkeeping) overlap the other's device work.  Label
     # offsetting and representative extraction stay sequential below.
+    # The threshold matches the device-block cap: the block pipeline
+    # already keeps two cap-sized blocks resident (ann_engine), so two
+    # sub-cap charges fit the same memory envelope.  Above the cap a
+    # charge pipelines its own blocks instead.
+    overlap_cap = int(os.environ.get("FALCON_TPU_DEVICE_BLOCK_CAP",
+                                     2**20))
     overlap = (
         config.backend == "ann"
         and len(datasets) > 1
-        and all(d.count_rows() <= 2**19 for _, d in datasets)
+        and all(d.count_rows() <= overlap_cap for _, d in datasets)
         and os.environ.get("FALCON_TPU_NO_CHARGE_OVERLAP") != "1"
     )
     futures = {}

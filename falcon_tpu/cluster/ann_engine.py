@@ -568,7 +568,8 @@ def _single_device_chain(
 
         # The device-resident hashed vectors go straight into the index;
         # nothing large crosses the host boundary.
-        index = IVFIndex(vectors_dev, mz_sorted, n_lists=None, seed=42)
+        index = IVFIndex(vectors_dev, mz_sorted, n_lists=None, seed=42,
+                         precise=not do_rerank)
         sims, neigh = index.search(
             vectors_dev, mz_sorted, np.arange(n, dtype=np.int32),
             min(max(n_neighbors_ann, k_ann), max(n - 1, 1)),

@@ -92,6 +92,49 @@ def _assign(vectors: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _assign_topk(vectors: jnp.ndarray, centroids: jnp.ndarray,
+                 k: int) -> jnp.ndarray:
+    """Each row's k centroid choices, best first (for balanced spill)."""
+    sims = jnp.dot(vectors, centroids.T,
+                   preferred_element_type=jnp.float32)
+    _, idx = jax.lax.top_k(sims, k)
+    return idx
+
+
+def _balanced_placement(
+    choices: np.ndarray, n_lists: int, cap: int
+) -> list:
+    """Greedy capacity-capped list placement.
+
+    Each row goes to its best centroid with free capacity (first of its
+    top-k choices); rows whose every choice is full spill to the
+    emptiest list.  Bounds every list at ``cap`` rows, which makes the
+    3-D slab layout's memory DETERMINISTIC (k-means imbalance
+    previously made the padded slab width unbounded — a 1M-row corpus
+    OOMed a 16 GB chip).  Deterministic given the row order.
+    """
+    counts = np.zeros(n_lists, np.int64)
+    lists: list = [[] for _ in range(n_lists)]
+    spill = []
+    for row in range(len(choices)):
+        placed = False
+        for lst in choices[row]:
+            lst = int(lst)
+            if counts[lst] < cap:
+                lists[lst].append(row)
+                counts[lst] += 1
+                placed = True
+                break
+        if not placed:
+            spill.append(row)
+    for row in spill:
+        lst = int(np.argmin(counts))
+        lists[lst].append(row)
+        counts[lst] += 1
+    return lists
+
+
 def _bucket(n: int, minimum: int = 128) -> int:
     size = minimum
     while size < n:
@@ -109,11 +152,18 @@ class IVFIndex:
         n_lists: Optional[int] = None,
         n_iters: int = 10,
         seed: int = 42,
+        precise: bool = False,
     ):
         """``vectors``: (n, D) L2-normalized, NumPy or DEVICE-resident
         (pass the vectorizer's device output — the big matrix then never
         crosses the host boundary: training, list reordering, and
-        queries are all device ops)."""
+        queries are all device ops).
+
+        ``precise=False`` stores the slab layout in bfloat16 (half the
+        HBM; the probe scan runs in bfloat16 anyway when an exact
+        rerank re-scores survivors); ``precise=True`` keeps float32
+        storage for rerank-free runs.
+        """
         from .xfer import device_put_chunked
 
         # ``vectors`` may carry padded zero rows past len(precursor_mzs)
@@ -146,30 +196,51 @@ class IVFIndex:
             train, init, self.n_lists, n_iters
         ))
         self.centroids = raw_centroids
-        # Only the n int32 assignments cross to the host.
-        assign = np.asarray(_assign(
-            vectors_dev, jnp.asarray(raw_centroids)))[:n]
-        self._assignments = assign
-        self.order = np.argsort(assign, kind="stable")
+        # Only the n x 4 int32 centroid choices cross to the host.
+        choices = np.asarray(_assign_topk(
+            vectors_dev, jnp.asarray(raw_centroids),
+            min(4, self.n_lists),
+        ))[:n]
+        self._assignments = choices[:, 0]
+        # Capacity-capped balanced placement: the cap (2x the mean list
+        # size, pow2-bucketed) makes the padded slab width — and hence
+        # the layout's HBM footprint — deterministic; overflow rows
+        # spill to their next-nearest centroid (probed like any list).
+        cap = _bucket(2 * max(1, -(-n // self.n_lists)), 128)
+        lists = _balanced_placement(choices, self.n_lists, cap)
+        self.order = np.asarray(
+            [r for lst in lists for r in lst], np.int64)
+        counts = np.asarray([len(lst) for lst in lists], np.int64)
         self.mzs = np.asarray(precursor_mzs, np.float64)[self.order]
         self.rows = self.order.astype(np.int32)
-        counts = np.bincount(assign, minlength=self.n_lists)
         self.offsets = np.zeros(self.n_lists + 1, np.int64)
         np.cumsum(counts, out=self.offsets[1:])
         self._max_list = int(counts.max(initial=1))
-        # 3-D (n_lists, lb, D) layout: ONE device gather at build;
-        # probing then moves whole (lb, D) blocks.
+        # 3-D (n_lists, lb, D) layout; probing moves whole (lb, D)
+        # blocks.  Built by CHUNKED gathers (a single full-size gather
+        # materializes source + output simultaneously — at 1M x 512
+        # that alone exceeded HBM) and stored in bfloat16 unless
+        # ``precise`` (the scan computes in bfloat16 anyway when an
+        # exact rerank follows).
         self._lb = _bucket(self._max_list, 128)
         idx3d, mz3d, row3d = self._pack_layout(
             self.order, self.mzs, counts, self._lb, n)
-        self._corpus3d = vectors_dev[jnp.asarray(idx3d)].reshape(
-            self.n_lists, self._lb, -1
-        )
-        # Padding slots alias row order[0] via the clipped gather; zero
-        # them (their m/z is +inf so they are masked regardless).
-        self._corpus3d = self._corpus3d * jnp.asarray(
-            (mz3d < np.inf).astype(np.float32)
-        ).reshape(self.n_lists, self._lb, 1)
+        dim = int(vectors_dev.shape[1])
+        store_dtype = jnp.float32 if precise else jnp.bfloat16
+        mask = (mz3d < np.inf).astype(np.float32)
+        lists_per_chunk = max(1, (2 ** 28) // (self._lb * dim * 4))
+        parts = []
+        for c0 in range(0, self.n_lists, lists_per_chunk):
+            c1 = min(c0 + lists_per_chunk, self.n_lists)
+            idx = jnp.asarray(idx3d[c0 * self._lb:c1 * self._lb])
+            part = vectors_dev[idx].reshape(c1 - c0, self._lb, dim)
+            # Padding slots alias row order[0] via the clipped gather;
+            # zero them (their m/z is +inf so they are masked anyway).
+            part = part * jnp.asarray(mask[c0:c1]).reshape(
+                c1 - c0, self._lb, 1)
+            parts.append(part.astype(store_dtype))
+        self._corpus3d = (parts[0] if len(parts) == 1
+                          else jnp.concatenate(parts))
         self._mz3d = jnp.asarray(mz3d.reshape(self.n_lists, self._lb))
         self._row3d_host = row3d.reshape(self.n_lists, self._lb)
         self._row3d = jnp.asarray(self._row3d_host)

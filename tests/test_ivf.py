@@ -89,10 +89,10 @@ def test_ivf_non_power_of_two_n_lists(clustered_vectors):
 
 
 def test_ivf_precise_float32_scan(clustered_vectors):
-    # precise=True keeps the scan in float32: similarities match the
+    # precise=True (storage AND scan in float32): similarities match the
     # NumPy exact inner products to float32 tolerance (not just bf16's).
     vecs, mzs = clustered_vectors
-    index = IVFIndex(vecs, mzs, n_lists=32, seed=42)
+    index = IVFIndex(vecs, mzs, n_lists=32, seed=42, precise=True)
     rng = np.random.default_rng(2)
     q = rng.choice(len(vecs), 32, replace=False)
     k = 5

@@ -124,3 +124,43 @@ def test_ivf_precursor_tolerance_mask(clustered_vectors):
             if j >= 0:
                 assert abs(mzs[j] - mzs[q[qi]]) <= 0.5
                 assert j != q[qi]
+
+
+def test_balanced_placement_caps_and_spills():
+    from falcon_tpu.ops.ivf import _balanced_placement
+
+    # 10 rows all preferring list 0 with cap 4: 4 land in list 0, the
+    # rest fall to their 2nd choice (list 1, cap 4), then spill to the
+    # emptiest lists.
+    choices = np.tile(np.array([[0, 1]]), (10, 1))
+    lists = _balanced_placement(choices, 4, 4)
+    sizes = [len(l) for l in lists]
+    assert sizes[0] == 4 and sizes[1] == 4
+    assert sum(sizes) == 10
+    assert max(sizes) <= 4  # the cap is a hard bound
+    # Deterministic: same input -> same placement.
+    assert lists == _balanced_placement(choices, 4, 4)
+    # Every row placed exactly once.
+    placed = sorted(r for l in lists for r in l)
+    assert placed == list(range(10))
+
+
+def test_ivf_slab_memory_is_bounded(clustered_vectors):
+    # Even with an adversarial assignment skew, the slab width is the
+    # capacity cap, not the largest k-means list.
+    vecs, mzs = clustered_vectors
+    # Make all vectors nearly identical so k-means wants one giant list.
+    skew = np.tile(vecs[:1], (len(vecs), 1)) + 1e-4 * vecs
+    skew /= np.linalg.norm(skew, axis=1, keepdims=True)
+    index = IVFIndex(skew.astype(np.float32), mzs, n_lists=16, seed=42)
+    n = len(mzs)
+    cap_expected = 128
+    while cap_expected < 2 * ((n + 15) // 16):
+        cap_expected *= 2
+    assert index._lb <= cap_expected
+    # The index still answers self-queries.
+    sims, idx = index.search(
+        skew.astype(np.float32), mzs, np.arange(n, dtype=np.int32), 3,
+        n_probe=16, tol_mass=np.inf, tol_mode="Da",
+    )
+    assert (idx[:, 0] >= 0).all()

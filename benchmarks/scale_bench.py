@@ -165,6 +165,64 @@ def _csv_quality(csv_path: str) -> dict:
     }
 
 
+_JIT_CACHE: dict = {}
+
+
+def _pool_rerank(q_mz, q_int, pool_mz, pool_int, neigh, frag, k_out,
+                 chunk_q):
+    """Jitted query-vs-pool exact rerank (rerank_scan_body)."""
+    import functools
+
+    import jax
+
+    fn = _JIT_CACHE.get("rerank")
+    if fn is None:
+        from falcon_tpu.ops.rerank import rerank_scan_body
+
+        fn = jax.jit(
+            rerank_scan_body,
+            static_argnames=("fragment_tol", "k_out", "rounds",
+                             "chunk_q", "chunk_c"),
+        )
+        _JIT_CACHE["rerank"] = fn
+    return fn(q_mz, q_int, pool_mz, pool_int, neigh,
+              fragment_tol=float(frag), k_out=int(k_out), rounds=4,
+              chunk_q=int(chunk_q), chunk_c=16)
+
+
+def _ub_chunked(spread_q, plain_pool, cand, chunk):
+    """Upper-bound scores of each query's candidate list, on device
+    (chunked gather+einsum; only the (S, W) floats come back)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    fn = _JIT_CACHE.get("ub")
+    if fn is None:
+        @functools.partial(jax.jit, static_argnames=("chunk",))
+        def ub_fn(sq, pool, cand, chunk):
+            S, W = cand.shape
+
+            def step(_, i):
+                q = jax.lax.dynamic_slice_in_dim(sq, i * chunk, chunk)
+                c = jax.lax.dynamic_slice_in_dim(cand, i * chunk, chunk)
+                safe = jnp.maximum(c, 0)
+                pw = pool[safe]
+                ub = jnp.einsum("qd,qwd->qw", q, pw,
+                                preferred_element_type=jnp.float32)
+                return 0, jnp.where(c >= 0, ub, -jnp.inf)
+
+            _, out = jax.lax.scan(
+                step, 0, jnp.arange(S // chunk, dtype=jnp.int32)
+            )
+            return out.reshape(S, W)
+
+        _JIT_CACHE["ub"] = ub_fn
+        fn = ub_fn
+    return fn(spread_q, plain_pool, cand, chunk=int(chunk))
+
+
 def _sampled_recall(work_dir: str, sample_per_charge: int = 512,
                     k: int = 50) -> dict:
     """Sampled NN recall@k of the production approximate path vs the
@@ -182,7 +240,6 @@ def _sampled_recall(work_dir: str, sample_per_charge: int = 512,
     import jax.numpy as jnp
 
     from falcon_tpu import metrics
-    from falcon_tpu.ops.rerank import rerank_exact
     from falcon_tpu.ops.vectorize import SpectrumHasher
     from falcon_tpu.preprocess import get_dim
     from falcon_tpu.store.store import SpectrumStore, padded_peaks
@@ -264,55 +321,73 @@ def _sampled_recall(work_dir: str, sample_per_charge: int = 512,
                     else np.zeros(0, np.float32))
         mz_pad, int_pad, _ = padded_peaks(offsets, mz_flat, int_flat, 64)
         # Candidate lists: each query's band in compact (needed-row)
-        # coordinates, self excluded, -1 padding.
+        # coordinates, self excluded, -1 padding.  Bound total oracle
+        # work with very wide bands by sampling fewer queries (each is
+        # still scored EXACTLY against its full band).
         S = len(sample)
-        cand = np.full((S, w_pad), -1, np.int32)
+        max_cells = 2 ** 21
+        if S * w_pad > max_cells:
+            S = max(32, max_cells // w_pad)
+            sample, lo, hi = sample[:S], lo[:S], hi[:S]
+        S_pad = 32
+        while S_pad < S:
+            S_pad *= 2
+        cand = np.full((S_pad, w_pad), -1, np.int32)
         for qi, (q, a, b) in enumerate(zip(sample, lo, hi)):
             band = [pos_of[int(p)] for p in range(a, b) if p != q]
             cand[qi, :len(band)] = band
-        q_idx = np.asarray([pos_of[int(q)] for q in sample], np.int32)
-        q_mz_pad = mz_pad[q_idx]
-        q_int_pad = int_pad[q_idx]
+        q_rows = np.zeros(S_pad, np.int32)
+        q_rows[:S] = [pos_of[int(q)] for q in sample]
+
+        # All scoring stays ON DEVICE (fetches are (S, k)-sized): the
+        # pool peak arrays upload once, the exact oracle and the
+        # reproduced production path run as query-vs-pool rerank scans
+        # (rerank_scan_body), and the upper-bound ranking is a chunked
+        # device gather+einsum.  The previous formulation stacked
+        # queries+pool into ONE row table, which padded the candidate
+        # matrix to the POOL's row count — ~8 GB of int32 at the 25M
+        # corpus, crashing the device — and fetched multi-GB hashed
+        # vectors to the host for the UB ranking.
+        pool_rows = 512
+        while pool_rows < len(mz_pad):
+            pool_rows *= 2
+        pool_mz = np.full((pool_rows, 64), -1e6, np.float32)
+        pool_int = np.zeros((pool_rows, 64), np.float32)
+        pool_mz[:len(mz_pad)] = mz_pad
+        pool_int[:len(int_pad)] = int_pad
+        pool_mz_d = jnp.asarray(pool_mz)
+        pool_int_d = jnp.asarray(pool_int)
+        q_rows_d = jnp.asarray(q_rows)
+        q_mz_d = pool_mz_d[q_rows_d]
+        q_int_d = pool_int_d[q_rows_d]
+        cand_d = jnp.asarray(cand)
+        chunk_q = min(128, S_pad)
         # EXACT oracle: exact scores of every band candidate, top-k.
-        ex_s, ex_i, _ = rerank_exact(
-            np.concatenate([q_mz_pad, mz_pad]),
-            np.concatenate([q_int_pad, int_pad]),
-            np.where(cand >= 0, cand + S, -1),
-            0.05, min(k, w_pad),
+        ex_s, ex_i, _ = _pool_rerank(
+            q_mz_d, q_int_d, pool_mz_d, pool_int_d, cand_d,
+            0.05, int(min(k, w_pad)), chunk_q,
         )
-        ex_s, ex_i = ex_s[:S], ex_i[:S]
-        exact_idx = np.where(ex_s > 0.0, ex_i - S, -1)
+        ex_s = np.asarray(ex_s)[:S]
+        exact_idx = np.where(ex_s > 0.0, np.asarray(ex_i)[:S], -1)
         # PRODUCTION approx path on the same bands: hashed upper-bound
         # ranking (spread_q . plain_c), top n_neighbors_ann=128, exact
         # rerank of the survivors.
-        bucket = 512
-        while bucket < len(mz_pad):
-            bucket *= 2
-        mz_cols = np.full((bucket, 64), -1e6, np.float32)
-        int_cols = np.zeros((bucket, 64), np.float32)
-        mz_cols[:len(mz_pad)] = mz_pad
-        int_cols[:len(int_pad)] = int_pad
-        plain = np.asarray(hasher.vectorize(
-            jnp.asarray(mz_cols), jnp.asarray(int_cols), norm=False,
-        ))[:len(mz_pad)]
-        spread = np.asarray(hasher.vectorize(
-            jnp.asarray(mz_cols), jnp.asarray(int_cols), norm=False,
-            spread=True,
-        ))[:len(mz_pad)]
-        cand_safe = np.clip(cand, 0, len(plain) - 1)
-        ub = np.einsum("qd,qwd->qw", spread[q_idx], plain[cand_safe])
-        ub[cand < 0] = -np.inf
+        plain_d = hasher.vectorize(pool_mz_d, pool_int_d, norm=False)
+        spread_d = hasher.vectorize(pool_mz_d, pool_int_d, norm=False,
+                                    spread=True)
+        ub = np.asarray(_ub_chunked(
+            spread_d[q_rows_d], plain_d, cand_d, min(64, S_pad),
+        ))
         k_ann = min(128, w_pad)
         top_ub = np.argsort(-ub, axis=1, kind="stable")[:, :k_ann]
         cand_ub = np.take_along_axis(cand, top_ub, axis=1)
-        ap_s, ap_i, _ = rerank_exact(
-            np.concatenate([q_mz_pad, mz_pad]),
-            np.concatenate([q_int_pad, int_pad]),
-            np.where(cand_ub >= 0, cand_ub + S, -1),
-            0.05, min(k, k_ann),
+        ap_s, ap_i, _ = _pool_rerank(
+            q_mz_d, q_int_d, pool_mz_d, pool_int_d,
+            jnp.asarray(np.ascontiguousarray(cand_ub)),
+            0.05, int(min(k, k_ann)), chunk_q,
         )
-        ap_s, ap_i = ap_s[:S], ap_i[:S]
-        approx_idx = np.where(ap_s > 0.0, ap_i - S, -1)
+        ap_s = np.asarray(ap_s)[:S]
+        approx_idx = np.where(ap_s > 0.0, np.asarray(ap_i)[:S], -1)
         recalls.append(metrics.nn_recall_at_k(approx_idx, exact_idx, k))
         n_queries += S
     out = {}

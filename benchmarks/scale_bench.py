@@ -224,7 +224,7 @@ def _ub_chunked(spread_q, plain_pool, cand, chunk):
 
 
 def _sampled_recall(work_dir: str, sample_per_charge: int = 512,
-                    k: int = 50) -> dict:
+                    k: int = 50, eps: float = 0.10) -> dict:
     """Sampled NN recall@k of the production approximate path vs the
     exact peak-matching cosine, computed band-limited so the pass stays
     cheap at ANY corpus size (round-2 verdict #1).
@@ -236,6 +236,20 @@ def _sampled_recall(work_dir: str, sample_per_charge: int = 512,
     ranking -> top n_neighbors_ann -> exact rerank) on the same bands.
     Peaks are loaded only for sampled rows + their bands via per-shard
     mmap slices, so host memory stays O(sample x band).
+
+    Two recalls are reported:
+
+    - ``nn_recall_at_50_sampled`` — against the exact top-k RESTRICTED
+      to similarity >= 1 - eps, i.e. the neighbors DBSCAN can actually
+      form edges from.  This is the clustering-relevant number; the
+      tolerance-spread prefilter provably retains every such neighbor.
+    - ``nn_recall_at_50_any_score`` — against the unrestricted exact
+      top-k.  When a precursor band is wider than ``n_neighbors_ann``
+      (the 25M corpus: ~400+-row bands vs 128 candidates), LOW-scoring
+      exact neighbors (far below eps, irrelevant to clustering) cannot
+      all fit the candidate list, so this number degrades with band
+      width by construction; raise ``--n_neighbors_ann`` to trade
+      device work for it.
     """
     import jax.numpy as jnp
 
@@ -248,7 +262,7 @@ def _sampled_recall(work_dir: str, sample_per_charge: int = 512,
     hasher = SpectrumHasher(mz_min, mz_max, 0.05, 400, 0)
     store = SpectrumStore(os.path.join(work_dir, "spectra"))
     rng = np.random.default_rng(0)
-    recalls, n_queries = [], 0
+    recalls, recalls_any, n_queries = [], [], 0
     for charge in store.load_charges() or []:
         ds = store.dataset(charge)
         # Precursor m/z only (small), concatenated across shards.
@@ -368,7 +382,9 @@ def _sampled_recall(work_dir: str, sample_per_charge: int = 512,
             0.05, int(min(k, w_pad)), chunk_q,
         )
         ex_s = np.asarray(ex_s)[:S]
-        exact_idx = np.where(ex_s > 0.0, np.asarray(ex_i)[:S], -1)
+        ex_i_host = np.asarray(ex_i)[:S]
+        exact_any = np.where(ex_s > 0.0, ex_i_host, -1)
+        exact_eps = np.where(ex_s >= 1.0 - eps, ex_i_host, -1)
         # PRODUCTION approx path on the same bands: hashed upper-bound
         # ranking (spread_q . plain_c), top n_neighbors_ann=128, exact
         # rerank of the survivors.
@@ -388,11 +404,16 @@ def _sampled_recall(work_dir: str, sample_per_charge: int = 512,
         )
         ap_s = np.asarray(ap_s)[:S]
         approx_idx = np.where(ap_s > 0.0, np.asarray(ap_i)[:S], -1)
-        recalls.append(metrics.nn_recall_at_k(approx_idx, exact_idx, k))
+        recalls.append(
+            metrics.nn_recall_at_k(approx_idx, exact_eps, k))
+        recalls_any.append(
+            metrics.nn_recall_at_k(approx_idx, exact_any, k))
         n_queries += S
     out = {}
     if recalls:
         out["nn_recall_at_50_sampled"] = round(float(np.mean(recalls)), 4)
+        out["nn_recall_at_50_any_score"] = round(
+            float(np.mean(recalls_any)), 4)
         out["recall_sample_queries"] = n_queries
     return out
 

@@ -244,7 +244,9 @@ def main(args: Union[str, List[str], None] = None) -> int:
                 )
         if (config.export_representatives
                 and config.representative_method == "consensus"):
-            meta = dataset.read_metadata()
+            meta = dataset.read_metadata(
+                columns=("precursor_mz", "retention_time")
+            )
             representatives.extend(
                 _consensus_representatives(
                     dataset, meta, clusters, charge, current_label,

@@ -174,7 +174,9 @@ def generate_clusters(
         use_ivf = {"auto": None, "brute": False, "ivf": True,
                    "exact": False}[ann_index]
 
-    meta = dataset.read_metadata()
+    meta = dataset.read_metadata(
+        columns=("precursor_mz", "retention_time")
+    )
     offsets, mz_flat, int_flat = dataset.read_peaks()
     n = len(meta["precursor_mz"])
     precursor_mzs = np.asarray(meta["precursor_mz"], np.float64)

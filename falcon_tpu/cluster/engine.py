@@ -69,7 +69,9 @@ def generate_clusters(
     label (noise points become singleton clusters, reference
     ``cluster.py:144-155``).
     """
-    meta = dataset.read_metadata()
+    meta = dataset.read_metadata(
+        columns=("precursor_mz", "retention_time")
+    )
     offsets, mz_flat, int_flat = dataset.read_peaks()
     n = len(meta["precursor_mz"])
     precursor_mzs = np.asarray(meta["precursor_mz"], np.float64)

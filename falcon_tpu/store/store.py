@@ -261,11 +261,21 @@ class ChargeDataset:
             allow_pickle=False,
         )
 
-    def read_metadata(self) -> Dict[str, np.ndarray]:
-        """All scalar columns, concatenated across shards."""
-        out: Dict[str, List[np.ndarray]] = {c: [] for c in _COLUMNS}
+    def read_metadata(
+        self, columns: Optional[Sequence[str]] = None
+    ) -> Dict[str, np.ndarray]:
+        """Scalar columns concatenated across shards.
+
+        ``columns`` projects the read (like the reference's Lance
+        ``to_table(columns=...)``, ``falcon/falcon.py:162-170``): the
+        engines only need the float columns — loading the identifier/
+        filename unicode columns for a 12.5M-row charge costs ~3 GB of
+        transient host memory they never use.
+        """
+        cols = tuple(columns) if columns is not None else _COLUMNS
+        out: Dict[str, List[np.ndarray]] = {c: [] for c in cols}
         for shard in self.shards:
-            for c in _COLUMNS:
+            for c in cols:
                 out[c].append(np.asarray(self._load(shard, c, mmap=False)))
         return {c: np.concatenate(v) if v else np.empty(0)
                 for c, v in out.items()}

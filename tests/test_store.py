@@ -84,3 +84,24 @@ def test_padded_peaks():
     )
     np.testing.assert_allclose(mz[0, :1], [400])
     np.testing.assert_array_equal(lengths, [1, 3])
+
+
+def test_read_metadata_column_projection(tmp_path):
+    from falcon_tpu.store.store import SpectrumStore
+
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    w = store.writer()
+    w.add({
+        "identifier": "s1", "filename": "f.mgf", "precursor_mz": 500.0,
+        "precursor_charge": 2, "retention_time": 12.5,
+        "mz": np.asarray([110.0, 220.0, 330.0, 440.0, 550.0], np.float32),
+        "intensity": np.full(5, 0.447, np.float32),
+    })
+    w.close()
+    ds = store.dataset(2)
+    meta = ds.read_metadata(columns=("precursor_mz", "retention_time"))
+    assert set(meta) == {"precursor_mz", "retention_time"}
+    np.testing.assert_allclose(meta["precursor_mz"], [500.0])
+    full = ds.read_metadata()
+    assert set(full) == {"identifier", "filename", "precursor_mz",
+                         "precursor_charge", "retention_time"}

@@ -182,7 +182,7 @@ def main(args: Union[str, List[str], None] = None) -> int:
     # sub-cap charges fit the same memory envelope.  Above the cap a
     # charge pipelines its own blocks instead.
     overlap_cap = int(os.environ.get("FALCON_TPU_DEVICE_BLOCK_CAP",
-                                     2**20))
+                                     2**19))
     overlap = (
         config.backend == "ann"
         and len(datasets) > 1

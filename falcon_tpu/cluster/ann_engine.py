@@ -205,8 +205,12 @@ def generate_clusters(
     # chain; labels are offset per block and noise promotion happens
     # once at the end.  This is how 5M+ spectra per charge (configs
     # #2/#5, the 25M north star) fit a 16 GB chip.
+    # Default cap 2^19: MEASURED as the largest block size whose arrays
+    # fit HBM with the default 2-deep block pipeline (two 2^20-row
+    # blocks resident OOM the device right after the k-NN stage; two
+    # 2^19-row blocks ran the 25M corpus at its best wall clock).
     device_cap = int(_os.environ.get("FALCON_TPU_DEVICE_BLOCK_CAP",
-                                    2**20))
+                                     2**19))
     if n > device_cap:
         from .intervals import precursor_mz_splits
 

@@ -9,6 +9,8 @@ Usage::
     python benchmarks/scale_bench.py run-mgf5m
     python benchmarks/scale_bench.py gen-wideband [n_files] [per_file]
     python benchmarks/scale_bench.py run-wideband [--ann_index ...]
+    python benchmarks/scale_bench.py run-metabo    (config #3, 200k)
+    python benchmarks/scale_bench.py run-config4   (config #4, 50k)
 
 ``gen-wideband`` puts EVERY precursor inside one 20 ppm window, so the
 whole corpus is a single precursor band — the regime the IVF index
@@ -500,6 +502,52 @@ def main() -> int:
                    n_files * 10**5, sys.argv[2:],
                    f"{n_files / 10:.0f}M-spectrum MGF scale run "
                    "(config #5)")
+    if cmd == "run-metabo":
+        # BASELINE config #3: metabolomics preset at a real corpus size
+        # (few fragments, narrow m/z span, singly charged; min_peaks=3,
+        # reduced min_mz_range, sqrt scaling).
+        from falcon_tpu.simulate import make_clustered_spectra, write_mgf
+
+        out_dir = os.path.join(CACHE, "metabo_200k")
+        os.makedirs(out_dir, exist_ok=True)
+        for fi in range(4):
+            path = os.path.join(out_dir, f"part{fi:03d}.mgf")
+            if os.path.isfile(path):
+                continue
+            spectra, _ = make_clustered_spectra(
+                n_clusters=3500, cluster_size=10, n_noise=15000,
+                n_peaks=(6, 15), mz_range=(101.0, 500.0),
+                precursor_mz_range=(150.0, 480.0), charges=(1,),
+                precursor_classes=600, seed=1000 + fi,
+            )
+            write_mgf(path, spectra)
+            print(f"  {path}: {len(spectra)} spectra", flush=True)
+        return run(
+            os.path.join(out_dir, "*.mgf"), 200_000,
+            list(sys.argv[2:]) + [
+                "--min_peaks", "3", "--min_mz_range", "50",
+                "--scaling", "root", "--min_matched_peaks", "3",
+            ],
+            "200k metabolomics preset (config #3: min_peaks=3, "
+            "min_mz_range=50, sqrt scaling)",
+        )
+    if cmd == "run-config4":
+        # BASELINE config #4: aggressive eps=0.30 with consensus
+        # representative export, on the 50k bench corpus.
+        bench_mgf = os.path.join(CACHE, "bench_50k.mgf")
+        if not os.path.isfile(bench_mgf):
+            print(json.dumps({"error": "run bench.py once to create "
+                              "the 50k corpus"}))
+            return 1
+        return run(
+            bench_mgf, 50_000,
+            list(sys.argv[2:]) + [
+                "--eps", "0.30", "--export_representatives",
+                "--representative_method", "consensus",
+            ],
+            "50k aggressive clustering (config #4: eps=0.30, consensus "
+            "representatives)",
+        )
     if cmd == "gen-wideband":
         n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         per_file = int(sys.argv[3]) if len(sys.argv) > 3 else 100000

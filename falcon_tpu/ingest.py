@@ -90,24 +90,93 @@ def read_and_process_file(
     return spectra, low_quality_counter
 
 
+# Files below this size are not worth splitting (range-parse overhead
+# plus thread startup would exceed the parse itself).
+_RANGE_MIN_BYTES = 16 * 2**20
+_RANGE_TARGET_BYTES = 8 * 2**20
+
+
+def _read_mgf_ranges(
+    filename: str, process_kwargs: Dict, budget: int
+) -> Optional[Tuple[List[dict], int]]:
+    """Parse one large MGF with ``budget`` concurrent native range calls.
+
+    The native range parser (``fc_mgf_ingest_range``) releases the GIL,
+    so a thread pool gives real parse parallelism without process-spawn
+    cost; per-range batches concatenate to the whole-file parse exactly
+    (ownership by BEGIN IONS line offset — ``native/falcon_ingest.cc``).
+    Returns (columnar batches in file order, low-quality count), or
+    None when the native range entry is unavailable (caller falls back
+    to the single-range path).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from . import native
+
+    size = os.path.getsize(filename)
+    n_ranges = min(budget, max(size // _RANGE_TARGET_BYTES, 1))
+    if n_ranges <= 1:
+        return None
+    bounds = [size * i // n_ranges for i in range(n_ranges + 1)]
+    with ThreadPoolExecutor(max_workers=n_ranges) as pool:
+        batches = list(pool.map(
+            lambda i: native.mgf_ingest(
+                filename, start=bounds[i], end=bounds[i + 1],
+                **process_kwargs,
+            ),
+            range(n_ranges),
+        ))
+    if any(b is None for b in batches):
+        return None
+    n_read = sum(b["n_read"] for b in batches)
+    if n_read == 0 and size > 0:
+        return None  # unusual layout: let the single-range path decide
+    for b in batches:
+        b["filename"] = np.repeat(np.array([filename]),
+                                  len(b["precursor_mz"]))
+    lqc = sum(b["n_low_quality"] for b in batches)
+    return [b for b in batches if len(b["precursor_mz"])], lqc
+
+
 def ingest_file_to_store(
     filename: str,
     file_index: int,
     store_root: str,
     process_kwargs: Dict,
+    range_budget: int = 1,
 ) -> Tuple[List[str], int, int]:
     """Worker entry: parse + preprocess one file and write shards
     directly into the store (no spectra cross the process boundary —
     shard names are namespaced by the input file index, so concurrent
     writers never collide and runs stay deterministic).
 
+    ``range_budget`` > 1 lets a large MGF parse as that many concurrent
+    byte ranges (GIL-released native calls on threads) when the pool has
+    spare CPUs — the single-big-file case the reference's
+    one-process-per-file layout (``falcon/falcon.py:267``) leaves serial.
+
     Returns (charge keys written, spectra kept, low-quality count).
     """
+    filename = os.path.abspath(filename)
     store = SpectrumStore(store_root)
     writer = store.writer(batch_size=10_000,
                           shard_prefix=f"{file_index:04d}_")
+    result: Union[List[dict], Dict[str, np.ndarray], None] = None
+    lqc = 0
+    if (range_budget > 1 and filename.lower().endswith(".mgf")
+            and os.path.getsize(filename) >= _RANGE_MIN_BYTES):
+        ranged = _read_mgf_ranges(filename, process_kwargs, range_budget)
+        if ranged is not None:
+            batches, lqc = ranged
+            charges: set = set()
+            n_kept = 0
+            for batch in batches:  # file order -> deterministic shards
+                n_kept += len(batch["precursor_mz"])
+                charges.update(writer.add_batch(batch))
+            writer.close()
+            return sorted(charges), n_kept, lqc
     result, lqc = read_and_process_file(filename, process_kwargs)
-    charges: set = set()
+    charges = set()
     if isinstance(result, dict):
         n_kept = len(result["precursor_mz"])
         charges.update(writer.add_batch(result))
@@ -145,6 +214,11 @@ def prepare_spectra(
         raise ValueError("No input peak files found")
     if max_workers is None:
         max_workers = min(len(input_filenames), multiprocessing.cpu_count())
+    # CPUs left idle by one-worker-per-file go to intra-file range
+    # parallelism for large MGFs (threaded GIL-released native parses).
+    range_budget = max(
+        1, multiprocessing.cpu_count() // max(len(input_filenames), 1)
+    )
 
     charges = set()
     low_quality_counter, n_spectra = 0, 0
@@ -160,7 +234,8 @@ def prepare_spectra(
     if max_workers <= 1 or len(input_filenames) == 1:
         for idx, filename in enumerate(input_filenames):
             consume(ingest_file_to_store(
-                filename, idx, store.root, process_kwargs
+                filename, idx, store.root, process_kwargs,
+                range_budget=range_budget,
             ))
     else:
         # spawn (not fork): the parent may hold a live TPU client.
@@ -170,7 +245,7 @@ def prepare_spectra(
         ) as pool:
             futures = [
                 pool.submit(ingest_file_to_store, fn, idx, store.root,
-                            process_kwargs)
+                            process_kwargs, range_budget)
                 for idx, fn in enumerate(input_filenames)
             ]
             for future in as_completed(futures):

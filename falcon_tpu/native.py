@@ -79,6 +79,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        if hasattr(lib, "fc_mgf_ingest_range"):
+            lib.fc_mgf_ingest_range.restype = ctypes.c_void_p
+            lib.fc_mgf_ingest_range.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
         lib.fc_mgf_result_copy.restype = ctypes.c_int
         lib.fc_mgf_result_copy.argtypes = [
             ctypes.c_void_p,
@@ -186,8 +195,17 @@ def mgf_ingest(
     min_intensity: Optional[float] = None,
     max_peaks_used: Optional[int] = None,
     scaling: Optional[str] = None,
+    start: Optional[int] = None,
+    end: Optional[int] = None,
 ) -> Optional[dict]:
     """Parse + preprocess an entire MGF file in the native library.
+
+    ``start``/``end`` select a byte range: the call parses exactly the
+    spectra whose BEGIN IONS line starts in ``[start, end)``, so
+    arbitrary byte splits concatenate to the whole-file parse (the
+    parallel single-file ingest path, ``ingest.py``).  The C call
+    releases the GIL, so ranges of one file parse concurrently from a
+    thread pool.
 
     Returns a columnar batch (same preprocessing semantics as
     ``preprocess.process_spectrum`` over ``ms_io.get_spectra``; parity
@@ -205,7 +223,7 @@ def mgf_ingest(
     return _native_ingest(filename, "fc_mgf_ingest", min_peaks,
                           min_mz_range, mz_min, mz_max,
                           remove_precursor_tolerance, min_intensity,
-                          max_peaks_used, scaling)
+                          max_peaks_used, scaling, start=start, end=end)
 
 
 def mzml_ingest(
@@ -252,14 +270,25 @@ def mzxml_ingest(
 
 def _native_ingest(filename, entry, min_peaks, min_mz_range, mz_min,
                    mz_max, remove_precursor_tolerance, min_intensity,
-                   max_peaks_used, scaling) -> Optional[dict]:
+                   max_peaks_used, scaling, start=None,
+                   end=None) -> Optional[dict]:
     lib = get_lib()
     if lib is None or not hasattr(lib, entry):
         return None
+    range_args = ()
+    if start is not None or end is not None:
+        if entry != "fc_mgf_ingest":
+            raise ValueError("byte ranges are MGF-only")
+        if not hasattr(lib, "fc_mgf_ingest_range"):
+            return None  # stale library build — caller falls back
+        entry = "fc_mgf_ingest_range"
+        range_args = (ctypes.c_int64(start or 0),
+                      ctypes.c_int64(-1 if end is None else end))
     counts = (ctypes.c_int64 * 6)()
     nan = float("nan")
     handle = getattr(lib, entry)(
         os.fsencode(filename),
+        *range_args,
         ctypes.c_int(min_peaks),
         ctypes.c_double(min_mz_range),
         ctypes.c_double(nan if mz_min is None else mz_min),

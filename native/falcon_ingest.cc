@@ -290,6 +290,18 @@ void finish_spectrum(IngestResult* res, const Params& p, bool have_title,
   res->peak_offsets.push_back(static_cast<int64_t>(res->mz.size()));
 }
 
+// Fill out_counts from a (possibly empty) result and hand it back —
+// used when a range seek lands past EOF so the caller still gets a
+// well-formed empty handle rather than NULL ("cannot open").
+void* res_counts_empty(IngestResult* res, int64_t* out_counts) {
+  out_counts[0] = static_cast<int64_t>(res->precursor_mz.size());
+  out_counts[1] = static_cast<int64_t>(res->mz.size());
+  out_counts[2] = static_cast<int64_t>(res->title_bytes.size());
+  out_counts[3] = res->n_read;
+  out_counts[4] = res->n_low_quality;
+  return res;
+}
+
 }  // namespace
 
 extern "C" {
@@ -315,24 +327,54 @@ bool fc_preprocess_spectrum(float* mz_arr, float* int_arr, int64_t* n,
   return true;
 }
 
-// Parse + preprocess an entire MGF file.
+// Parse + preprocess an MGF byte range [start, end) of a file.
 //
-// Returns an opaque result handle (NULL if the file cannot be opened) and
-// fills out_counts = [n_spectra_kept, n_peaks_total, title_bytes,
+// Range ownership is by the byte offset of each spectrum's "BEGIN IONS"
+// line start: a spectrum belongs to this range iff its BEGIN IONS line
+// starts at an offset in [start, end), so splitting a file at arbitrary
+// byte boundaries and concatenating the per-range results reproduces
+// the whole-file parse exactly (parity enforced by
+// tests/test_native_ingest.py).  end < 0 means to EOF.
+//
+// Returns an opaque result handle (NULL if the file cannot be opened)
+// and fills out_counts = [n_spectra_kept, n_peaks_total, title_bytes,
 // n_read, n_low_quality].  Copy the arrays out with fc_mgf_result_copy,
 // then release with fc_mgf_result_free.
 //
 // scaling: 0 = off, 1 = root, 2 = log, 3 = rank.  NaN disables an
 // optional double parameter; max_peaks_used <= 0 disables the top-N cap.
-void* fc_mgf_ingest(const char* path, int min_peaks, double min_mz_range,
-                    double mz_min, double mz_max,
-                    double remove_precursor_tol, double min_intensity,
-                    int max_peaks_used, int scaling, int64_t* out_counts) {
+void* fc_mgf_ingest_range(const char* path, int64_t start, int64_t end,
+                          int min_peaks, double min_mz_range,
+                          double mz_min, double mz_max,
+                          double remove_precursor_tol, double min_intensity,
+                          int max_peaks_used, int scaling,
+                          int64_t* out_counts) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return nullptr;
   Params p{min_peaks, min_mz_range, mz_min, mz_max,
            remove_precursor_tol, min_intensity, max_peaks_used, scaling};
   auto* res = new IngestResult();
+
+  int64_t offset = 0;  // byte offset of the next line start
+  if (start > 0) {
+    // A range that begins mid-line must not see that partial line: peek
+    // at the byte before `start` — if it is not a newline, the line
+    // containing `start` began earlier and belongs to the previous
+    // range, so skip to the next line.
+    if (std::fseek(f, static_cast<long>(start - 1), SEEK_SET) != 0) {
+      std::fclose(f);
+      return res_counts_empty(res, out_counts);
+    }
+    int prev = std::fgetc(f);
+    offset = start;
+    if (prev != '\n' && prev != EOF) {
+      int c;
+      while ((c = std::fgetc(f)) != EOF) {
+        ++offset;
+        if (c == '\n') break;
+      }
+    }
+  }
 
   bool in_ions = false;
   bool malformed = false;  // unparseable peak line -> skip the spectrum
@@ -347,6 +389,8 @@ void* fc_mgf_ingest(const char* path, int min_peaks, double min_mz_range,
   size_t cap = 0;
   ssize_t got;
   while ((got = getline(&line, &cap, f)) != -1) {
+    const int64_t line_start = offset;
+    offset += got;
     // strip() both ends.
     char* b = line;
     char* e = line + got;
@@ -356,6 +400,7 @@ void* fc_mgf_ingest(const char* path, int min_peaks, double min_mz_range,
     size_t len = static_cast<size_t>(e - b);
 
     if (istarts_with(b, len, "BEGIN IONS")) {
+      if (end >= 0 && line_start >= end) break;  // next range owns it
       in_ions = true;
       malformed = false;
       have_title = have_pepmass = have_charge = have_rt = false;
@@ -432,6 +477,16 @@ void* fc_mgf_ingest(const char* path, int min_peaks, double min_mz_range,
   out_counts[3] = res->n_read;
   out_counts[4] = res->n_low_quality;
   return res;
+}
+
+// Parse + preprocess an entire MGF file (the [0, EOF) range).
+void* fc_mgf_ingest(const char* path, int min_peaks, double min_mz_range,
+                    double mz_min, double mz_max,
+                    double remove_precursor_tol, double min_intensity,
+                    int max_peaks_used, int scaling, int64_t* out_counts) {
+  return fc_mgf_ingest_range(path, 0, -1, min_peaks, min_mz_range, mz_min,
+                             mz_max, remove_precursor_tol, min_intensity,
+                             max_peaks_used, scaling, out_counts);
 }
 
 // Copy the result arrays into caller-allocated buffers sized per

@@ -541,3 +541,88 @@ def test_prepare_spectra_process_pool_matches_serial(tmp_path):
         np.testing.assert_allclose(
             sorted(ma["precursor_mz"]), sorted(mb["precursor_mz"])
         )
+
+
+def test_mgf_range_parse_concatenates_to_whole_file(tmp_path):
+    """Byte-range parses (ownership by BEGIN IONS line offset) must
+    concatenate to the whole-file parse for ANY split points, including
+    boundaries landing inside a BEGIN IONS line."""
+    spectra, _ = make_clustered_spectra(
+        n_clusters=30, cluster_size=4, n_noise=60, seed=77
+    )
+    path = write_mgf(str(tmp_path / "range.mgf"), spectra)
+    size = os.path.getsize(path)
+    full = native.mgf_ingest(path, **DEFAULTS)
+    assert full is not None and len(full["precursor_mz"]) > 0
+
+    def concat(parts):
+        return {
+            "precursor_mz": np.concatenate(
+                [p["precursor_mz"] for p in parts]),
+            "identifier": np.concatenate([p["identifier"] for p in parts]),
+            "mz": np.concatenate([p["mz"] for p in parts]),
+            "n_read": sum(p["n_read"] for p in parts),
+            "n_low_quality": sum(p["n_low_quality"] for p in parts),
+        }
+
+    with open(path, "rb") as f:
+        data = f.read()
+    mid_begin = data.index(b"BEGIN IONS", size // 2)
+    boundary_sets = [
+        [0, size // 3, 2 * size // 3, size],        # arbitrary thirds
+        [0, mid_begin, size],                       # exactly at BEGIN
+        [0, mid_begin + 4, size],                   # inside BEGIN IONS
+        [0, size // 7, size // 3, size // 2, size]  # uneven
+    ]
+    for bounds in boundary_sets:
+        parts = [
+            native.mgf_ingest(path, start=bounds[i], end=bounds[i + 1],
+                              **DEFAULTS)
+            for i in range(len(bounds) - 1)
+        ]
+        assert all(p is not None for p in parts)
+        cat = concat(parts)
+        np.testing.assert_array_equal(
+            cat["precursor_mz"], full["precursor_mz"])
+        np.testing.assert_array_equal(cat["identifier"],
+                                      full["identifier"])
+        np.testing.assert_array_equal(cat["mz"], full["mz"])
+        assert cat["n_read"] == full["n_read"]
+        assert cat["n_low_quality"] == full["n_low_quality"]
+    # A range past EOF yields a well-formed empty batch, not a failure.
+    tail = native.mgf_ingest(path, start=size + 10, end=None, **DEFAULTS)
+    assert tail is not None and len(tail["precursor_mz"]) == 0
+
+
+def test_ingest_range_budget_store_parity(tmp_path, monkeypatch):
+    """``ingest_file_to_store`` with a multi-range budget writes the
+    SAME rows in the SAME order as the serial single-range path (the
+    multi-core single-big-file layout; this CI box has 1 CPU so the
+    budget is forced)."""
+    spectra, _ = make_clustered_spectra(
+        n_clusters=20, cluster_size=4, n_noise=40, seed=88
+    )
+    path = write_mgf(str(tmp_path / "big.mgf"), spectra)
+    monkeypatch.setattr(ingest, "_RANGE_MIN_BYTES", 1)
+    monkeypatch.setattr(ingest, "_RANGE_TARGET_BYTES", 1)
+
+    store_a = SpectrumStore(str(tmp_path / "serial"))
+    res_a = ingest.ingest_file_to_store(path, 0, store_a.root, DEFAULTS,
+                                        range_budget=1)
+    store_b = SpectrumStore(str(tmp_path / "ranged"))
+    res_b = ingest.ingest_file_to_store(path, 0, store_b.root, DEFAULTS,
+                                        range_budget=4)
+    assert res_a == res_b
+    for key in res_a[0]:
+        charge = None if key == "None" else int(key)
+        da, db = store_a.dataset(charge), store_b.dataset(charge)
+        ma, mb = da.read_metadata(), db.read_metadata()
+        # Exact ORDER parity: ranged shards concatenate in file order.
+        assert ma["identifier"].tolist() == mb["identifier"].tolist()
+        np.testing.assert_array_equal(ma["precursor_mz"],
+                                      mb["precursor_mz"])
+        oa, za, ia = da.read_peaks()
+        ob, zb, ib = db.read_peaks()
+        np.testing.assert_array_equal(oa, ob)
+        np.testing.assert_array_equal(za, zb)
+        np.testing.assert_array_equal(ia, ib)

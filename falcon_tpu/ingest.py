@@ -96,23 +96,28 @@ _RANGE_MIN_BYTES = 16 * 2**20
 _RANGE_TARGET_BYTES = 8 * 2**20
 
 
-def _read_mgf_ranges(
-    filename: str, process_kwargs: Dict, budget: int
+def _read_file_ranges(
+    filename: str, fmt: str, process_kwargs: Dict, budget: int
 ) -> Optional[Tuple[List[dict], int]]:
-    """Parse one large MGF with ``budget`` concurrent native range calls.
+    """Parse one large peak file with ``budget`` concurrent native range
+    calls.
 
-    The native range parser (``fc_mgf_ingest_range``) releases the GIL,
-    so a thread pool gives real parse parallelism without process-spawn
-    cost; per-range batches concatenate to the whole-file parse exactly
-    (ownership by BEGIN IONS line offset — ``native/falcon_ingest.cc``).
-    Returns (columnar batches in file order, low-quality count), or
-    None when the native range entry is unavailable (caller falls back
-    to the single-range path).
+    The native range parsers release the GIL, so a thread pool gives
+    real parse parallelism without process-spawn cost; per-range batches
+    concatenate to the whole-file parse exactly (ownership by BEGIN IONS
+    line offset for MGF — ``native/falcon_ingest.cc`` — and by
+    spectrum/scan open-tag offset for mzML/mzXML —
+    ``native/falcon_mzml.cc``).  Returns (columnar batches in file
+    order, low-quality count), or None when the native range entry is
+    unavailable (caller falls back to the single-range path).
     """
     from concurrent.futures import ThreadPoolExecutor
 
     from . import native
 
+    ingest_fn = {".mgf": native.mgf_ingest,
+                 ".mzml": native.mzml_ingest,
+                 ".mzxml": native.mzxml_ingest}[fmt]
     size = os.path.getsize(filename)
     n_ranges = min(budget, max(size // _RANGE_TARGET_BYTES, 1))
     if n_ranges <= 1:
@@ -120,7 +125,7 @@ def _read_mgf_ranges(
     bounds = [size * i // n_ranges for i in range(n_ranges + 1)]
     with ThreadPoolExecutor(max_workers=n_ranges) as pool:
         batches = list(pool.map(
-            lambda i: native.mgf_ingest(
+            lambda i: ingest_fn(
                 filename, start=bounds[i], end=bounds[i + 1],
                 **process_kwargs,
             ),
@@ -131,6 +136,11 @@ def _read_mgf_ranges(
     n_read = sum(b["n_read"] for b in batches)
     if n_read == 0 and size > 0:
         return None  # unusual layout: let the single-range path decide
+    if any(b.get("truncated") for b in batches):
+        logger.warning(
+            "Failed to read file %s: truncated document "
+            "(parsed %d complete spectra)", filename, n_read,
+        )
     for b in batches:
         b["filename"] = np.repeat(np.array([filename]),
                                   len(b["precursor_mz"]))
@@ -150,10 +160,11 @@ def ingest_file_to_store(
     shard names are namespaced by the input file index, so concurrent
     writers never collide and runs stay deterministic).
 
-    ``range_budget`` > 1 lets a large MGF parse as that many concurrent
-    byte ranges (GIL-released native calls on threads) when the pool has
-    spare CPUs — the single-big-file case the reference's
-    one-process-per-file layout (``falcon/falcon.py:267``) leaves serial.
+    ``range_budget`` > 1 lets a large file (any of the three formats)
+    parse as that many concurrent byte ranges (GIL-released native calls
+    on threads) when the pool has spare CPUs — the single-big-file case
+    the reference's one-process-per-file layout
+    (``falcon/falcon.py:267``) leaves serial.
 
     Returns (charge keys written, spectra kept, low-quality count).
     """
@@ -163,9 +174,13 @@ def ingest_file_to_store(
                           shard_prefix=f"{file_index:04d}_")
     result: Union[List[dict], Dict[str, np.ndarray], None] = None
     lqc = 0
-    if (range_budget > 1 and filename.lower().endswith(".mgf")
+    lower = filename.lower()
+    fmt = next((f for f in (".mgf", ".mzml", ".mzxml")
+                if lower.endswith(f)), None)
+    if (range_budget > 1 and fmt is not None
             and os.path.getsize(filename) >= _RANGE_MIN_BYTES):
-        ranged = _read_mgf_ranges(filename, process_kwargs, range_budget)
+        ranged = _read_file_ranges(filename, fmt, process_kwargs,
+                                   range_budget)
         if ranged is not None:
             batches, lqc = ranged
             charges: set = set()

@@ -108,6 +108,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_double, ctypes.c_int, ctypes.c_int,
                     ctypes.POINTER(ctypes.c_int64),
                 ]
+        for entry in ("fc_mzml_ingest_range", "fc_mzxml_ingest_range"):
+            if hasattr(lib, entry):
+                fn = getattr(lib, entry)
+                fn.restype = ctypes.c_void_p
+                fn.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int, ctypes.c_double,
+                    ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                    ctypes.c_double, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int64),
+                ]
         lib.fc_natsort_pairs.restype = ctypes.c_int
         lib.fc_natsort_pairs.argtypes = [
             ctypes.POINTER(ctypes.c_char), ctypes.POINTER(ctypes.c_int64),
@@ -236,16 +247,21 @@ def mzml_ingest(
     min_intensity: Optional[float] = None,
     max_peaks_used: Optional[int] = None,
     scaling: Optional[str] = None,
+    start: Optional[int] = None,
+    end: Optional[int] = None,
 ) -> Optional[dict]:
     """Parse + preprocess an entire mzML file in the native library
     (``native/falcon_mzml.cc``); same batch contract as
     :func:`mgf_ingest`.  A truncated document additionally sets
     ``batch["truncated"] = True`` so the caller can warn like the
-    Python reader does."""
+    Python reader does.  ``start``/``end`` select a byte range (block
+    ownership by ``<spectrum`` open-tag offset, so arbitrary splits
+    concatenate to the whole-file parse; the GIL is released during
+    the C call)."""
     return _native_ingest(filename, "fc_mzml_ingest", min_peaks,
                           min_mz_range, mz_min, mz_max,
                           remove_precursor_tolerance, min_intensity,
-                          max_peaks_used, scaling)
+                          max_peaks_used, scaling, start=start, end=end)
 
 
 def mzxml_ingest(
@@ -258,14 +274,18 @@ def mzxml_ingest(
     min_intensity: Optional[float] = None,
     max_peaks_used: Optional[int] = None,
     scaling: Optional[str] = None,
+    start: Optional[int] = None,
+    end: Optional[int] = None,
 ) -> Optional[dict]:
     """Parse + preprocess an entire mzXML file in the native library
     (``native/falcon_mzml.cc``); same batch contract as
-    :func:`mgf_ingest` (+ ``truncated`` flag, as for mzML)."""
+    :func:`mgf_ingest` (+ ``truncated`` flag and ``start``/``end``
+    byte-range selection, as for mzML — ownership by each ``<scan``
+    open tag's own offset, nested MS2 scans included)."""
     return _native_ingest(filename, "fc_mzxml_ingest", min_peaks,
                           min_mz_range, mz_min, mz_max,
                           remove_precursor_tolerance, min_intensity,
-                          max_peaks_used, scaling)
+                          max_peaks_used, scaling, start=start, end=end)
 
 
 def _native_ingest(filename, entry, min_peaks, min_mz_range, mz_min,
@@ -275,13 +295,13 @@ def _native_ingest(filename, entry, min_peaks, min_mz_range, mz_min,
     lib = get_lib()
     if lib is None or not hasattr(lib, entry):
         return None
+    is_xml = entry in ("fc_mzml_ingest", "fc_mzxml_ingest")
     range_args = ()
     if start is not None or end is not None:
-        if entry != "fc_mgf_ingest":
-            raise ValueError("byte ranges are MGF-only")
-        if not hasattr(lib, "fc_mgf_ingest_range"):
+        range_entry = entry + "_range"
+        if not hasattr(lib, range_entry):
             return None  # stale library build — caller falls back
-        entry = "fc_mgf_ingest_range"
+        entry = range_entry
         range_args = (ctypes.c_int64(start or 0),
                       ctypes.c_int64(-1 if end is None else end))
     counts = (ctypes.c_int64 * 6)()
@@ -308,9 +328,7 @@ def _native_ingest(filename, entry, min_peaks, min_mz_range, mz_min,
         n, n_peaks, title_bytes, n_read, n_low_quality = (
             int(counts[i]) for i in range(5)
         )
-        truncated = (bool(counts[5])
-                     if entry in ("fc_mzml_ingest", "fc_mzxml_ingest")
-                     else False)
+        truncated = bool(counts[5]) if is_xml else False
         precursor_mz = np.empty(n, np.float64)
         charge = np.empty(n, np.int32)
         rt = np.empty(n, np.float64)

@@ -151,6 +151,83 @@ bool zlib_inflate(const std::vector<uint8_t>& in, std::vector<uint8_t>* out) {
   return true;
 }
 
+// ---- shared ranged streaming scan ------------------------------------
+
+size_t find_tag_open(const std::string& s, std::string_view name,
+                     size_t from);
+
+// Stream <open_name ...>...<close_tag> blocks of a byte range through
+// `parse`.  Range ownership is by the absolute byte offset of each
+// block's OPEN tag: a block belongs to [start, end) iff its open tag
+// starts at an offset in [start, end), so splitting a file at arbitrary
+// byte boundaries and concatenating the per-range results reproduces
+// the whole-file scan exactly (a tag straddling `start` appears
+// truncated in this range's window and cannot match — its owner is the
+// previous range, which reads past its own `end` until every owned
+// block closes).  end < 0 means to EOF.  advance_past_open: after a
+// parse, resume searching just past the open tag instead of past the
+// close tag (mzXML nests MS2 scans inside MS1 blocks).  Returns the
+// truncated flag: an owned open tag whose block never closes by EOF.
+template <typename ParseFn>
+bool scan_blocks_range(FILE* f, int64_t start, int64_t end,
+                       std::string_view open_name,
+                       std::string_view close_tag,
+                       bool advance_past_open, ParseFn parse) {
+  if (start > 0 && std::fseek(f, static_cast<long>(start), SEEK_SET) != 0)
+    return false;  // unseekable start: empty range, not truncation
+  int64_t window_base = start;  // absolute file offset of window[0]
+  std::string window;
+  window.reserve(8 << 20);
+  std::vector<char> buf(4 << 20);
+  size_t search_from = 0;
+  bool done = false;
+  for (;;) {
+    size_t got = std::fread(buf.data(), 1, buf.size(), f);
+    if (got == 0) break;
+    window.append(buf.data(), got);
+    size_t pos;
+    while ((pos = find_tag_open(window, open_name, search_from)) !=
+           std::string::npos) {
+      if (end >= 0 && window_base + static_cast<int64_t>(pos) >= end) {
+        done = true;  // next range owns this block
+        break;
+      }
+      size_t close = window.find(close_tag.data(), pos, close_tag.size());
+      if (close == std::string::npos) {
+        // Keep from this block's start; need more data.
+        window_base += static_cast<int64_t>(pos);
+        window.erase(0, pos);
+        search_from = 0;
+        break;
+      }
+      parse(std::string_view(window).substr(
+          pos, close + close_tag.size() - pos));
+      search_from = advance_past_open ? pos + open_name.size()
+                                      : close + close_tag.size();
+    }
+    if (done) break;
+    if (pos == std::string::npos) {
+      // No block start in the searched region: keep a small tail in
+      // case the open tag straddles the chunk boundary.
+      size_t keep = window.size() > 16 ? 16 : window.size();
+      window_base += static_cast<int64_t>(window.size() - keep);
+      window.erase(0, window.size() - keep);
+      search_from = 0;
+      // Every offset still reachable is >= window_base: once that
+      // passes `end`, no owned block can remain.
+      if (end >= 0 && window_base >= end) break;
+    }
+  }
+  if (!done) {
+    // Unconsumed owned open tag at EOF = truncated document.
+    size_t pos = find_tag_open(window, open_name, search_from);
+    if (pos != std::string::npos &&
+        (end < 0 || window_base + static_cast<int64_t>(pos) < end))
+      return true;
+  }
+  return false;
+}
+
 // ---- tiny XML helpers (attribute scan within one tag) ----------------
 
 // Find an element open tag "<name" followed by whitespace or a
@@ -430,56 +507,26 @@ void parse_spectrum_block(std::string_view block, const Params& p,
 
 extern "C" {
 
-// Parse + preprocess an entire mzML file.  Same result ABI as
-// fc_mgf_ingest (copy with fc_mgf_result_copy, free with
-// fc_mgf_result_free); out_counts = [n_kept, n_peaks, title_bytes,
-// n_read, n_low_quality, truncated_flag].
-void* fc_mzml_ingest(const char* path, int min_peaks, double min_mz_range,
-                     double mz_min, double mz_max,
-                     double remove_precursor_tol, double min_intensity,
-                     int max_peaks_used, int scaling, int64_t* out_counts) {
+// Parse + preprocess an mzML byte range [start, end) of a file (block
+// ownership by <spectrum ...> open-tag offset — see scan_blocks_range;
+// end < 0 means to EOF).  Same result ABI as fc_mgf_ingest (copy with
+// fc_mgf_result_copy, free with fc_mgf_result_free); out_counts =
+// [n_kept, n_peaks, title_bytes, n_read, n_low_quality,
+// truncated_flag].
+void* fc_mzml_ingest_range(const char* path, int64_t start, int64_t end,
+                           int min_peaks, double min_mz_range,
+                           double mz_min, double mz_max,
+                           double remove_precursor_tol,
+                           double min_intensity, int max_peaks_used,
+                           int scaling, int64_t* out_counts) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return nullptr;
   Params p{min_peaks, min_mz_range, mz_min, mz_max,
            remove_precursor_tol, min_intensity, max_peaks_used, scaling};
   auto* res = new IngestResult();
-
-  // Streaming scan: grow a window until it holds a full
-  // <spectrum>...</spectrum> block, parse, discard.
-  std::string window;
-  window.reserve(8 << 20);
-  std::vector<char> buf(4 << 20);
-  bool truncated = false;
-  size_t search_from = 0;
-  for (;;) {
-    size_t got = std::fread(buf.data(), 1, buf.size(), f);
-    if (got == 0) break;
-    window.append(buf.data(), got);
-    size_t pos;
-    while ((pos = find_tag_open(window, "<spectrum", search_from)) !=
-           std::string::npos) {
-      size_t end = window.find("</spectrum>", pos);
-      if (end == std::string::npos) {
-        // Keep from this spectrum's start; need more data.
-        window.erase(0, pos);
-        search_from = 0;
-        break;
-      }
-      parse_spectrum_block(
-          std::string_view(window).substr(pos, end + 11 - pos), p, res);
-      search_from = end + 11;
-    }
-    if (pos == std::string::npos) {
-      // No spectrum start in the searched region: keep a small tail in
-      // case "<spectrum " straddles the chunk boundary.
-      size_t keep = window.size() > 16 ? 16 : window.size();
-      window.erase(0, window.size() - keep);
-      search_from = 0;
-    }
-  }
-  // Unconsumed "<spectrum" start at EOF = truncated document.
-  if (find_tag_open(window, "<spectrum", search_from) != std::string::npos)
-    truncated = true;
+  bool truncated = scan_blocks_range(
+      f, start, end, "<spectrum", "</spectrum>", false,
+      [&](std::string_view block) { parse_spectrum_block(block, p, res); });
   std::fclose(f);
 
   out_counts[0] = static_cast<int64_t>(res->precursor_mz.size());
@@ -489,6 +536,17 @@ void* fc_mzml_ingest(const char* path, int min_peaks, double min_mz_range,
   out_counts[4] = res->n_low_quality;
   out_counts[5] = truncated ? 1 : 0;
   return res;
+}
+
+// Parse + preprocess an entire mzML file (the [0, EOF) range).
+void* fc_mzml_ingest(const char* path, int min_peaks, double min_mz_range,
+                     double mz_min, double mz_max,
+                     double remove_precursor_tol, double min_intensity,
+                     int max_peaks_used, int scaling, int64_t* out_counts) {
+  return fc_mzml_ingest_range(path, 0, -1, min_peaks, min_mz_range,
+                              mz_min, mz_max, remove_precursor_tol,
+                              min_intensity, max_peaks_used, scaling,
+                              out_counts);
 }
 
 }  // extern "C"
@@ -690,50 +748,27 @@ void parse_scan_block(std::string_view block, const Params& p,
 
 extern "C" {
 
-// Parse + preprocess an entire mzXML file; same ABI as fc_mzml_ingest.
-void* fc_mzxml_ingest(const char* path, int min_peaks, double min_mz_range,
-                      double mz_min, double mz_max,
-                      double remove_precursor_tol, double min_intensity,
-                      int max_peaks_used, int scaling,
-                      int64_t* out_counts) {
+// Parse + preprocess an mzXML byte range [start, end); same ABI and
+// range semantics as fc_mzml_ingest_range.  Ownership is by each
+// <scan> open tag's own offset (MS1 and nested MS2 alike), and the
+// scanner advances past each OPEN tag only, so nested MS2 scans are
+// found on later iterations exactly like the whole-file scan — a range
+// may thus start inside an outer MS1 block and still own the nested
+// MS2 scans whose open tags fall inside it.
+void* fc_mzxml_ingest_range(const char* path, int64_t start, int64_t end,
+                            int min_peaks, double min_mz_range,
+                            double mz_min, double mz_max,
+                            double remove_precursor_tol,
+                            double min_intensity, int max_peaks_used,
+                            int scaling, int64_t* out_counts) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return nullptr;
   Params p{min_peaks, min_mz_range, mz_min, mz_max,
            remove_precursor_tol, min_intensity, max_peaks_used, scaling};
   auto* res = new IngestResult();
-
-  std::string window;
-  window.reserve(8 << 20);
-  std::vector<char> buf(4 << 20);
-  bool truncated = false;
-  size_t search_from = 0;
-  for (;;) {
-    size_t got = std::fread(buf.data(), 1, buf.size(), f);
-    if (got == 0) break;
-    window.append(buf.data(), got);
-    size_t pos;
-    while ((pos = find_tag_open(window, "<scan", search_from)) !=
-           std::string::npos) {
-      size_t end = window.find("</scan>", pos);
-      if (end == std::string::npos) {
-        window.erase(0, pos);
-        search_from = 0;
-        break;
-      }
-      parse_scan_block(
-          std::string_view(window).substr(pos, end + 7 - pos), p, res);
-      // Advance past the OPEN tag only: nested MS2 scans inside this
-      // block are found on later iterations.
-      search_from = pos + 5;
-    }
-    if (pos == std::string::npos) {
-      size_t keep = window.size() > 16 ? 16 : window.size();
-      window.erase(0, window.size() - keep);
-      search_from = 0;
-    }
-  }
-  if (find_tag_open(window, "<scan", search_from) != std::string::npos)
-    truncated = true;
+  bool truncated = scan_blocks_range(
+      f, start, end, "<scan", "</scan>", true,
+      [&](std::string_view block) { parse_scan_block(block, p, res); });
   std::fclose(f);
 
   out_counts[0] = static_cast<int64_t>(res->precursor_mz.size());
@@ -743,6 +778,18 @@ void* fc_mzxml_ingest(const char* path, int min_peaks, double min_mz_range,
   out_counts[4] = res->n_low_quality;
   out_counts[5] = truncated ? 1 : 0;
   return res;
+}
+
+// Parse + preprocess an entire mzXML file; same ABI as fc_mzml_ingest.
+void* fc_mzxml_ingest(const char* path, int min_peaks, double min_mz_range,
+                      double mz_min, double mz_max,
+                      double remove_precursor_tol, double min_intensity,
+                      int max_peaks_used, int scaling,
+                      int64_t* out_counts) {
+  return fc_mzxml_ingest_range(path, 0, -1, min_peaks, min_mz_range,
+                               mz_min, mz_max, remove_precursor_tol,
+                               min_intensity, max_peaks_used, scaling,
+                               out_counts);
 }
 
 }  // extern "C"

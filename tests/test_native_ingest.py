@@ -626,3 +626,117 @@ def test_ingest_range_budget_store_parity(tmp_path, monkeypatch):
         np.testing.assert_array_equal(oa, ob)
         np.testing.assert_array_equal(za, zb)
         np.testing.assert_array_equal(ia, ib)
+
+
+def _assert_range_concat_matches(path, ingest_fn, tag: bytes):
+    """Shared assertion: per-range parses concatenate to the whole-file
+    parse for arbitrary split points, including boundaries landing at
+    and inside an open tag."""
+    size = os.path.getsize(path)
+    full = ingest_fn(path, **DEFAULTS)
+    assert full is not None and len(full["precursor_mz"]) > 0
+
+    with open(path, "rb") as f:
+        data = f.read()
+    mid_tag = data.index(tag, size // 2)
+    boundary_sets = [
+        [0, size // 3, 2 * size // 3, size],         # arbitrary thirds
+        [0, mid_tag, size],                          # exactly at a tag
+        [0, mid_tag + 3, size],                      # inside a tag
+        [0, size // 7, size // 3, size // 2, size],  # uneven
+    ]
+    for bounds in boundary_sets:
+        parts = [
+            ingest_fn(path, start=bounds[i], end=bounds[i + 1],
+                      **DEFAULTS)
+            for i in range(len(bounds) - 1)
+        ]
+        assert all(p is not None for p in parts)
+        np.testing.assert_array_equal(
+            np.concatenate([p["precursor_mz"] for p in parts]),
+            full["precursor_mz"])
+        np.testing.assert_array_equal(
+            np.concatenate([p["identifier"] for p in parts]),
+            full["identifier"])
+        np.testing.assert_array_equal(
+            np.concatenate([p["mz"] for p in parts]), full["mz"])
+        assert sum(p["n_read"] for p in parts) == full["n_read"]
+        assert sum(p["n_low_quality"] for p in parts) == \
+            full["n_low_quality"]
+        assert not any(p.get("truncated") for p in parts)
+    # A range past EOF yields a well-formed empty batch, not a failure.
+    tail = ingest_fn(path, start=size + 10, end=None, **DEFAULTS)
+    assert tail is not None and len(tail["precursor_mz"]) == 0
+
+
+def test_mzml_range_parse_concatenates_to_whole_file(tmp_path):
+    """mzML byte-range parses (ownership by <spectrum open-tag offset)
+    must concatenate to the whole-file parse for ANY split points."""
+    spectra, _ = make_clustered_spectra(
+        n_clusters=25, cluster_size=4, n_noise=50, seed=91
+    )
+    path = _write_mzml(str(tmp_path / "range.mzml"), spectra)
+    _assert_range_concat_matches(path, native.mzml_ingest, b"<spectrum ")
+
+
+def test_mzxml_range_parse_concatenates_to_whole_file(tmp_path):
+    """mzXML with MS2 scans NESTED inside MS1 blocks: a range may start
+    inside an outer MS1 block and must still own exactly the nested
+    scans whose open tags fall inside it."""
+    spectra, _ = make_clustered_spectra(
+        n_clusters=25, cluster_size=4, n_noise=50, seed=92
+    )
+    path = _write_mzxml(str(tmp_path / "range.mzxml"),
+                        _spectra_to_scans(spectra), nested_ms1=True)
+    _assert_range_concat_matches(path, native.mzxml_ingest, b"<scan ")
+
+
+def test_mzml_range_truncation_owned_by_last_range(tmp_path):
+    """Only the range owning the EOF-truncated spectrum reports
+    truncated; earlier ranges parse their complete blocks cleanly."""
+    spectra, _ = make_clustered_spectra(
+        n_clusters=10, cluster_size=3, n_noise=10, seed=93
+    )
+    path = _write_mzml(str(tmp_path / "trunc.mzml"), spectra,
+                       truncate=True)
+    size = os.path.getsize(path)
+    full = native.mzml_ingest(path, **DEFAULTS)
+    assert full["truncated"]
+    first = native.mzml_ingest(path, start=0, end=size // 2, **DEFAULTS)
+    last = native.mzml_ingest(path, start=size // 2, end=None, **DEFAULTS)
+    assert not first["truncated"] and last["truncated"]
+    np.testing.assert_array_equal(
+        np.concatenate([first["precursor_mz"], last["precursor_mz"]]),
+        full["precursor_mz"])
+
+
+@pytest.mark.parametrize("fmt", ["mzml", "mzxml"])
+def test_ingest_range_budget_store_parity_xml(tmp_path, monkeypatch, fmt):
+    """``ingest_file_to_store`` with a multi-range budget writes the
+    SAME rows in the SAME order as the serial path for the XML formats
+    too (budget forced: this CI box has 1 CPU)."""
+    spectra, _ = make_clustered_spectra(
+        n_clusters=15, cluster_size=4, n_noise=30, seed=94
+    )
+    if fmt == "mzml":
+        path = _write_mzml(str(tmp_path / "big.mzml"), spectra)
+    else:
+        path = _write_mzxml(str(tmp_path / "big.mzxml"),
+                            _spectra_to_scans(spectra), nested_ms1=True)
+    monkeypatch.setattr(ingest, "_RANGE_MIN_BYTES", 1)
+    monkeypatch.setattr(ingest, "_RANGE_TARGET_BYTES", 1)
+
+    store_a = SpectrumStore(str(tmp_path / "serial"))
+    res_a = ingest.ingest_file_to_store(path, 0, store_a.root, DEFAULTS,
+                                        range_budget=1)
+    store_b = SpectrumStore(str(tmp_path / "ranged"))
+    res_b = ingest.ingest_file_to_store(path, 0, store_b.root, DEFAULTS,
+                                        range_budget=4)
+    assert res_a == res_b
+    for key in res_a[0]:
+        charge = None if key == "None" else int(key)
+        da, db = store_a.dataset(charge), store_b.dataset(charge)
+        ma, mb = da.read_metadata(), db.read_metadata()
+        assert ma["identifier"].tolist() == mb["identifier"].tolist()
+        np.testing.assert_array_equal(ma["precursor_mz"],
+                                      mb["precursor_mz"])

@@ -189,11 +189,15 @@ def main() -> int:
         # backend (complete linkage, distance_threshold = eps) reuses
         # the ingest store (resume path), then pair-counting F1
         # measures how label-comparable the two backends really are.
-        rc = cli.main([
-            input_path, os.path.join(out_dir, "out_exact"),
-            "--work_dir", work_dir,
-            "--backend", "exact", "--distance_threshold", "0.10",
-        ])
+        # FALCON_TPU_BENCH_AGREEMENT=0 skips this O(n^2)-per-interval
+        # extra run for quick smoke benches.
+        rc = 1
+        if os.environ.get("FALCON_TPU_BENCH_AGREEMENT", "1") != "0":
+            rc = cli.main([
+                input_path, os.path.join(out_dir, "out_exact"),
+                "--work_dir", work_dir,
+                "--backend", "exact", "--distance_threshold", "0.10",
+            ])
         if rc == 0:
             agreement = _label_agreement(
                 os.path.join(out_dir, "out.csv"),

@@ -430,11 +430,12 @@ def run(pattern: str, n_spectra_hint: int, extra_args, label: str) -> int:
     do_recall = "--skip-recall" not in extra_args
     if not do_recall:
         extra_args.remove("--skip-recall")
-    if "ivf" in extra_args:
-        # The sampled-recall pass reproduces the DEFAULT banded
-        # upper-bound path; it does not measure a forced-IVF run's
-        # neighbor search (completeness vs truth covers that), so
-        # reporting it would mislabel the number.
+    if any(a == "ivf" or a.endswith("=ivf") for a in extra_args):
+        # Forced IVF in either flag form (--ann_index ivf / =ivf): the
+        # sampled-recall pass reproduces the DEFAULT banded upper-bound
+        # path; it does not measure a forced-IVF run's neighbor search
+        # (completeness vs truth covers that), so reporting it would
+        # mislabel the number.
         do_recall = False
 
     out_dir = tempfile.mkdtemp()

@@ -56,13 +56,17 @@ def read_and_process_file(
         if (
             batch is not None
             and batch.get("n_read", 1) == 0
+            and batch.get("n_blocks", 0) == 0
             and not batch.get("truncated")
             and os.path.getsize(filename) > 0
         ):
-            # The native scanner found no spectrum elements in a non-empty
-            # file (e.g. unusual whitespace/namespacing in the XML): fall
-            # back to the Python reader instead of silently dropping the
-            # file's spectra.
+            # The native scanner found no spectrum ELEMENTS in a
+            # non-empty file (e.g. unusual whitespace/namespacing in the
+            # XML): fall back to the Python reader instead of silently
+            # dropping the file's spectra.  n_blocks > 0 with n_read == 0
+            # means the scanner DID see the elements and the file
+            # legitimately has no usable spectra (e.g. MS1-only) — no
+            # fallback re-parse then.
             logger.warning(
                 "Native parser found no spectra in non-empty file %s; "
                 "falling back to the Python reader", filename,
@@ -134,7 +138,11 @@ def _read_file_ranges(
     if any(b is None for b in batches):
         return None
     n_read = sum(b["n_read"] for b in batches)
-    if n_read == 0 and size > 0:
+    # n_blocks > 0 with n_read == 0 = legitimately empty (e.g. MS1-only):
+    # fall through and return the empty batches without re-parsing the
+    # file two more times.
+    if (n_read == 0 and size > 0
+            and sum(b.get("n_blocks", 0) for b in batches) == 0):
         return None  # unusual layout: let the single-range path decide
     if any(b.get("truncated") for b in batches):
         logger.warning(

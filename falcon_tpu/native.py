@@ -304,7 +304,7 @@ def _native_ingest(filename, entry, min_peaks, min_mz_range, mz_min,
         entry = range_entry
         range_args = (ctypes.c_int64(start or 0),
                       ctypes.c_int64(-1 if end is None else end))
-    counts = (ctypes.c_int64 * 6)()
+    counts = (ctypes.c_int64 * 7)()
     nan = float("nan")
     handle = getattr(lib, entry)(
         os.fsencode(filename),
@@ -329,6 +329,7 @@ def _native_ingest(filename, entry, min_peaks, min_mz_range, mz_min,
             int(counts[i]) for i in range(5)
         )
         truncated = bool(counts[5]) if is_xml else False
+        n_blocks = int(counts[6])
         precursor_mz = np.empty(n, np.float64)
         charge = np.empty(n, np.int32)
         rt = np.empty(n, np.float64)
@@ -375,6 +376,7 @@ def _native_ingest(filename, entry, min_peaks, min_mz_range, mz_min,
         "n_read": n_read,
         "n_low_quality": n_low_quality,
         "truncated": truncated,
+        "n_blocks": n_blocks,
     }
 
 

@@ -43,11 +43,14 @@ and is the intended path for corpora whose bands outgrow device memory.
 """
 
 import functools
+import logging
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("falcon_tpu")
 
 NEG = jnp.float32(-2.0)
 
@@ -104,35 +107,57 @@ def _assign_topk(vectors: jnp.ndarray, centroids: jnp.ndarray,
 
 def _balanced_placement(
     choices: np.ndarray, n_lists: int, cap: int
-) -> list:
-    """Greedy capacity-capped list placement.
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Capacity-capped list placement, vectorized (no per-row Python
+    loop — this sits on the index-build hot path at up to 12.5M rows).
 
-    Each row goes to its best centroid with free capacity (first of its
-    top-k choices); rows whose every choice is full spill to the
-    emptiest list.  Bounds every list at ``cap`` rows, which makes the
-    3-D slab layout's memory DETERMINISTIC (k-means imbalance
-    previously made the padded slab width unbounded — a 1M-row corpus
-    OOMed a 16 GB chip).  Deterministic given the row order.
+    Rank-by-rank passes: every row first competes (in ascending row
+    order) for its best centroid's remaining capacity, unplaced rows
+    then compete for their 2nd choice, and so on through the k choices.
+    Rows whose every choice is full spill by capacity-only round-robin
+    (lists in index order, each taking up to its remaining capacity) —
+    such rows lose probe locality, so the spill count is logged as a
+    warning (raise n_lists or the choice width if it is large).  Total
+    capacity ``n_lists * cap >= 2n`` guarantees the spill always fits.
+
+    Bounds every list at ``cap`` rows, which makes the 3-D slab
+    layout's memory DETERMINISTIC (k-means imbalance previously made
+    the padded slab width unbounded — a 1M-row corpus OOMed a 16 GB
+    chip).  Deterministic given the row order.
+
+    Returns ``(order, counts)``: row indices grouped by list (ascending
+    row order within each list) and per-list row counts.
     """
+    n, _ = choices.shape
+    assigned = np.full(n, -1, np.int64)
     counts = np.zeros(n_lists, np.int64)
-    lists: list = [[] for _ in range(n_lists)]
-    spill = []
-    for row in range(len(choices)):
-        placed = False
-        for lst in choices[row]:
-            lst = int(lst)
-            if counts[lst] < cap:
-                lists[lst].append(row)
-                counts[lst] += 1
-                placed = True
-                break
-        if not placed:
-            spill.append(row)
-    for row in spill:
-        lst = int(np.argmin(counts))
-        lists[lst].append(row)
-        counts[lst] += 1
-    return lists
+    pending = np.arange(n)
+    for rank in range(choices.shape[1]):
+        if not len(pending):
+            break
+        want = choices[pending, rank].astype(np.int64)
+        by_list = np.argsort(want, kind="stable")
+        sw = want[by_list]
+        _, start, group_n = np.unique(sw, return_index=True,
+                                      return_counts=True)
+        # Row's position within its wanted-list group (ascending row
+        # order): the first (cap - count) rows of each group fit.
+        pos = np.arange(len(sw)) - np.repeat(start, group_n)
+        take = pos < (cap - counts[sw])
+        assigned[pending[by_list[take]]] = sw[take]
+        counts += np.bincount(sw[take], minlength=n_lists)
+        pending = pending[assigned[pending] < 0]
+    if len(pending):
+        logger.warning(
+            "IVF balanced placement spilled %d rows whose every "
+            "centroid choice was full; spilled rows lose probe "
+            "locality (consider more lists)", len(pending),
+        )
+        slots = np.repeat(np.arange(n_lists), cap - counts)
+        spill_to = slots[:len(pending)]
+        assigned[pending] = spill_to
+        counts += np.bincount(spill_to, minlength=n_lists)
+    return np.argsort(assigned, kind="stable"), counts
 
 
 def _bucket(n: int, minimum: int = 128) -> int:
@@ -199,18 +224,17 @@ class IVFIndex:
         # Only the n x 4 int32 centroid choices cross to the host.
         choices = np.asarray(_assign_topk(
             vectors_dev, jnp.asarray(raw_centroids),
-            min(4, self.n_lists),
+            min(8, self.n_lists),
         ))[:n]
-        self._assignments = choices[:, 0]
         # Capacity-capped balanced placement: the cap (2x the mean list
         # size, pow2-bucketed) makes the padded slab width — and hence
-        # the layout's HBM footprint — deterministic; overflow rows
-        # spill to their next-nearest centroid (probed like any list).
+        # the layout's HBM footprint — deterministic.  Overflow rows
+        # fall through their 8 nearest centroids' lists; rows whose
+        # every choice is full spill capacity-round-robin (logged —
+        # they lose probe locality, see _balanced_placement).
         cap = _bucket(2 * max(1, -(-n // self.n_lists)), 128)
-        lists = _balanced_placement(choices, self.n_lists, cap)
-        self.order = np.asarray(
-            [r for lst in lists for r in lst], np.int64)
-        counts = np.asarray([len(lst) for lst in lists], np.int64)
+        self.order, counts = _balanced_placement(
+            choices, self.n_lists, cap)
         self.mzs = np.asarray(precursor_mzs, np.float64)[self.order]
         self.rows = self.order.astype(np.int32)
         self.offsets = np.zeros(self.n_lists + 1, np.int64)

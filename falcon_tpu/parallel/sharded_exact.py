@@ -54,17 +54,29 @@ def _build(mesh, axis, statics):
 
     from ..ops.matching import match_score, pair_weights
 
-    fragment_tol, rounds, pair_chunk, with_matches = statics
+    fragment_tol, rounds, pair_chunk, chunks_per_dev, with_matches = \
+        statics
 
-    def local_fn(pair_ids, offsets, mz_cols, int_cols):
-        # pair_ids: (local,) condensed pair indices of this shard's
-        # slice (padding entries clamped to a valid index; the host
-        # discards everything past the real pair count).
-        local = pair_ids.shape[0]
-        n_chunks = local // pair_chunk
+    def local_fn(m_arr, offsets, mz_cols, int_cols):
+        # This shard's condensed pair indices are generated ON DEVICE
+        # from its mesh position: no host-side padded arange (formerly
+        # up to gigabytes per interval at the 2^15 cap) and no int32
+        # overflow when the padded length passes 2^31 on non-power-of-
+        # two meshes — the int64 iota is clamped to m-1 (< 2^31 by
+        # MAX_N) before the int32 cast; the host discards everything
+        # past the real pair count.
+        base = jax.lax.axis_index(axis).astype(jnp.int64) * (
+            chunks_per_dev * pair_chunk)
+        m64 = m_arr[0]
 
-        def chunk_fn(carry, ks):
+        def chunk_fn(carry, c):
             del carry
+            ks64 = jnp.minimum(
+                base + c * pair_chunk
+                + jnp.arange(pair_chunk, dtype=jnp.int64),
+                m64 - 1,
+            )
+            ks = ks64.astype(jnp.int32)
             # offsets[i] <= k < offsets[i+1]  =>  row i, col j.
             i = (jnp.searchsorted(offsets, ks, side="right") - 1).astype(
                 jnp.int32)
@@ -74,8 +86,8 @@ def _build(mesh, axis, statics):
             score, matches = match_score(w, rounds)
             return 0, (score, matches)
 
-        idx = pair_ids.reshape(n_chunks, pair_chunk)
-        _, (scores, matches) = jax.lax.scan(chunk_fn, 0, idx)
+        _, (scores, matches) = jax.lax.scan(
+            chunk_fn, 0, jnp.arange(chunks_per_dev, dtype=jnp.int64))
         scores = scores.reshape(-1)
         if with_matches:
             matches = matches.reshape(-1)
@@ -87,7 +99,7 @@ def _build(mesh, axis, statics):
         jax.shard_map(
             local_fn,
             mesh=mesh,
-            in_specs=(P(axis), P(), P(), P()),
+            in_specs=(P(), P(), P(), P()),
             out_specs=(P(axis), P(axis) if with_matches else P()),
             check_vma=False,
         )
@@ -124,23 +136,19 @@ def condensed_distances_sharded(
     m = n * (n - 1) // 2
     with_matches = min_matches > 0
 
-    statics = (float(fragment_tol), int(rounds), int(pair_chunk),
-               bool(with_matches))
-    key = (id(mesh), axis, statics)
-    fn = _FNS.get(key)
-    if fn is None:
-        fn = _build(mesh, axis, statics)
-        _FNS[key] = fn
-
     # Power-of-two bucket the per-device chunk count so compiled
     # executables recur across interval sizes.
     chunks_per_dev = 1
     while chunks_per_dev * n_dev * pair_chunk < m:
         chunks_per_dev *= 2
-    padded_m = chunks_per_dev * n_dev * pair_chunk
-    pair_ids = np.minimum(
-        np.arange(padded_m, dtype=np.int32), m - 1
-    )
+
+    statics = (float(fragment_tol), int(rounds), int(pair_chunk),
+               int(chunks_per_dev), bool(with_matches))
+    key = (id(mesh), axis, statics)
+    fn = _FNS.get(key)
+    if fn is None:
+        fn = _build(mesh, axis, statics)
+        _FNS[key] = fn
 
     # Replicated peak arrays, padded row for safety of clamped gathers.
     n_cols = 128
@@ -158,10 +166,9 @@ def condensed_distances_sharded(
     offsets = np.full(off_len, m, np.int32)
     offsets[:n + 1] = offs
 
-    shard = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
     scores, matches = fn(
-        jax.device_put(pair_ids, shard),
+        jax.device_put(np.asarray([m], np.int64), rep),
         jax.device_put(jnp.asarray(offsets), rep),
         jax.device_put(jnp.asarray(mz_cols), rep),
         jax.device_put(jnp.asarray(int_cols), rep),

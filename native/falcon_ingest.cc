@@ -299,6 +299,8 @@ void* res_counts_empty(IngestResult* res, int64_t* out_counts) {
   out_counts[2] = static_cast<int64_t>(res->title_bytes.size());
   out_counts[3] = res->n_read;
   out_counts[4] = res->n_low_quality;
+  out_counts[5] = 0;
+  out_counts[6] = 0;
   return res;
 }
 
@@ -338,8 +340,10 @@ bool fc_preprocess_spectrum(float* mz_arr, float* int_arr, int64_t* n,
 //
 // Returns an opaque result handle (NULL if the file cannot be opened)
 // and fills out_counts = [n_spectra_kept, n_peaks_total, title_bytes,
-// n_read, n_low_quality].  Copy the arrays out with fc_mgf_result_copy,
-// then release with fc_mgf_result_free.
+// n_read, n_low_quality, 0, n_blocks] (n_blocks = BEGIN IONS blocks
+// owned by the range, pre-parse — distinguishes "scanner saw nothing"
+// from "every block was malformed").  Copy the arrays out with
+// fc_mgf_result_copy, then release with fc_mgf_result_free.
 //
 // scaling: 0 = off, 1 = root, 2 = log, 3 = rank.  NaN disables an
 // optional double parameter; max_peaks_used <= 0 disables the top-N cap.
@@ -377,6 +381,7 @@ void* fc_mgf_ingest_range(const char* path, int64_t start, int64_t end,
   }
 
   bool in_ions = false;
+  int64_t n_blocks = 0;    // BEGIN IONS blocks owned by this range
   bool malformed = false;  // unparseable peak line -> skip the spectrum
   bool have_title = false, have_pepmass = false;
   bool have_charge = false, have_rt = false;
@@ -401,6 +406,7 @@ void* fc_mgf_ingest_range(const char* path, int64_t start, int64_t end,
 
     if (istarts_with(b, len, "BEGIN IONS")) {
       if (end >= 0 && line_start >= end) break;  // next range owns it
+      ++n_blocks;
       in_ions = true;
       malformed = false;
       have_title = have_pepmass = have_charge = have_rt = false;
@@ -476,6 +482,8 @@ void* fc_mgf_ingest_range(const char* path, int64_t start, int64_t end,
   out_counts[2] = static_cast<int64_t>(res->title_bytes.size());
   out_counts[3] = res->n_read;
   out_counts[4] = res->n_low_quality;
+  out_counts[5] = 0;  // no truncation concept for MGF
+  out_counts[6] = n_blocks;
   return res;
 }
 

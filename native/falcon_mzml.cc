@@ -512,7 +512,7 @@ extern "C" {
 // end < 0 means to EOF).  Same result ABI as fc_mgf_ingest (copy with
 // fc_mgf_result_copy, free with fc_mgf_result_free); out_counts =
 // [n_kept, n_peaks, title_bytes, n_read, n_low_quality,
-// truncated_flag].
+// truncated_flag, n_blocks].
 void* fc_mzml_ingest_range(const char* path, int64_t start, int64_t end,
                            int min_peaks, double min_mz_range,
                            double mz_min, double mz_max,
@@ -524,9 +524,15 @@ void* fc_mzml_ingest_range(const char* path, int64_t start, int64_t end,
   Params p{min_peaks, min_mz_range, mz_min, mz_max,
            remove_precursor_tol, min_intensity, max_peaks_used, scaling};
   auto* res = new IngestResult();
+  int64_t n_blocks = 0;  // structural <spectrum> elements found (any
+                         // MS level) — distinguishes "scanner saw
+                         // nothing" from "file has no MS2 spectra"
   bool truncated = scan_blocks_range(
       f, start, end, "<spectrum", "</spectrum>", false,
-      [&](std::string_view block) { parse_spectrum_block(block, p, res); });
+      [&](std::string_view block) {
+        ++n_blocks;
+        parse_spectrum_block(block, p, res);
+      });
   std::fclose(f);
 
   out_counts[0] = static_cast<int64_t>(res->precursor_mz.size());
@@ -535,6 +541,7 @@ void* fc_mzml_ingest_range(const char* path, int64_t start, int64_t end,
   out_counts[3] = res->n_read;
   out_counts[4] = res->n_low_quality;
   out_counts[5] = truncated ? 1 : 0;
+  out_counts[6] = n_blocks;
   return res;
 }
 
@@ -766,9 +773,13 @@ void* fc_mzxml_ingest_range(const char* path, int64_t start, int64_t end,
   Params p{min_peaks, min_mz_range, mz_min, mz_max,
            remove_precursor_tol, min_intensity, max_peaks_used, scaling};
   auto* res = new IngestResult();
+  int64_t n_blocks = 0;  // structural <scan> elements found (any level)
   bool truncated = scan_blocks_range(
       f, start, end, "<scan", "</scan>", true,
-      [&](std::string_view block) { parse_scan_block(block, p, res); });
+      [&](std::string_view block) {
+        ++n_blocks;
+        parse_scan_block(block, p, res);
+      });
   std::fclose(f);
 
   out_counts[0] = static_cast<int64_t>(res->precursor_mz.size());
@@ -777,6 +788,7 @@ void* fc_mzxml_ingest_range(const char* path, int64_t start, int64_t end,
   out_counts[3] = res->n_read;
   out_counts[4] = res->n_low_quality;
   out_counts[5] = truncated ? 1 : 0;
+  out_counts[6] = n_blocks;
   return res;
 }
 

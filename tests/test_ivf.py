@@ -130,19 +130,53 @@ def test_balanced_placement_caps_and_spills():
     from falcon_tpu.ops.ivf import _balanced_placement
 
     # 10 rows all preferring list 0 with cap 4: 4 land in list 0, the
-    # rest fall to their 2nd choice (list 1, cap 4), then spill to the
-    # emptiest lists.
+    # rest fall to their 2nd choice (list 1, cap 4), then spill
+    # capacity-round-robin over the remaining lists.
     choices = np.tile(np.array([[0, 1]]), (10, 1))
-    lists = _balanced_placement(choices, 4, 4)
-    sizes = [len(l) for l in lists]
-    assert sizes[0] == 4 and sizes[1] == 4
-    assert sum(sizes) == 10
-    assert max(sizes) <= 4  # the cap is a hard bound
+    order, counts = _balanced_placement(choices, 4, 4)
+    assert counts[0] == 4 and counts[1] == 4
+    assert counts.sum() == 10
+    assert counts.max() <= 4  # the cap is a hard bound
+    # Rank priority: rows 0-3 (first in row order) won list 0, rows
+    # 4-7 won list 1, rows 8-9 spilled to list 2.
+    assert order[:4].tolist() == [0, 1, 2, 3]
+    assert order[4:8].tolist() == [4, 5, 6, 7]
+    assert order[8:].tolist() == [8, 9] and counts[2] == 2
     # Deterministic: same input -> same placement.
-    assert lists == _balanced_placement(choices, 4, 4)
+    order2, counts2 = _balanced_placement(choices, 4, 4)
+    np.testing.assert_array_equal(order, order2)
+    np.testing.assert_array_equal(counts, counts2)
     # Every row placed exactly once.
-    placed = sorted(r for l in lists for r in l)
-    assert placed == list(range(10))
+    assert sorted(order.tolist()) == list(range(10))
+
+
+def test_balanced_placement_matches_greedy_oracle():
+    # The vectorized rank-pass placement must match a straightforward
+    # per-row greedy oracle processing choices rank-major.
+    rng = np.random.default_rng(3)
+    n, n_lists, k, cap = 500, 8, 3, 128
+    choices = np.stack([rng.permutation(n_lists)[:k] for _ in range(n)])
+    order, counts = _balanced_placement_import()(choices, n_lists, cap)
+
+    assigned = np.full(n, -1)
+    oracle_counts = np.zeros(n_lists, np.int64)
+    for rank in range(k):
+        for row in range(n):
+            if assigned[row] >= 0:
+                continue
+            lst = choices[row, rank]
+            if oracle_counts[lst] < cap:
+                assigned[row] = lst
+                oracle_counts[lst] += 1
+    np.testing.assert_array_equal(counts, oracle_counts)
+    np.testing.assert_array_equal(order, np.argsort(assigned,
+                                                    kind="stable"))
+
+
+def _balanced_placement_import():
+    from falcon_tpu.ops.ivf import _balanced_placement
+
+    return _balanced_placement
 
 
 def test_ivf_slab_memory_is_bounded(clustered_vectors):

@@ -740,3 +740,21 @@ def test_ingest_range_budget_store_parity_xml(tmp_path, monkeypatch, fmt):
         assert ma["identifier"].tolist() == mb["identifier"].tolist()
         np.testing.assert_array_equal(ma["precursor_mz"],
                                       mb["precursor_mz"])
+
+
+def test_ms1_only_file_does_not_trigger_python_fallback(tmp_path, caplog):
+    """A valid mzXML containing only MS1 scans legitimately yields zero
+    spectra: the scanner reports the blocks it saw (n_blocks), so no
+    misleading warning fires and the file is not re-parsed by the slow
+    Python reader."""
+    scans = [dict(num=i, ms_level=1, rt=10.0 * i, precursor_mz=0.0,
+                  mz=[100.0, 200.0], intensity=[1.0, 2.0])
+             for i in range(5)]
+    path = _write_mzxml(str(tmp_path / "ms1.mzxml"), scans)
+    batch = native.mzxml_ingest(path, **DEFAULTS)
+    assert batch["n_read"] == 0 and batch["n_blocks"] == 5
+    with caplog.at_level("WARNING", logger="falcon_tpu"):
+        result, lqc = ingest.read_and_process_file(path, DEFAULTS)
+    assert not any("falling back" in r.message for r in caplog.records)
+    assert isinstance(result, dict)  # native result kept, not re-parsed
+    assert len(result["precursor_mz"]) == 0 and lqc == 0

@@ -181,8 +181,9 @@ def main(args: Union[str, List[str], None] = None) -> int:
     # already keeps two cap-sized blocks resident (ann_engine), so two
     # sub-cap charges fit the same memory envelope.  Above the cap a
     # charge pipelines its own blocks instead.
-    overlap_cap = int(os.environ.get("FALCON_TPU_DEVICE_BLOCK_CAP",
-                                     2**19))
+    from .cluster.ann_engine import device_block_cap
+
+    overlap_cap = device_block_cap()
     overlap = (
         config.backend == "ann"
         and len(datasets) > 1

@@ -59,6 +59,20 @@ def _block_gauge_tracked():
 _SYNC_STAGES = _os.environ.get("FALCON_TPU_SYNC_STAGES") == "1"
 
 
+def device_block_cap() -> int:
+    """Rows per device mega-block (``FALCON_TPU_DEVICE_BLOCK_CAP``).
+
+    Default 2^19: MEASURED as the largest block size whose arrays fit
+    HBM with the default 2-deep block pipeline (two 2^20-row blocks
+    resident OOM the device right after the k-NN stage; two 2^19-row
+    blocks ran the 25M corpus at its best wall clock).  The CLI's
+    charge-overlap threshold reads the SAME value (two sub-cap charges
+    occupy the same memory envelope as two pipelined blocks), so keep
+    every consumer on this helper.
+    """
+    return int(_os.environ.get("FALCON_TPU_DEVICE_BLOCK_CAP", 2**19))
+
+
 def _sync(*arrays):
     """Block on device arrays at stage boundaries when the
     FALCON_TPU_SYNC_STAGES=1 diagnostic is on, so the profiler's
@@ -66,13 +80,16 @@ def _sync(*arrays):
     (cost otherwise lands in whichever stage first forces a fetch)."""
     if _SYNC_STAGES:
         import jax
+        import jax.numpy as jnp
 
         for a in arrays:
             if a is not None and not isinstance(a, np.ndarray):
                 jax.block_until_ready(a)
-                # The tunneled backend's block_until_ready can return
-                # before execution; force with a tiny fetch.
-                np.asarray(a.ravel()[:1])
+                # The tunneled backend's block_until_ready (and a
+                # tiny-slice fetch) can return before execution
+                # finishes (CLAUDE.md); fetching a scalar REDUCTION of
+                # the whole array cannot — it depends on every element.
+                float(jnp.sum(a.astype(jnp.float32)))
 
 
 _normalize_jit = None
@@ -170,7 +187,9 @@ def generate_clusters(
     import jax.numpy as jnp  # deferred: keep module import light
 
     exact_index = ann_index == "exact"
-    if ann_index is not None and use_ivf is None:
+    if ann_index is not None:
+        # Documented precedence: an explicit ann_index wins over any
+        # use_ivf value a library caller also passed.
         use_ivf = {"auto": None, "brute": False, "ivf": True,
                    "exact": False}[ann_index]
 
@@ -205,12 +224,7 @@ def generate_clusters(
     # chain; labels are offset per block and noise promotion happens
     # once at the end.  This is how 5M+ spectra per charge (configs
     # #2/#5, the 25M north star) fit a 16 GB chip.
-    # Default cap 2^19: MEASURED as the largest block size whose arrays
-    # fit HBM with the default 2-deep block pipeline (two 2^20-row
-    # blocks resident OOM the device right after the k-NN stage; two
-    # 2^19-row blocks ran the 25M corpus at its best wall clock).
-    device_cap = int(_os.environ.get("FALCON_TPU_DEVICE_BLOCK_CAP",
-                                     2**19))
+    device_cap = device_block_cap()
     if n > device_cap:
         from .intervals import precursor_mz_splits
 
@@ -461,7 +475,7 @@ def _single_device_chain(
         hi_vals = mz_sorted + precursor_tol_mass
     else:
         lo_vals = mz_sorted / (1 + precursor_tol_mass / 1e6)
-        hi_vals = mz_sorted * (1 + precursor_tol_mass / 1e6)
+        hi_vals = mz_sorted / (1 - precursor_tol_mass / 1e6)
     spans = (np.searchsorted(mz_sorted, hi_vals, side="right")
              - np.searchsorted(mz_sorted, lo_vals, side="left"))
     if exact_index:
@@ -516,28 +530,35 @@ def _single_device_chain(
         offsets, mz_flat, int_flat, order, pad_to, n_bucket
     )
     chunk = 65536
-    chunks, spread_chunks = [], []
+    chunks = []
     for c0 in range(0, n_bucket, chunk):
         size = min(chunk, n_bucket - c0)
         chunks.append(hasher.vectorize(
             mz_pad_dev[c0:c0 + size], int_pad_dev[c0:c0 + size],
             norm=False,
         ))
-        if prefilter:
-            spread_chunks.append(hasher.vectorize(
-                mz_pad_dev[c0:c0 + size], int_pad_dev[c0:c0 + size],
-                norm=False, spread=True,
-            ))
     # Kept at the padded row count: every downstream op works on the
     # same power-of-two shapes (padded rows are zero vectors / +inf m/z
     # and can never win a similarity comparison).
     plain_unnorm = (chunks[0] if len(chunks) == 1
                     else jnp.concatenate(chunks))
-    spread_unnorm = None
-    if prefilter:
-        spread_unnorm = (spread_chunks[0] if len(spread_chunks) == 1
-                         else jnp.concatenate(spread_chunks))
-    del chunks, spread_chunks
+
+    def make_spread():
+        # Tolerance-spread vectors are built LAZILY at the prefilter
+        # call site: when the multi-device sharded k-NN supersedes the
+        # prefilter (below), this second full hash-scatter pass (and
+        # its (n_bucket, D) HBM slab) is never paid.
+        spread_chunks = [
+            hasher.vectorize(
+                mz_pad_dev[c0:c0 + min(chunk, n_bucket - c0)],
+                int_pad_dev[c0:c0 + min(chunk, n_bucket - c0)],
+                norm=False, spread=True,
+            )
+            for c0 in range(0, n_bucket, chunk)
+        ]
+        return (spread_chunks[0] if len(spread_chunks) == 1
+                else jnp.concatenate(spread_chunks))
+    del chunks
     # Normalized vectors serve cosine search (hashed/IVF paths) and the
     # medoid reduction; the unnormalized pair feeds the prefilter bound.
     vectors_dev = _normalize_rows(plain_unnorm)
@@ -639,7 +660,7 @@ def _single_device_chain(
                 plain_unnorm, mz_sorted, precursor_tol_mass,
                 precursor_tol_mode, k=k_ann, rts=rt_sorted,
                 rt_tol=rt_tol, as_device=True, exact_topk=True,
-                q_vectors=spread_unnorm,
+                q_vectors=make_spread(),
             )
         elif sims is None:
             # Results stay on device (padded) — the density stage
@@ -664,14 +685,19 @@ def _single_device_chain(
         from ..ops.rerank import rerank_exact
 
         if prefilter and not isinstance(sims, np.ndarray):
-            # Candidates are sorted by descending upper bound, so the
-            # survivors (bound >= 1 - eps) form a PREFIX of each list.
-            # One scalar fetch (the widest prefix) sizes the compacted
-            # candidate width — the only host sync before dbscan.
+            # Candidates are sorted by descending upper bound, but the
+            # RT filter (when --rt_tol is set) punches holes into the
+            # sorted lists IN PLACE, so survivors (bound >= 1 - eps)
+            # need NOT form a prefix — size the compacted width from
+            # the LAST surviving column position, not the survivor
+            # count (a count undercounts past holes and silently drops
+            # valid candidates before the exact rerank).  One scalar
+            # fetch — the only host sync before dbscan.
             thr = 1.0 - eps - 1e-3
             keep = sims >= thr
             neigh = jnp_.where(keep, neigh, -1)
-            max_keep = int(jnp_.max(jnp_.sum(keep, axis=1)))
+            cols = jnp_.arange(sims.shape[1], dtype=jnp_.int32)
+            max_keep = int(jnp_.max(jnp_.where(keep, cols + 1, 0)))
             k_compact = 16
             while k_compact < max_keep:
                 k_compact *= 2
@@ -730,7 +756,7 @@ def _refine_and_medoids(
     # group per leading noise point, which is what we want for medoids,
     # but not for postprocessing).
     current_label = 0
-    slices = list(cluster_group_slices(sorted_labels.copy()))
+    slices = list(cluster_group_slices(sorted_labels))
     # Vectorized no-split fast path: a cluster whose precursor m/z span
     # (and RT span) is within tolerance cannot be split by the 1-D
     # complete-linkage cut (its root merge distance IS the span), so

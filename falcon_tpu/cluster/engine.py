@@ -24,6 +24,7 @@ like every other block; the mz x RT label merge uses a true pairing.
 """
 
 import logging
+import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Tuple
@@ -120,11 +121,27 @@ def generate_clusters(
     results_lock = threading.Lock()
     results_ready = threading.Condition(results_lock)
     kwargs = {} if rounds is None else {"rounds": rounds}
+    # Producer backpressure: condensed pdists are ~2.1 GB float32 at the
+    # default 2^15 interval cap, so an unthrottled producer could pile
+    # several of them up whenever the device outruns host linkage.  The
+    # producer only waits while the consumer can progress WITHOUT it
+    # (its needed interval is buffered) — produce order and consume
+    # order differ (small group before large), so a plain size bound
+    # would deadlock.
+    buffer_cap = int(os.environ.get(
+        "FALCON_TPU_EXACT_BUFFER_BYTES", 3 * 2**30))
+    state = {"need": 0, "stop": False, "bytes": 0}
 
     def put(k: int, pdist: Optional[np.ndarray]) -> None:
         with results_ready:
             results[k] = pdist
+            if pdist is not None:
+                state["bytes"] += pdist.nbytes
             results_ready.notify_all()
+            while (not state["stop"]
+                   and state["bytes"] > buffer_cap
+                   and state["need"] in results):
+                results_ready.wait()
 
     # Multi-chip: large intervals' condensed pair lists are sharded over
     # the mesh (parallel/sharded_exact.py) — each unordered pair scored
@@ -189,25 +206,37 @@ def generate_clusters(
     medoids = []
     with ThreadPoolExecutor(max_workers=1) as device_pool:
         device_pool.submit(producer)
-        for k in range(n_intervals):
-            if sizes[k] <= 1:
-                pdist = None
-            else:
-                with results_ready:
-                    while k not in results and "error" not in results:
-                        results_ready.wait()
-                    if "error" in results and k not in results:
-                        raise results["error"]
-                    pdist = results.pop(k)
-            start, stop = splits[k], splits[k + 1]
-            interval_medoids = _cluster_interval(
-                labels, order, mz_sorted, rt_sorted, pdist,
-                int(start), int(stop), linkage, distance_threshold,
-                precursor_tol_mass, precursor_tol_mode, rt_tol,
-            )
-            medoids.append(interval_medoids)
-            if progress is not None:
-                progress.update(int(stop - start))
+        try:
+            for k in range(n_intervals):
+                if sizes[k] <= 1:
+                    pdist = None
+                else:
+                    with results_ready:
+                        state["need"] = k
+                        results_ready.notify_all()  # producer re-checks
+                        while k not in results and "error" not in results:
+                            results_ready.wait()
+                        if "error" in results and k not in results:
+                            raise results["error"]
+                        pdist = results.pop(k)
+                        if pdist is not None:
+                            state["bytes"] -= pdist.nbytes
+                        results_ready.notify_all()
+                start, stop = splits[k], splits[k + 1]
+                interval_medoids = _cluster_interval(
+                    labels, order, mz_sorted, rt_sorted, pdist,
+                    int(start), int(stop), linkage, distance_threshold,
+                    precursor_tol_mass, precursor_tol_mode, rt_tol,
+                )
+                medoids.append(interval_medoids)
+                if progress is not None:
+                    progress.update(int(stop - start))
+        finally:
+            # Unstick a back-pressured producer so the pool join above
+            # cannot deadlock when the consumer raises.
+            with results_ready:
+                state["stop"] = True
+                results_ready.notify_all()
     if progress is not None:
         progress.close()
 
@@ -262,7 +291,7 @@ def _cluster_interval(
     sorted_labels = flat[order1].astype(np.int32)
 
     current_label = 0
-    for start_i, stop_i in list(cluster_group_slices(sorted_labels.copy())):
+    for start_i, stop_i in list(cluster_group_slices(sorted_labels)):
         n_clusters = postprocess_cluster(
             sorted_labels[start_i:stop_i],
             mzs_interval[start_i:stop_i],

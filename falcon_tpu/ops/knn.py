@@ -181,7 +181,11 @@ def knn_banded(
         lo_vals, hi_vals = mzs - tol_mass, mzs + tol_mass
     else:
         lo_vals = mzs / (1 + tol_mass / 1e6)
-        hi_vals = mzs * (1 + tol_mass / 1e6)
+        # The kernel accepts |q-c|/c*1e6 <= tol, i.e. candidates up
+        # to q/(1-tol/1e6) (> q*(1+tol/1e6) by ~q*tol^2): the window
+        # bound must cover the kernel's acceptance region exactly or
+        # boundary pairs become block-geometry-dependent.
+        hi_vals = mzs / (1 - tol_mass / 1e6)
     band_lo = np.searchsorted(mzs, lo_vals, side="left")
     band_hi = np.searchsorted(mzs, hi_vals, side="right")
 

@@ -135,7 +135,7 @@ def knn_banded_sharded(
         lo_vals, hi_vals = mzs - tol_mass, mzs + tol_mass
     else:
         lo_vals = mzs / (1 + tol_mass / 1e6)
-        hi_vals = mzs * (1 + tol_mass / 1e6)
+        hi_vals = mzs / (1 - tol_mass / 1e6)  # kernel acceptance bound
     band_lo = np.searchsorted(mzs, lo_vals, side="left")
     band_hi = np.searchsorted(mzs, hi_vals, side="right")
 

@@ -199,7 +199,7 @@ def _band_windows(mzs, tol_mass, tol_is_da, n_dev, local, block_rows):
         lo_vals, hi_vals = mzs - tol_mass, mzs + tol_mass
     else:
         lo_vals = mzs / (1 + tol_mass / 1e6)
-        hi_vals = mzs * (1 + tol_mass / 1e6)
+        hi_vals = mzs / (1 - tol_mass / 1e6)  # kernel acceptance bound
     band_lo = np.searchsorted(mzs, lo_vals, side="left")
     band_hi = np.searchsorted(mzs, hi_vals, side="right")
     n_blocks = local // block_rows

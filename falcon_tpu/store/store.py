@@ -319,9 +319,14 @@ class ChargeDataset:
             if si == len(spans) or idx < spans[si][0]:
                 # Restart scan (indices not monotone within shards).
                 si = next(
-                    i for i, (lo, hi, _) in enumerate(spans)
-                    if lo <= idx < hi
+                    (i for i, (lo, hi, _) in enumerate(spans)
+                     if lo <= idx < hi), None,
                 )
+                if si is None:
+                    raise IndexError(
+                        f"row index {int(idx)} out of range for dataset "
+                        f"with {spans[-1][1] if spans else 0} rows"
+                    )
             lo, _, shard = spans[si]
             if shard not in cache:
                 cache[shard] = {

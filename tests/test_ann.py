@@ -487,3 +487,56 @@ def test_cross_block_parallel_dispatch(processed_rows, tmp_path,
     assert ann_engine._block_gauge["max"] >= 2
     np.testing.assert_array_equal(labels_serial, labels_pipe)
     np.testing.assert_array_equal(med_serial, med_pipe)
+
+
+def test_rt_holes_do_not_drop_prefilter_survivors(tmp_path):
+    """--rt_tol punches holes into the bound-sorted candidate lists
+    (``ops/knn._mask_invalid`` masks in place AFTER the top-k sort), so
+    the prefilter compaction must size the kept width from the last
+    surviving POSITION, not the survivor count.
+
+    Regression: q's only true neighbor (s1) sits behind 20 RT-violating
+    higher-bound candidates; a count-based width (1 -> 16 columns) cut
+    the list at column 16 and silently dropped the position-20 survivor
+    before the exact rerank, splitting {q, s1}."""
+    rng = np.random.default_rng(0)
+    common_mz = np.sort(
+        rng.uniform(300.0, 1200.0, 20)
+    ).astype(np.float32)
+
+    def mk(c, unique_lo, rt, ident):
+        # sqrt(c) of the L2 norm on the shared 20-peak set, the rest on
+        # two unique peaks -> exact matched cosine vs q ~= sqrt(c).
+        mz = np.concatenate([
+            common_mz, np.float32([unique_lo, unique_lo + 7.0])
+        ])
+        inten = np.concatenate([
+            np.full(20, np.sqrt(c / 20), np.float32),
+            np.full(2, np.sqrt((1 - c) / 2), np.float32),
+        ])
+        order = np.argsort(mz)
+        return dict(identifier=ident, precursor_mz=500.0,
+                    precursor_charge=2, retention_time=float(rt),
+                    mz=mz[order], intensity=inten[order],
+                    filename="synthetic.mgf")
+
+    rows = [mk(0.999, 130.0, 0.0, "q"), mk(0.78, 140.0, 5.0, "s1")]
+    # 20 decoys: high bound vs q (~sqrt(.8*.999)=0.894 > thr=0.869) but
+    # RT-violating; mutually below thr (0.80 < 0.869).
+    for i in range(20):
+        rows.append(mk(0.80, 160.0 + 9.0 * i, 5000.0, f"decoy{i}"))
+
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    w = store.writer()
+    w.add_many(rows)
+    w.close()
+    labels, _ = ann_engine.generate_clusters(
+        store.dataset(2), eps=0.13, min_samples=2, min_matches=0,
+        precursor_tol_mass=20.0, precursor_tol_mode="ppm", rt_tol=10.0,
+        fragment_tol=0.05, batch_size=2**15, low_dim=1600,
+        n_neighbors=64, min_mz=101.0, max_mz=1500.0, max_peaks=50,
+    )
+    # q and s1 (sim ~0.883, dist 0.117 < eps, RT gap 5 <= 10) must land
+    # in the same cluster; no decoy may join them (RT gap 5000).
+    assert labels[0] == labels[1]
+    assert not (labels[2:] == labels[0]).any()

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from falcon_tpu.store.store import (
     SpectrumStore, padded_peaks, NULL_CHARGE,
@@ -105,3 +106,21 @@ def test_read_metadata_column_projection(tmp_path):
     full = ds.read_metadata()
     assert set(full) == {"identifier", "filename", "precursor_mz",
                          "precursor_charge", "retention_time"}
+
+
+def test_take_out_of_range_raises_index_error(tmp_path):
+    store = SpectrumStore(str(tmp_path / "s"))
+    w = store.writer()
+    w.add_many([
+        dict(identifier=f"s{i}", precursor_mz=500.0 + i,
+             precursor_charge=2, retention_time=float(i),
+             mz=np.float32([150, 400, 700, 900, 1100]),
+             intensity=np.float32([.1, .2, .3, .4, .5]),
+             filename="f.mgf")
+        for i in range(4)
+    ])
+    w.close()
+    ds = store.dataset(2)
+    assert len(ds.take([3])) == 1
+    with pytest.raises(IndexError, match="out of range"):
+        ds.take([ds.count_rows()])

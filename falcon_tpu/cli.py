@@ -15,7 +15,6 @@ import os
 import shutil
 import sys
 import tempfile
-import threading
 from typing import List, Union
 
 import numpy as np
@@ -31,6 +30,18 @@ seed.set_seeds()
 
 
 def main(args: Union[str, List[str], None] = None) -> int:
+    """CLI entry point.  Wraps the pipeline so an auto-created temp
+    work_dir (no --work_dir given) is removed on EVERY exit path —
+    early aborts and exceptions included, not just success."""
+    cleanup: list = []
+    try:
+        return _run(args, cleanup)
+    finally:
+        for path in cleanup:
+            shutil.rmtree(path, ignore_errors=True)
+
+
+def _run(args: Union[str, List[str], None], cleanup: list) -> int:
     # Persistent XLA compilation cache: compiled kernels (whose shapes are
     # deliberately bucketed to powers of two throughout ops/) are reused
     # across runs, so only the first-ever run on a machine pays compile
@@ -83,10 +94,9 @@ def main(args: Union[str, List[str], None] = None) -> int:
     ):
         logger.debug("%s = %s", key, config[key])
 
-    rm_work_dir = False
     if config.work_dir is None:
         config.work_dir = tempfile.mkdtemp()
-        rm_work_dir = True
+        cleanup.append(config.work_dir)
     elif os.path.isdir(config.work_dir):
         logging.warning(
             "Working directory %s already exists, previous results might "
@@ -288,46 +298,43 @@ def main(args: Union[str, List[str], None] = None) -> int:
     # (filename, spectrum_id) order is produced one input file at a
     # time from the store's per-file shard namespaces, so export RSS is
     # O(largest file), not O(corpus).
+    from concurrent.futures import ThreadPoolExecutor as _ExportPool
+
     from .export import export_cluster_csv
 
-    write_csv_worker = threading.Thread(
-        target=export_cluster_csv,
-        args=(f"{config.output_filename}.csv", _write_manifest,
-              labels_by_charge),
-        daemon=True,
-    )
-    write_csv_worker.start()
-    if config.export_representatives:
-        from .ms_io import ms_io
-        from .ms_io.containers import Spectrum
+    # Futures, not bare threads: a bare Thread swallows exceptions, so
+    # a failed export (disk full, corrupt shard) would still exit 0
+    # with a truncated CSV; future.result() re-raises in main.
+    with _ExportPool(max_workers=2) as export_pool:
+        csv_future = export_pool.submit(
+            export_cluster_csv, f"{config.output_filename}.csv",
+            _write_manifest, labels_by_charge,
+        )
+        if config.export_representatives:
+            from .ms_io import ms_io
+            from .ms_io.containers import Spectrum
 
-        spectra = [
-            Spectrum(
-                r["identifier"], r["precursor_mz"], r["precursor_charge"],
-                r["mz"], r["intensity"], r["retention_time"],
-                r["filename"],
+            spectra = [
+                Spectrum(
+                    r["identifier"], r["precursor_mz"],
+                    r["precursor_charge"], r["mz"], r["intensity"],
+                    r["retention_time"], r["filename"],
+                )
+                for r in representatives
+            ]
+            logger.info(
+                "Export %d cluster representative spectra to output "
+                "file %s", len(spectra), f"{config.output_filename}.mgf",
             )
-            for r in representatives
-        ]
-        logger.info(
-            "Export %d cluster representative spectra to output file %s",
-            len(spectra), f"{config.output_filename}.mgf",
-        )
-        write_mgf_worker = threading.Thread(
-            target=ms_io.write_spectra,
-            args=(f"{config.output_filename}.mgf", spectra),
-            daemon=True,
-        )
-        write_mgf_worker.start()
-        write_mgf_worker.join()
-    write_csv_worker.join()
+            export_pool.submit(
+                ms_io.write_spectra, f"{config.output_filename}.mgf",
+                spectra,
+            ).result()
+        csv_future.result()
     export_phase.__exit__(None, None, None)
 
     profiler.stop_trace()
     profiler.log_summary()
-
-    if rm_work_dir:
-        shutil.rmtree(config.work_dir)
 
     logging.shutdown()
     return 0

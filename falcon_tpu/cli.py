@@ -165,9 +165,6 @@ def _run(args: Union[str, List[str], None], cleanup: list) -> int:
     # exclusive chip), which ingest worker processes must never touch.
     from .cluster import engine
 
-    if config.backend == "ann":
-        from .cluster import ann_engine
-
     labels_by_charge: list = []
     current_label, representatives = 0, []
     total_rows = total_clusters = 0
@@ -205,39 +202,18 @@ def _run(args: Union[str, List[str], None], cleanup: list) -> int:
         from concurrent.futures import ThreadPoolExecutor
 
         charge_pool = ThreadPoolExecutor(max_workers=2)
-
-        def _cluster_charge(dataset):
-            return _generate_for_charge(dataset, mz_min, mz_max)
-
         for charge, dataset in datasets:
-            futures[charge] = charge_pool.submit(_cluster_charge, dataset)
+            futures[charge] = charge_pool.submit(
+                _generate_for_charge, dataset, mz_min, mz_max
+            )
 
     for charge, dataset in datasets:
         with profiler.phase(f"cluster charge {charge}"):
             if charge in futures:
                 clusters, medoids = futures[charge].result()
             elif config.backend == "ann":
-                clusters, medoids = ann_engine.generate_clusters(
-                    dataset,
-                    eps=config.eps,
-                    min_samples=config.min_samples,
-                    min_matches=config.min_matched_peaks,
-                    precursor_tol_mass=config.precursor_tol[0],
-                    precursor_tol_mode=config.precursor_tol[1],
-                    rt_tol=config.rt_tol,
-                    fragment_tol=config.fragment_tol,
-                    batch_size=config.batch_size,
-                    low_dim=config.low_dim,
-                    n_neighbors=config.n_neighbors,
-                    n_neighbors_ann=config.n_neighbors_ann,
-                    n_probe=config.n_probe,
-                    hash_seed=config.hash_seed,
-                    min_mz=mz_min,
-                    max_mz=mz_max,
-                    max_peaks=config.max_peaks_used,
-                    ann_index=config.ann_index,
-                    rerank=config.rerank,
-                    devices=config.devices,
+                clusters, medoids = _generate_for_charge(
+                    dataset, mz_min, mz_max
                 )
             else:
                 clusters, medoids = engine.generate_clusters(
@@ -391,16 +367,23 @@ def _consensus_representatives(
     )
     pmz = np.asarray(meta["precursor_mz"], np.float64)
     rt = np.asarray(meta["retention_time"], np.float64)
+    # Per-cluster member means in one pass over the labels (a
+    # labels == label scan per cluster is O(n_clusters * n), which at
+    # 25M rows dominated representative extraction).
+    clustered = labels >= 0
+    member_labels = labels[clustered]
+    counts = np.bincount(member_labels).astype(np.float64)
+    pmz_mean = np.bincount(member_labels, weights=pmz[clustered]) / counts
+    rt_mean = np.bincount(member_labels, weights=rt[clustered]) / counts
     rows = []
     for label in sorted(cons):
-        members = labels == label
         mz, intensity = cons[label]
         rows.append(
             {
                 "identifier": f"consensus_cluster{label_offset + label}",
-                "precursor_mz": float(pmz[members].mean()),
+                "precursor_mz": float(pmz_mean[label]),
                 "precursor_charge": charge,
-                "retention_time": float(rt[members].mean()),
+                "retention_time": float(rt_mean[label]),
                 "mz": mz,
                 "intensity": intensity,
                 "filename": "",

@@ -400,7 +400,12 @@ class Config:
             raise AttributeError(option)
         if self._namespace is None:
             raise RuntimeError("The configuration has not been initialized")
-        return self._namespace[option]
+        try:
+            return self._namespace[option]
+        except KeyError:
+            # AttributeError keeps hasattr()/getattr(default) semantics
+            # for unknown options instead of leaking a KeyError.
+            raise AttributeError(option) from None
 
     def __setattr__(self, option, value):
         if option.startswith("_"):

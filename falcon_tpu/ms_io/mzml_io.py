@@ -159,8 +159,10 @@ def get_spectra(source: Union[IO, str]) -> Iterator[Spectrum]:
                 spec = _parse_spectrum(elem)
                 if spec is not None:
                     yield spec
-            except (ValueError, KeyError):
+            except (ValueError, KeyError, TypeError, zlib.error):
                 # Skip malformed spectra silently (mzml_io.py:33-36).
+                # zlib.error: a corrupt compressed peak payload must not
+                # abort the remaining spectra in the file.
                 pass
             finally:
                 elem.clear()

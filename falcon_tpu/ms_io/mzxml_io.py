@@ -127,7 +127,10 @@ def get_spectra(source: Union[IO, str]) -> Iterator[Spectrum]:
                 spec = _parse_scan(elem)
                 if spec is not None:
                     yield spec
-            except (ValueError, KeyError):
+            except (ValueError, KeyError, TypeError, zlib.error):
+                # TypeError: empty <precursorMz/> (float(None));
+                # zlib.error: corrupt compressed peaks — skip the scan,
+                # keep reading the file.
                 pass
             finally:
                 elem.clear()

@@ -155,7 +155,11 @@ def linkage(condensed: np.ndarray, method: str) -> np.ndarray:
         import scipy.cluster.hierarchy as sch
 
         return sch.linkage(condensed, method)
-    work = np.ascontiguousarray(condensed, np.float64).copy()
+    # Exactly one copy: fc_linkage destroys its input, so aliasing the
+    # caller's array is unsafe, but ascontiguousarray(...).copy() paid a
+    # second ~2.1 GB copy at the interval cap whenever a dtype
+    # conversion already copied.
+    work = np.array(condensed, np.float64, order="C", copy=True)
     z = np.empty((n - 1, 4), np.float64)
     rc = lib.fc_linkage(
         _as_double_ptr(work), ctypes.c_int64(n),

@@ -13,7 +13,6 @@ precomputed once per (mz range, bin size, low_dim, seed) and applied on
 device as a gather + segment-sum.
 """
 
-import math
 from typing import Tuple
 
 import numpy as np
@@ -61,8 +60,13 @@ def binning_dims(
     min_mz: float, max_mz: float, bin_size: float
 ) -> Tuple[int, float, float]:
     """Number of bins and rounded bounds (reference ``get_dim``,
-    ``falcon/cluster/spectrum.py:172-199``)."""
-    start_dim = min_mz - min_mz % bin_size
-    end_dim = max_mz + bin_size - max_mz % bin_size
-    return int(math.ceil((end_dim - start_dim) / bin_size)), start_dim, \
-        end_dim
+    ``falcon/cluster/spectrum.py:172-199``).
+
+    Delegates to ``preprocess.spectrum.get_dim`` so the vectorizer and
+    the preprocessing layer can never disagree by one bin: a float64
+    re-implementation here rounded boundary m/z values differently from
+    get_dim's deliberate float32 (reference-njit bit parity) arithmetic.
+    """
+    from ..preprocess.spectrum import get_dim
+
+    return get_dim(min_mz, max_mz, bin_size)

@@ -64,8 +64,12 @@ def _check_spectrum_valid(
     spectrum_mz: np.ndarray, min_peaks: int, min_mz_range: float
 ) -> bool:
     """Quality gate (reference ``spectrum.py:27-52``)."""
+    n = len(spectrum_mz)
+    # n > 0: an empty spectrum has no m/z span — without the guard,
+    # min_peaks=0 lets n == 0 reach the [-1] index.
     return (
-        len(spectrum_mz) >= min_peaks
+        n >= min_peaks
+        and n > 0
         and spectrum_mz[-1] - spectrum_mz[0] >= min_mz_range
     )
 

@@ -70,3 +70,17 @@ def test_uninitialized_raises():
     cfg = Config()
     with pytest.raises(RuntimeError):
         _ = cfg.fragment_tol
+
+
+def test_unknown_option_raises_attribute_error():
+    """Unknown options surface as AttributeError (hasattr/getattr
+    semantics), not a leaked KeyError."""
+    import pytest
+
+    from falcon_tpu.config import Config
+
+    config = Config()
+    config.parse(["in.mgf", "out"])
+    assert not hasattr(config, "definitely_not_an_option")
+    with pytest.raises(AttributeError):
+        config.definitely_not_an_option

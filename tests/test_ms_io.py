@@ -262,3 +262,50 @@ def test_dispatch_unknown_extension(tmp_path):
         list(ms_io.get_spectra(str(tmp_path / "missing.mgf")))
     with pytest.raises(ValueError, match="Unsupported peak file format"):
         ms_io.write_spectra(str(tmp_path / "out.mzml"), [])
+
+
+def test_corrupt_zlib_spectrum_skipped_not_fatal(tmp_path):
+    """A corrupt compressed peak payload in ONE spectrum must not abort
+    the rest of the file: zlib.error is part of the per-spectrum skip
+    (reference skips malformed spectra, mzml_io.py:33-36)."""
+    doc = _make_mzml([
+        dict(id="scan=1", ms_level=2, rt=1.0, precursor_mz=450.0,
+             charge=2, mz=[110.0, 210.0], intensity=[1.0, 2.0],
+             zlib=True),
+        dict(id="scan=2", ms_level=2, rt=2.0, precursor_mz=460.0,
+             charge=2, mz=[120.0, 220.0], intensity=[3.0, 4.0]),
+    ])
+    # Replace scan=1's compressed m/z payload with valid base64 of
+    # bytes that are NOT a zlib stream.
+    good = _b64(np.asarray([110.0, 210.0], np.float64), compress=True)
+    bad = base64.b64encode(b"definitely not zlib data").decode()
+    path = tmp_path / "badzlib.mzml"
+    path.write_text(doc.replace(good, bad, 1))
+    spectra = list(mzml_io.get_spectra(str(path)))
+    assert [s.identifier for s in spectra] == ["scan=2"]
+
+    xdoc = _make_mzxml([
+        dict(num=1, ms_level=2, rt=1.0, precursor_mz=450.0,
+             mz=[100.0, 200.0], intensity=[1.0, 2.0]),
+        dict(num=2, ms_level=2, rt=2.0, precursor_mz=460.0,
+             mz=[150.0, 250.0], intensity=[3.0, 4.0]),
+    ]).replace('compressionType="none"', 'compressionType="zlib"', 1)
+    path = tmp_path / "badzlib.mzxml"
+    path.write_text(xdoc)
+    spectra = list(mzxml_io.get_spectra(str(path)))
+    assert [s.identifier for s in spectra] == ["2"]
+
+
+def test_empty_precursor_mz_scan_skipped(tmp_path):
+    """<precursorMz/> with no text (float(None) -> TypeError) skips the
+    scan instead of aborting the file."""
+    doc = _make_mzxml([
+        dict(num=1, ms_level=2, rt=1.0, precursor_mz=450.0,
+             mz=[100.0, 200.0], intensity=[1.0, 2.0]),
+        dict(num=2, ms_level=2, rt=2.0, precursor_mz=460.0,
+             mz=[150.0, 250.0], intensity=[3.0, 4.0]),
+    ]).replace(">450.0</precursorMz>", "></precursorMz>", 1)
+    path = tmp_path / "emptyprec.mzxml"
+    path.write_text(doc)
+    spectra = list(mzxml_io.get_spectra(str(path)))
+    assert [s.identifier for s in spectra] == ["2"]

@@ -142,3 +142,28 @@ def test_output_dict_schema():
     }
     assert out["mz"].dtype == np.float32
     assert out["intensity"].dtype == np.float32
+
+
+def test_min_peaks_zero_empty_spectrum_rejected():
+    """min_peaks=0 with a zero-peak spectrum is invalid (no m/z span),
+    not an IndexError on the empty array."""
+    from falcon_tpu.ms_io.containers import Spectrum
+
+    empty = Spectrum(
+        "empty", 400.0, 2, np.array([], np.float32),
+        np.array([], np.float32), -1.0,
+    )
+    assert prep.process_spectrum(
+        empty, min_peaks=0, min_mz_range=0.0
+    ) is None
+
+
+def test_binning_dims_delegates_to_get_dim():
+    """The vectorizer's bin geometry and the preprocessing layer's must
+    agree bit-for-bit (a float64 re-implementation rounded boundary
+    values differently from get_dim's float32 arithmetic)."""
+    from falcon_tpu.ops.hashing import binning_dims
+
+    for bounds in ((101.0, 1500.0, 0.05), (100.1, 1499.9, 0.3),
+                   (50.05, 2500.07, 1.0005)):
+        assert binning_dims(*bounds) == prep.get_dim(*bounds)

@@ -758,3 +758,95 @@ def test_ms1_only_file_does_not_trigger_python_fallback(tmp_path, caplog):
     assert not any("falling back" in r.message for r in caplog.records)
     assert isinstance(result, dict)  # native result kept, not re-parsed
     assert len(result["precursor_mz"]) == 0 and lqc == 0
+
+
+# ---- randomized XML-formatting robustness -----------------------------
+
+def _mutate_xml_formatting(doc: str, rng: np.random.Generator) -> str:
+    """Seeded, semantics-preserving XML formatting mutations.
+
+    Every transformation below yields XML that the spec-conformant
+    lxml/ElementTree readers parse identically: random whitespace after
+    element tag names, random spacing around attribute ``=``, single- vs
+    double-quoted attribute values, interspersed comments, and CRLF line
+    endings.  The native streaming scanners (``native/falcon_mzml.cc``)
+    must tolerate all of them — the round-2 advisor found exactly this
+    class of bug (a newline after ``<spectrum`` silently dropping every
+    spectrum in the file).
+    """
+    import re
+
+    head, sep, body = doc.partition("?>")  # keep the XML declaration
+
+    # 1. Random whitespace between a tag name and its first attribute.
+    ws_choices = [" ", "\n  ", "\t", "\r\n    ", "  "]
+
+    def tag_ws(m):
+        return m.group(1) + str(rng.choice(ws_choices))
+
+    body = re.sub(
+        r"(<(?:spectrum|scan|cvParam|peaks|precursorMz|binaryDataArray"
+        r"|precursor|selectedIon|spectrumList))\s",
+        tag_ws, body,
+    )
+
+    # 2. Random attribute spacing / quote style (XML Eq ::= S? '=' S?).
+    def attr_fmt(m):
+        name, value = m.group(1), m.group(2)
+        style = rng.integers(0, 4)
+        if style == 0:
+            return f'{name}="{value}"'
+        if style == 1:
+            return f'{name} = "{value}"'
+        if style == 2 and "'" not in value:
+            return f"{name}='{value}'"
+        return f'{name}\n  =  "{value}"'
+
+    body = re.sub(r'([\w:]+)="([^"<>]*)"', attr_fmt, body)
+
+    # 3. Benign comments between spectrum/scan blocks.
+    def comment(m):
+        if rng.random() < 0.5:
+            return m.group(0) + "<!-- instrument annotation -->"
+        return m.group(0)
+
+    body = re.sub(r"</spectrum>|</scan>", comment, body)
+
+    # 4. Whole-document CRLF line endings.
+    if rng.random() < 0.5:
+        body = body.replace("\r\n", "\n").replace("\n", "\r\n")
+    return head + sep + body
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_mzml_random_formatting_matches_python(tmp_path, seed):
+    spectra, _ = make_clustered_spectra(
+        n_clusters=8, cluster_size=3, n_noise=12, seed=100 + seed
+    )
+    path = _write_mzml(str(tmp_path / "fmt.mzml"), spectra,
+                       zlib_mz=bool(seed % 2), f64_mz=bool(seed % 2))
+    rng = np.random.default_rng(seed)
+    doc = _mutate_xml_formatting(open(path).read(), rng)
+    open(path, "w", newline="").write(doc)
+    batch = native.mzml_ingest(path, **DEFAULTS)
+    expected, lqc = python_reference(path, DEFAULTS)
+    assert len(expected) > 0
+    assert_batch_matches(batch, expected, lqc)
+    assert not batch["truncated"]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_mzxml_random_formatting_matches_python(tmp_path, seed):
+    spectra, _ = make_clustered_spectra(
+        n_clusters=8, cluster_size=3, n_noise=12, seed=200 + seed
+    )
+    path = _write_mzxml(str(tmp_path / "fmt.mzxml"),
+                        _spectra_to_scans(spectra))
+    rng = np.random.default_rng(seed)
+    doc = _mutate_xml_formatting(open(path).read(), rng)
+    open(path, "w", newline="").write(doc)
+    batch = native.mzxml_ingest(path, **DEFAULTS)
+    expected, lqc = python_reference(path, DEFAULTS)
+    assert len(expected) > 0
+    assert_batch_matches(batch, expected, lqc)
+    assert not batch["truncated"]

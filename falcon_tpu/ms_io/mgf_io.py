@@ -9,6 +9,12 @@ First-party text parser replacing ``pyteomics.mgf`` as used by the reference
 - optional CHARGE ("2+" / "2-" / "2"); absent -> ``None``
   (reference ``mgf_io.py:54-58``).
 - optional RTINSECONDS; absent -> ``-1`` (reference ``mgf_io.py:51``).
+- comment lines starting with ``#``, ``;``, ``!`` or ``/`` are ignored
+  and file-header parameters before the first BEGIN IONS merge into
+  every spectrum with local keys taking precedence — pyteomics
+  ``MGFBase._comments`` / ``use_header=True`` defaults the reference
+  inherits via ``pyteomics.mgf.MGF(source)`` (reference
+  ``mgf_io.py:25``).
 - writer emits TITLE/PEPMASS/CHARGE and RTINSECONDS/SCAN/CLUSTER when
   present (reference ``mgf_io.py:85-116``).  Unlike the reference, a
   ``None`` precursor charge is handled by omitting CHARGE instead of
@@ -46,15 +52,19 @@ def get_spectra(source: Union[IO, str]) -> Iterator[Spectrum]:
 def _iter_mgf(f_in: IO) -> Iterator[Spectrum]:
     in_ions = False
     malformed = False
+    seen_block = False
+    header: dict = {}
     params, mz, intensity = {}, [], []
     for raw in f_in:
         line = raw.strip()
-        if not line:
+        if not line or line[0] in "#;!/":
+            # Comment lines (pyteomics ``MGFBase._comments``).
             continue
         upper = line.upper()
         if upper.startswith("BEGIN IONS"):
-            in_ions, params, mz, intensity = True, {}, [], []
+            in_ions, params, mz, intensity = True, dict(header), [], []
             malformed = False
+            seen_block = True
         elif upper.startswith("END IONS"):
             if in_ions and not malformed:
                 spec = _make_spectrum(params, mz, intensity)
@@ -79,6 +89,13 @@ def _iter_mgf(f_in: IO) -> Iterator[Spectrum]:
                     else:
                         mz.append(m)
                         intensity.append(i)
+        elif not seen_block and "=" in line and not line[0].isdigit() \
+                and line[0] != "-":
+            # File-header parameter (before the first BEGIN IONS):
+            # merged into every spectrum, local keys win (pyteomics
+            # ``use_header=True`` default).
+            key, _, value = line.partition("=")
+            header[key.strip().upper()] = value.strip()
 
 
 def _make_spectrum(params: dict, mz: List[float],

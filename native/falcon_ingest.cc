@@ -290,6 +290,76 @@ void finish_spectrum(IngestResult* res, const Params& p, bool have_title,
   res->peak_offsets.push_back(static_cast<int64_t>(res->mz.size()));
 }
 
+// File-header parameters: lines before the first BEGIN IONS, merged
+// into every spectrum with local keys winning (pyteomics
+// ``use_header=True`` default the reference inherits,
+// falcon/ms_io/mgf_io.py:25).  Every byte-range worker re-reads the
+// (tiny) file head so ranges that start mid-file still see the header;
+// the scan is capped at 1 MB — real MGF headers are a few lines.
+struct MgfHeader {
+  bool have_title = false, have_pepmass = false;
+  bool have_charge = false, have_rt = false;
+  std::string title, pepmass, charge, rt;
+};
+
+bool is_comment_start(char c) {
+  // pyteomics MGFBase._comments = set('#;!/').
+  return c == '#' || c == ';' || c == '!' || c == '/';
+}
+
+void read_mgf_header(const char* path, MgfHeader* hdr) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return;
+  char* line = nullptr;
+  size_t cap = 0;
+  ssize_t got;
+  int64_t consumed = 0;
+  const int64_t kHeaderCap = 1 << 20;
+  while ((got = getline(&line, &cap, f)) != -1) {
+    consumed += got;
+    char* b = line;
+    char* e = line + got;
+    while (b < e && std::isspace(static_cast<unsigned char>(*b))) ++b;
+    while (e > b && std::isspace(static_cast<unsigned char>(e[-1]))) --e;
+    if (b == e || is_comment_start(*b)) {
+      if (consumed > kHeaderCap) break;
+      continue;
+    }
+    size_t len = static_cast<size_t>(e - b);
+    if (istarts_with(b, len, "BEGIN IONS")) break;
+    const char* eq = static_cast<const char*>(std::memchr(b, '=', len));
+    bool first_digit =
+        std::isdigit(static_cast<unsigned char>(b[0])) || b[0] == '-';
+    if (eq && !first_digit) {
+      std::string key(static_cast<const char*>(b), eq);
+      size_t k0 = key.find_first_not_of(" \t");
+      size_t k1 = key.find_last_not_of(" \t");
+      key = k0 == std::string::npos ? "" : key.substr(k0, k1 - k0 + 1);
+      for (auto& c : key) c = std::toupper(static_cast<unsigned char>(c));
+      std::string value(eq + 1, static_cast<const char*>(e));
+      size_t v0 = value.find_first_not_of(" \t");
+      size_t v1 = value.find_last_not_of(" \t");
+      value = v0 == std::string::npos ? "" : value.substr(v0, v1 - v0 + 1);
+      if (key == "TITLE") {
+        hdr->title = value;
+        hdr->have_title = true;
+      } else if (key == "PEPMASS") {
+        hdr->pepmass = value;
+        hdr->have_pepmass = true;
+      } else if (key == "RTINSECONDS") {
+        hdr->rt = value;
+        hdr->have_rt = true;
+      } else if (key == "CHARGE") {
+        hdr->charge = value;
+        hdr->have_charge = true;
+      }
+    }
+    if (consumed > kHeaderCap) break;
+  }
+  std::free(line);
+  std::fclose(f);
+}
+
 // Fill out_counts from a (possibly empty) result and hand it back —
 // used when a range seek lands past EOF so the caller still gets a
 // well-formed empty handle rather than NULL ("cannot open").
@@ -380,6 +450,9 @@ void* fc_mgf_ingest_range(const char* path, int64_t start, int64_t end,
     }
   }
 
+  MgfHeader hdr;
+  read_mgf_header(path, &hdr);
+
   bool in_ions = false;
   int64_t n_blocks = 0;    // BEGIN IONS blocks owned by this range
   bool malformed = false;  // unparseable peak line -> skip the spectrum
@@ -401,7 +474,7 @@ void* fc_mgf_ingest_range(const char* path, int64_t start, int64_t end,
     char* e = line + got;
     while (b < e && std::isspace(static_cast<unsigned char>(*b))) ++b;
     while (e > b && std::isspace(static_cast<unsigned char>(e[-1]))) --e;
-    if (b == e) continue;
+    if (b == e || is_comment_start(*b)) continue;
     size_t len = static_cast<size_t>(e - b);
 
     if (istarts_with(b, len, "BEGIN IONS")) {
@@ -409,8 +482,15 @@ void* fc_mgf_ingest_range(const char* path, int64_t start, int64_t end,
       ++n_blocks;
       in_ions = true;
       malformed = false;
-      have_title = have_pepmass = have_charge = have_rt = false;
-      title.clear();
+      // Per-spectrum params start from the file header (local wins).
+      have_title = hdr.have_title;
+      have_pepmass = hdr.have_pepmass;
+      have_charge = hdr.have_charge;
+      have_rt = hdr.have_rt;
+      title = hdr.title;
+      pepmass_raw = hdr.pepmass;
+      charge_raw = hdr.charge;
+      rt_raw = hdr.rt;
       mz.clear();
       inten.clear();
     } else if (istarts_with(b, len, "END IONS")) {

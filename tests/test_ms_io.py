@@ -309,3 +309,42 @@ def test_empty_precursor_mz_scan_skipped(tmp_path):
     path.write_text(doc)
     spectra = list(mzxml_io.get_spectra(str(path)))
     assert [s.identifier for s in spectra] == ["2"]
+
+
+def test_mgf_comments_and_header_params(tmp_path):
+    """Comment lines (# ; ! /) are ignored and file-header parameters
+    before the first BEGIN IONS merge into every spectrum with local
+    keys winning — pyteomics ``MGFBase._comments`` / ``use_header=True``
+    defaults the reference inherits (``falcon/ms_io/mgf_io.py:25``)."""
+    path = tmp_path / "hdr.mgf"
+    path.write_text(
+        "# generated by an exporter\n"
+        "COM=my run\n"
+        "CHARGE=2+\n"
+        "RTINSECONDS=7.5\n"
+        "\n"
+        "BEGIN IONS\n"
+        "TITLE=inherits_header\n"
+        "PEPMASS=500.25\n"
+        "; block comment\n"
+        "100.1 10.0\n"
+        "200.2 20.0\n"
+        "END IONS\n"
+        "! between blocks\n"
+        "BEGIN IONS\n"
+        "TITLE=local_override\n"
+        "PEPMASS=600.5\n"
+        "CHARGE=3+\n"
+        "RTINSECONDS=42.0\n"
+        "/ another comment style\n"
+        "150.0 1.0\n"
+        "250.0 2.0\n"
+        "END IONS\n"
+    )
+    s1, s2 = list(mgf_io.get_spectra(str(path)))
+    assert s1.identifier == "inherits_header"
+    assert s1.precursor_charge == 2      # from the file header
+    assert s1.retention_time == 7.5      # from the file header
+    np.testing.assert_allclose(s1.mz, [100.1, 200.2], rtol=1e-6)
+    assert s2.precursor_charge == 3      # local CHARGE wins
+    assert s2.retention_time == 42.0     # local RTINSECONDS wins

@@ -850,3 +850,57 @@ def test_native_mzxml_random_formatting_matches_python(tmp_path, seed):
     assert len(expected) > 0
     assert_batch_matches(batch, expected, lqc)
     assert not batch["truncated"]
+
+
+# ---- MGF file-header params + comment lines ---------------------------
+
+def _strip_local_charges_add_header(path, header):
+    """Remove CHARGE= from every other block and prepend a file header."""
+    blocks = open(path).read().split("BEGIN IONS")
+    rest = []
+    for i, block in enumerate(blocks[1:]):
+        if i % 2 == 0:
+            block = "\n".join(
+                ln for ln in block.splitlines()
+                if not ln.upper().startswith("CHARGE=")
+            ) + "\n"
+        rest.append(block)
+    open(path, "w").write(header + "BEGIN IONS" +
+                          "BEGIN IONS".join(rest))
+
+
+def test_native_mgf_header_and_comments_match_python(tmp_path):
+    """File-header params (inherited, local wins) and # ; ! / comment
+    lines: the native scanner must agree with the Python reader, and
+    blocks without a local CHARGE must inherit the header's."""
+    spectra, _ = make_clustered_spectra(
+        n_clusters=10, cluster_size=3, n_noise=15, seed=31
+    )
+    path = write_mgf(str(tmp_path / "hdr.mgf"), spectra)
+    _strip_local_charges_add_header(
+        path,
+        "# exporter comment\nCOM=run 1\nCHARGE=5+\n; note\n\n",
+    )
+    # Sprinkle comment lines inside blocks too.
+    doc = open(path).read().replace("END IONS", "! trailing\nEND IONS")
+    open(path, "w").write(doc)
+    batch = native.mgf_ingest(path, **DEFAULTS)
+    expected, lqc = python_reference(path, DEFAULTS)
+    assert len(expected) > 0
+    assert_batch_matches(batch, expected, lqc)
+    # Header charge inherited where the local CHARGE was stripped.
+    assert (np.asarray(batch["precursor_charge"]) == 5).any()
+
+
+def test_native_mgf_header_reaches_every_byte_range(tmp_path):
+    """Byte-range workers start mid-file and must still apply the file
+    header (each range re-reads the file head)."""
+    spectra, _ = make_clustered_spectra(
+        n_clusters=30, cluster_size=4, n_noise=40, seed=32
+    )
+    path = write_mgf(str(tmp_path / "hdr_range.mgf"), spectra)
+    _strip_local_charges_add_header(path, "CHARGE=4+\nCOM=x\n\n")
+    _assert_range_concat_matches(path, native.mgf_ingest, b"BEGIN IONS")
+    full = native.mgf_ingest(path, **DEFAULTS)
+    charges = np.asarray(full["precursor_charge"])
+    assert (charges == 4).any() and len(np.unique(charges)) > 1

@@ -54,6 +54,17 @@ _ACC_SCAN_START = "MS:1000016"
 _ACC_SELECTED_MZ = "MS:1000744"
 _ACC_CHARGE = "MS:1000041"
 _ACC_POSSIBLE_CHARGE = "MS:1000633"
+# MS-Numpress compressions (plain and +zlib combos): not supported —
+# decoding their payload as raw IEEE floats would yield silent garbage,
+# so spectra carrying them are skipped with a once-per-file warning.
+_ACC_NUMPRESS = frozenset((
+    "MS:1002312", "MS:1002313", "MS:1002314",
+    "MS:1002746", "MS:1002747", "MS:1002748",
+))
+
+
+class _UnsupportedCompression(ValueError):
+    pass
 
 
 def _local(tag) -> str:
@@ -73,6 +84,7 @@ def _cv_params(element) -> dict:
 def _decode_binary_array(bda) -> Optional[np.ndarray]:
     """Decode one <binaryDataArray>; returns (kind, array) or None."""
     dtype, compressed, kind, payload = np.float64, False, None, None
+    unsupported = None
     for child in bda.iter():
         tag = _local(child.tag)
         if tag == "cvParam":
@@ -83,6 +95,8 @@ def _decode_binary_array(bda) -> Optional[np.ndarray]:
                 dtype = np.float64
             elif acc == _ACC_ZLIB:
                 compressed = True
+            elif acc in _ACC_NUMPRESS:
+                unsupported = acc
             elif acc == _ACC_MZ_ARRAY:
                 kind = "mz"
             elif acc == _ACC_INT_ARRAY:
@@ -91,6 +105,8 @@ def _decode_binary_array(bda) -> Optional[np.ndarray]:
             payload = child.text or ""
     if kind is None or payload is None:
         return None
+    if unsupported is not None:
+        raise _UnsupportedCompression(unsupported)
     data = base64.b64decode(payload)
     if compressed:
         data = zlib.decompress(data)
@@ -151,6 +167,7 @@ def _parse_spectrum(elem) -> Optional[Spectrum]:
 
 def get_spectra(source: Union[IO, str]) -> Iterator[Spectrum]:
     """Iterate over the MS/MS spectra (MS level > 1) in an mzML file."""
+    warned_numpress = False
     try:
         for _, elem in etree.iterparse(source, events=("end",)):
             if _local(elem.tag) != "spectrum":
@@ -159,6 +176,13 @@ def get_spectra(source: Union[IO, str]) -> Iterator[Spectrum]:
                 spec = _parse_spectrum(elem)
                 if spec is not None:
                     yield spec
+            except _UnsupportedCompression as e:
+                if not warned_numpress:
+                    logger.warning(
+                        "Skipping spectra with unsupported binary "
+                        "compression %s (MS-Numpress) in %s", e, source
+                    )
+                    warned_numpress = True
             except (ValueError, KeyError, TypeError, zlib.error):
                 # Skip malformed spectra silently (mzml_io.py:33-36).
                 # zlib.error: a corrupt compressed peak payload must not

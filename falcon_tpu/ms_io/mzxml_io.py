@@ -97,6 +97,12 @@ def _parse_scan(elem) -> Optional[Spectrum]:
             data = base64.b64decode(child.text or "")
             if compression == "zlib":
                 data = zlib.decompress(data)
+            elif compression not in ("none", ""):
+                # e.g. MS-Numpress: decoding as raw floats would be
+                # silent garbage — skip the scan instead.
+                raise ValueError(
+                    f"unsupported compressionType {compression!r}"
+                )
             dtype = np.dtype(np.float64 if precision == 64 else np.float32)
             dtype = dtype.newbyteorder(
                 ">" if byte_order == "network" else "<"

@@ -306,8 +306,19 @@ void for_each_cvparam(std::string_view block, Fn fn) {
 struct BinaryArray {
   bool is_mz = false, is_intensity = false;
   bool f64 = true, zlib_c = false;
+  // MS-Numpress compressions (MS:1002312-14 plain, MS:1002746-48 +zlib
+  // combos) are not supported: decoding their payload as raw IEEE
+  // floats would be silent garbage, so the spectrum is skipped
+  // (mirrors ms_io/mzml_io.py:_ACC_NUMPRESS).
+  bool unsupported = false;
   std::string_view payload;
 };
+
+bool is_numpress_accession(std::string_view acc) {
+  return acc == "MS:1002312" || acc == "MS:1002313" ||
+         acc == "MS:1002314" || acc == "MS:1002746" ||
+         acc == "MS:1002747" || acc == "MS:1002748";
+}
 
 // Decode one <binaryDataArray> block.
 bool parse_binary_array(std::string_view block, BinaryArray* out) {
@@ -317,6 +328,7 @@ bool parse_binary_array(std::string_view block, BinaryArray* out) {
     else if (p.accession == "MS:1000574") out->zlib_c = true;
     else if (p.accession == "MS:1000514") out->is_mz = true;
     else if (p.accession == "MS:1000515") out->is_intensity = true;
+    else if (is_numpress_accession(p.accession)) out->unsupported = true;
   });
   // NB: "<binary" alone would also match the enclosing
   // <binaryDataArray> tag — require a tag-ending character after it.
@@ -429,6 +441,7 @@ void parse_spectrum_block(std::string_view block, const Params& p,
     BinaryArray arr;
     if (parse_binary_array(block.substr(pos, bda_e - pos), &arr) &&
         (arr.is_mz || arr.is_intensity)) {
+      if (arr.unsupported) return;  // numpress payload: skip spectrum
       if (!b64_decode(arr.payload, &raw)) return;  // malformed: skip
       const std::vector<uint8_t>* bytes = &raw;
       if (arr.zlib_c) {
@@ -668,6 +681,9 @@ void parse_scan_block(std::string_view block, const Params& p,
     std::string low(comp_s);
     for (auto& c : low) c = std::tolower(static_cast<unsigned char>(c));
     zl = low == "zlib";
+    // Unknown compression (e.g. MS-Numpress): raw-float decode would be
+    // silent garbage — skip the scan (ms_io/mzxml_io.py does the same).
+    if (!zl && low != "none" && !low.empty()) return;
   }
   bool big_endian = true;  // mzXML "network" default
   if (attr_value(tag, "byteOrder", &order_s)) {

@@ -348,3 +348,46 @@ def test_mgf_comments_and_header_params(tmp_path):
     np.testing.assert_allclose(s1.mz, [100.1, 200.2], rtol=1e-6)
     assert s2.precursor_charge == 3      # local CHARGE wins
     assert s2.retention_time == 42.0     # local RTINSECONDS wins
+
+
+def test_unsupported_numpress_mzml_scan_skipped(tmp_path, caplog):
+    """A spectrum whose binary arrays use MS-Numpress (unsupported) is
+    skipped with a once-per-file warning — decoding the payload as raw
+    IEEE floats would be silent garbage."""
+    doc = _make_mzml([
+        dict(id="scan=0", ms_level=2, mz=[150.0, 300.0],
+             intensity=[1.0, 2.0], precursor_mz=500.0, charge=2,
+             rt=10.0),
+        dict(id="scan=1", ms_level=2, mz=[160.0, 310.0],
+             intensity=[1.0, 2.0], precursor_mz=510.0, charge=2,
+             rt=11.0),
+    ])
+    # Flip the first spectrum's compression cvParams to numpress-linear.
+    doc = doc.replace('accession="MS:1000576" name="no compression"',
+                      'accession="MS:1002312" name="numpress linear"', 2)
+    path = str(tmp_path / "np.mzml")
+    open(path, "w").write(doc)
+    import logging as _logging
+    with caplog.at_level(_logging.WARNING, logger="falcon_tpu"):
+        out = list(mzml_io.get_spectra(path))
+    assert [s.identifier for s in out] == ["scan=1"]
+    numpress_warnings = [r for r in caplog.records
+                         if "Numpress" in r.message]
+    assert len(numpress_warnings) == 1
+
+
+def test_unsupported_mzxml_compression_scan_skipped(tmp_path):
+    """An mzXML scan with an unknown compressionType is skipped rather
+    than decoded as raw floats."""
+    doc = _make_mzxml([
+        dict(num=1, ms_level=2, rt=10.0, precursor_mz=500.0, charge=2,
+             mz=[150.0, 300.0], intensity=[1.0, 2.0]),
+        dict(num=2, ms_level=2, rt=11.0, precursor_mz=510.0, charge=2,
+             mz=[160.0, 310.0], intensity=[1.0, 2.0]),
+    ])
+    doc = doc.replace('compressionType="none"',
+                      'compressionType="numpress-linear"', 1)
+    path = str(tmp_path / "np.mzxml")
+    open(path, "w").write(doc)
+    out = list(mzxml_io.get_spectra(path))
+    assert len(out) == 1  # the untouched second scan survives

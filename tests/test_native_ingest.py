@@ -904,3 +904,41 @@ def test_native_mgf_header_reaches_every_byte_range(tmp_path):
     full = native.mgf_ingest(path, **DEFAULTS)
     charges = np.asarray(full["precursor_charge"])
     assert (charges == 4).any() and len(np.unique(charges)) > 1
+
+
+def test_native_numpress_spectra_skipped_like_python(tmp_path):
+    """Spectra whose binary arrays use MS-Numpress are skipped by BOTH
+    the native scanner and the Python reader (decoding the payload as
+    raw floats would be silent garbage)."""
+    spectra, _ = make_clustered_spectra(
+        n_clusters=6, cluster_size=3, n_noise=8, seed=41
+    )
+    path = _write_mzml(str(tmp_path / "np.mzml"), spectra,
+                       zlib_mz=False)
+    doc = open(path).read()
+    n_total = doc.count("<spectrum ")
+    # Flip the FIRST spectrum's two compression cvParams to numpress.
+    doc = doc.replace('accession="MS:1000576" name="no compression"',
+                      'accession="MS:1002312" name="numpress"', 2)
+    open(path, "w").write(doc)
+    batch = native.mzml_ingest(path, **DEFAULTS)
+    expected, lqc = python_reference(path, DEFAULTS)
+    assert_batch_matches(batch, expected, lqc)
+    assert batch["n_read"] < n_total  # the numpress spectrum was dropped
+
+
+def test_native_mzxml_unknown_compression_skipped_like_python(tmp_path):
+    spectra, _ = make_clustered_spectra(
+        n_clusters=6, cluster_size=3, n_noise=8, seed=42
+    )
+    path = _write_mzxml(str(tmp_path / "np.mzxml"),
+                        _spectra_to_scans(spectra))
+    doc = open(path).read()
+    n_total = doc.count("<scan ")
+    doc = doc.replace('compressionType="none"',
+                      'compressionType="numpress-linear"', 1)
+    open(path, "w").write(doc)
+    batch = native.mzxml_ingest(path, **DEFAULTS)
+    expected, lqc = python_reference(path, DEFAULTS)
+    assert_batch_matches(batch, expected, lqc)
+    assert batch["n_read"] < n_total

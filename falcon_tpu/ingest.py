@@ -79,6 +79,14 @@ def read_and_process_file(
                     "(parsed %d complete spectra)",
                     filename, batch["n_read"],
                 )
+            if batch.get("n_unsupported", 0) > 0:
+                # Mirrors the Python readers' once-per-file warning so a
+                # fully numpress-compressed file is never silently empty.
+                logger.warning(
+                    "Skipped %d spectra with unsupported binary "
+                    "compression (e.g. MS-Numpress) in %s",
+                    batch["n_unsupported"], filename,
+                )
             n = len(batch["precursor_mz"])
             batch["filename"] = np.repeat(np.array([filename]), n)
             return batch, batch["n_low_quality"]
@@ -148,6 +156,12 @@ def _read_file_ranges(
         logger.warning(
             "Failed to read file %s: truncated document "
             "(parsed %d complete spectra)", filename, n_read,
+        )
+    n_unsupported = sum(b.get("n_unsupported", 0) for b in batches)
+    if n_unsupported > 0:
+        logger.warning(
+            "Skipped %d spectra with unsupported binary compression "
+            "(e.g. MS-Numpress) in %s", n_unsupported, filename,
         )
     for b in batches:
         b["filename"] = np.repeat(np.array([filename]),

@@ -115,8 +115,10 @@ def _make_spectrum(params: dict, mz: List[float],
             np.asarray(intensity, np.float32),
             retention_time,
         )
-    except (ValueError, KeyError):
+    except (ValueError, KeyError, IndexError):
         # Silently skip malformed spectra (reference mgf_io.py:27-30).
+        # IndexError: an empty value ("PEPMASS=" / "CHARGE=") must skip
+        # the spectrum like the native scanner does, not abort the file.
         return None
 
 

@@ -36,6 +36,10 @@ from .containers import Spectrum
 
 logger = logging.getLogger("falcon_tpu")
 
+# DIVERGENCE (SURVEY.md §3.5): spectra with MS-Numpress-compressed
+# binary arrays are skipped with a once-per-file warning; the reference
+# (pyteomics without pynumpress) aborts the whole file instead.
+
 # lxml raises XMLSyntaxError; the stdlib ElementTree fallback raises
 # ParseError — resolve the catchable tuple at import time.
 _XML_ERRORS = (

@@ -18,7 +18,8 @@ reference (``falcon/ms_io/mzxml_io.py``).  Behavioral parity:
 
 Peaks are decoded from the <peaks> element: base64, network (big-endian)
 byte order, 32/64-bit floats, interleaved m/z-intensity pairs, optional
-zlib compression.
+zlib compression.  Scans with any other compressionType (e.g.
+MS-Numpress) are skipped with a once-per-file warning (SURVEY.md §3.5).
 """
 
 import base64
@@ -35,6 +36,7 @@ except ImportError:  # pragma: no cover
     import xml.etree.ElementTree as etree
 
 from .containers import Spectrum
+from .mzml_io import _UnsupportedCompression
 
 logger = logging.getLogger("falcon_tpu")
 
@@ -94,15 +96,14 @@ def _parse_scan(elem) -> Optional[Spectrum]:
             precision = int(child.get("precision", 32))
             compression = (child.get("compressionType") or "none").lower()
             byte_order = (child.get("byteOrder") or "network").lower()
+            if compression not in ("zlib", "none", ""):
+                # e.g. MS-Numpress: decoding as raw floats would be
+                # silent garbage — skip the scan instead (before paying
+                # for the base64 decode).
+                raise _UnsupportedCompression(compression)
             data = base64.b64decode(child.text or "")
             if compression == "zlib":
                 data = zlib.decompress(data)
-            elif compression not in ("none", ""):
-                # e.g. MS-Numpress: decoding as raw floats would be
-                # silent garbage — skip the scan instead.
-                raise ValueError(
-                    f"unsupported compressionType {compression!r}"
-                )
             dtype = np.dtype(np.float64 if precision == 64 else np.float32)
             dtype = dtype.newbyteorder(
                 ">" if byte_order == "network" else "<"
@@ -125,6 +126,7 @@ def _parse_scan(elem) -> Optional[Spectrum]:
 
 def get_spectra(source: Union[IO, str]) -> Iterator[Spectrum]:
     """Iterate over the MS/MS scans (msLevel > 1) in an mzXML file."""
+    warned_compression = False
     try:
         for _, elem in etree.iterparse(source, events=("end",)):
             if _local(elem.tag) != "scan":
@@ -133,6 +135,13 @@ def get_spectra(source: Union[IO, str]) -> Iterator[Spectrum]:
                 spec = _parse_scan(elem)
                 if spec is not None:
                     yield spec
+            except _UnsupportedCompression as e:
+                if not warned_compression:
+                    logger.warning(
+                        "Skipping scans with unsupported peak "
+                        "compression %s in %s", e, source
+                    )
+                    warned_compression = True
             except (ValueError, KeyError, TypeError, zlib.error):
                 # TypeError: empty <precursorMz/> (float(None));
                 # zlib.error: corrupt compressed peaks — skip the scan,

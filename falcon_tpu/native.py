@@ -98,6 +98,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.fc_mgf_result_free.restype = None
         lib.fc_mgf_result_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "fc_result_n_unsupported"):
+            lib.fc_result_n_unsupported.restype = ctypes.c_int64
+            lib.fc_result_n_unsupported.argtypes = [ctypes.c_void_p]
         for entry in ("fc_mzml_ingest", "fc_mzxml_ingest"):
             if hasattr(lib, entry):
                 fn = getattr(lib, entry)
@@ -220,7 +223,9 @@ def mgf_ingest(
     arbitrary byte splits concatenate to the whole-file parse (the
     parallel single-file ingest path, ``ingest.py``).  The C call
     releases the GIL, so ranges of one file parse concurrently from a
-    thread pool.
+    thread pool.  Every call (ranged or not) re-reads the file head for
+    MGF header params (merged into each spectrum, local keys winning);
+    the header scan is capped at 1 MB (SURVEY.md §3.5).
 
     Returns a columnar batch (same preprocessing semantics as
     ``preprocess.process_spectrum`` over ``ms_io.get_spectra``; parity
@@ -334,6 +339,10 @@ def _native_ingest(filename, entry, min_peaks, min_mz_range, mz_min,
         )
         truncated = bool(counts[5]) if is_xml else False
         n_blocks = int(counts[6])
+        n_unsupported = (
+            int(lib.fc_result_n_unsupported(handle))
+            if hasattr(lib, "fc_result_n_unsupported") else 0
+        )
         precursor_mz = np.empty(n, np.float64)
         charge = np.empty(n, np.int32)
         rt = np.empty(n, np.float64)
@@ -381,6 +390,10 @@ def _native_ingest(filename, entry, min_peaks, min_mz_range, mz_min,
         "n_low_quality": n_low_quality,
         "truncated": truncated,
         "n_blocks": n_blocks,
+        # Spectra skipped for unsupported binary compression (numpress
+        # etc.); ingest warns so a fully-numpress file is not silently
+        # dropped.  0 with a stale library build (symbol absent).
+        "n_unsupported": n_unsupported,
     }
 
 

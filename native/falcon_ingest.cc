@@ -46,6 +46,10 @@ struct IngestResult {
   // Counters.
   int64_t n_read = 0;         // valid spectra parsed (pre-quality gate)
   int64_t n_low_quality = 0;  // rejected by a preprocessing quality gate
+  // Spectra skipped for unsupported binary compression (numpress etc.,
+  // mzML/mzXML only) — surfaced via fc_result_n_unsupported so ingest
+  // can warn instead of silently dropping a fully-numpress file.
+  int64_t n_unsupported = 0;
 };
 
 struct Params {
@@ -248,12 +252,24 @@ bool istarts_with(const char* line, size_t len, const char* prefix) {
   return true;
 }
 
-void finish_spectrum(IngestResult* res, const Params& p, bool have_title,
-                     const std::string& title, bool have_pepmass,
-                     const std::string& pepmass_raw, bool have_charge,
-                     const std::string& charge_raw, bool have_rt,
-                     const std::string& rt_raw, std::vector<float>& mz,
+// MGF spectrum parameters (per spectrum or file header; the header
+// merges into each spectrum with local keys winning, pyteomics
+// ``use_header=True`` default the reference inherits).
+struct MgfParams {
+  bool have_title = false, have_pepmass = false;
+  bool have_charge = false, have_rt = false;
+  std::string title, pepmass, charge, rt;
+};
+
+void finish_spectrum(IngestResult* res, const Params& p,
+                     const MgfParams& prm, std::vector<float>& mz,
                      std::vector<float>& inten) {
+  const bool have_title = prm.have_title, have_pepmass = prm.have_pepmass;
+  const bool have_charge = prm.have_charge, have_rt = prm.have_rt;
+  const std::string& title = prm.title;
+  const std::string& pepmass_raw = prm.pepmass;
+  const std::string& charge_raw = prm.charge;
+  const std::string& rt_raw = prm.rt;
   // mgf_io.py:_make_spectrum — params parsed only here, at END IONS (a
   // later duplicate key overrides an earlier malformed value); TITLE and
   // PEPMASS required; malformed spectra are skipped silently (not
@@ -296,18 +312,41 @@ void finish_spectrum(IngestResult* res, const Params& p, bool have_title,
 // falcon/ms_io/mgf_io.py:25).  Every byte-range worker re-reads the
 // (tiny) file head so ranges that start mid-file still see the header;
 // the scan is capped at 1 MB — real MGF headers are a few lines.
-struct MgfHeader {
-  bool have_title = false, have_pepmass = false;
-  bool have_charge = false, have_rt = false;
-  std::string title, pepmass, charge, rt;
-};
-
 bool is_comment_start(char c) {
   // pyteomics MGFBase._comments = set('#;!/').
   return c == '#' || c == ';' || c == '!' || c == '/';
 }
 
-void read_mgf_header(const char* path, MgfHeader* hdr) {
+// Stash one "KEY=value" param line [b, e) with '=' at `eq` into `out`
+// (key trimmed + uppercased, value trimmed) — shared by the file-header
+// scan and the in-block param branch so the two stay in sync.
+void apply_mgf_param(const char* b, const char* e, const char* eq,
+                     MgfParams* out) {
+  std::string key(b, eq);
+  size_t k0 = key.find_first_not_of(" \t");
+  size_t k1 = key.find_last_not_of(" \t");
+  key = k0 == std::string::npos ? "" : key.substr(k0, k1 - k0 + 1);
+  for (auto& c : key) c = std::toupper(static_cast<unsigned char>(c));
+  std::string value(eq + 1, e);
+  size_t v0 = value.find_first_not_of(" \t");
+  size_t v1 = value.find_last_not_of(" \t");
+  value = v0 == std::string::npos ? "" : value.substr(v0, v1 - v0 + 1);
+  if (key == "TITLE") {
+    out->title = value;
+    out->have_title = true;
+  } else if (key == "PEPMASS") {
+    out->pepmass = value;
+    out->have_pepmass = true;
+  } else if (key == "RTINSECONDS") {
+    out->rt = value;
+    out->have_rt = true;
+  } else if (key == "CHARGE") {
+    out->charge = value;
+    out->have_charge = true;
+  }
+}
+
+void read_mgf_header(const char* path, MgfParams* hdr) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return;
   char* line = nullptr;
@@ -330,30 +369,7 @@ void read_mgf_header(const char* path, MgfHeader* hdr) {
     const char* eq = static_cast<const char*>(std::memchr(b, '=', len));
     bool first_digit =
         std::isdigit(static_cast<unsigned char>(b[0])) || b[0] == '-';
-    if (eq && !first_digit) {
-      std::string key(static_cast<const char*>(b), eq);
-      size_t k0 = key.find_first_not_of(" \t");
-      size_t k1 = key.find_last_not_of(" \t");
-      key = k0 == std::string::npos ? "" : key.substr(k0, k1 - k0 + 1);
-      for (auto& c : key) c = std::toupper(static_cast<unsigned char>(c));
-      std::string value(eq + 1, static_cast<const char*>(e));
-      size_t v0 = value.find_first_not_of(" \t");
-      size_t v1 = value.find_last_not_of(" \t");
-      value = v0 == std::string::npos ? "" : value.substr(v0, v1 - v0 + 1);
-      if (key == "TITLE") {
-        hdr->title = value;
-        hdr->have_title = true;
-      } else if (key == "PEPMASS") {
-        hdr->pepmass = value;
-        hdr->have_pepmass = true;
-      } else if (key == "RTINSECONDS") {
-        hdr->rt = value;
-        hdr->have_rt = true;
-      } else if (key == "CHARGE") {
-        hdr->charge = value;
-        hdr->have_charge = true;
-      }
-    }
+    if (eq && !first_digit) apply_mgf_param(b, e, eq, hdr);
     if (consumed > kHeaderCap) break;
   }
   std::free(line);
@@ -450,15 +466,13 @@ void* fc_mgf_ingest_range(const char* path, int64_t start, int64_t end,
     }
   }
 
-  MgfHeader hdr;
+  MgfParams hdr;
   read_mgf_header(path, &hdr);
 
   bool in_ions = false;
   int64_t n_blocks = 0;    // BEGIN IONS blocks owned by this range
   bool malformed = false;  // unparseable peak line -> skip the spectrum
-  bool have_title = false, have_pepmass = false;
-  bool have_charge = false, have_rt = false;
-  std::string title, pepmass_raw, charge_raw, rt_raw;
+  MgfParams cur;
   std::vector<float> mz, inten;
   mz.reserve(4096);
   inten.reserve(4096);
@@ -483,21 +497,12 @@ void* fc_mgf_ingest_range(const char* path, int64_t start, int64_t end,
       in_ions = true;
       malformed = false;
       // Per-spectrum params start from the file header (local wins).
-      have_title = hdr.have_title;
-      have_pepmass = hdr.have_pepmass;
-      have_charge = hdr.have_charge;
-      have_rt = hdr.have_rt;
-      title = hdr.title;
-      pepmass_raw = hdr.pepmass;
-      charge_raw = hdr.charge;
-      rt_raw = hdr.rt;
+      cur = hdr;
       mz.clear();
       inten.clear();
     } else if (istarts_with(b, len, "END IONS")) {
       if (in_ions && !malformed) {
-        finish_spectrum(res, p, have_title, title, have_pepmass,
-                        pepmass_raw, have_charge, charge_raw, have_rt,
-                        rt_raw, mz, inten);
+        finish_spectrum(res, p, cur, mz, inten);
       }
       in_ions = false;
     } else if (in_ions) {
@@ -505,31 +510,7 @@ void* fc_mgf_ingest_range(const char* path, int64_t start, int64_t end,
       bool first_digit =
           std::isdigit(static_cast<unsigned char>(b[0])) || b[0] == '-';
       if (eq && !first_digit) {
-        // Param line: KEY=value with key trimmed + uppercased.
-        std::string key(static_cast<const char*>(b), eq);
-        size_t k0 = key.find_first_not_of(" \t");
-        size_t k1 = key.find_last_not_of(" \t");
-        key = k0 == std::string::npos
-                  ? "" : key.substr(k0, k1 - k0 + 1);
-        for (auto& c : key) c = std::toupper(static_cast<unsigned char>(c));
-        std::string value(eq + 1, static_cast<const char*>(e));
-        size_t v0 = value.find_first_not_of(" \t");
-        size_t v1 = value.find_last_not_of(" \t");
-        value = v0 == std::string::npos
-                    ? "" : value.substr(v0, v1 - v0 + 1);
-        if (key == "TITLE") {
-          title = value;
-          have_title = true;
-        } else if (key == "PEPMASS") {
-          pepmass_raw = value;
-          have_pepmass = true;
-        } else if (key == "RTINSECONDS") {
-          rt_raw = value;
-          have_rt = true;
-        } else if (key == "CHARGE") {
-          charge_raw = value;
-          have_charge = true;
-        }
+        apply_mgf_param(b, e, eq, &cur);
       } else {
         // Peak line: >= 2 whitespace tokens; parse failures skip the line.
         const char* s = b;
@@ -605,6 +586,13 @@ int fc_mgf_result_copy(void* handle, double* precursor_mz, int32_t* charge,
 
 void fc_mgf_result_free(void* handle) {
   delete static_cast<IngestResult*>(handle);
+}
+
+// Spectra skipped for unsupported binary compression (numpress etc.) in
+// the parse behind `handle`.  Guarded by hasattr on the Python side so
+// a stale library build degrades to "no warning", never to a crash.
+int64_t fc_result_n_unsupported(void* handle) {
+  return static_cast<IngestResult*>(handle)->n_unsupported;
 }
 
 }  // extern "C"

@@ -49,6 +49,10 @@ struct IngestResult {
   std::vector<float> intensity;
   int64_t n_read = 0;
   int64_t n_low_quality = 0;
+  // Spectra skipped for unsupported binary compression (numpress
+  // etc.) — surfaced so ingest can warn instead of silently
+  // dropping a fully-numpress file.
+  int64_t n_unsupported = 0;
 };
 
 struct Params {
@@ -441,7 +445,10 @@ void parse_spectrum_block(std::string_view block, const Params& p,
     BinaryArray arr;
     if (parse_binary_array(block.substr(pos, bda_e - pos), &arr) &&
         (arr.is_mz || arr.is_intensity)) {
-      if (arr.unsupported) return;  // numpress payload: skip spectrum
+      if (arr.unsupported) {  // numpress payload: skip the spectrum
+        ++res->n_unsupported;
+        return;
+      }
       if (!b64_decode(arr.payload, &raw)) return;  // malformed: skip
       const std::vector<uint8_t>* bytes = &raw;
       if (arr.zlib_c) {
@@ -683,7 +690,10 @@ void parse_scan_block(std::string_view block, const Params& p,
     zl = low == "zlib";
     // Unknown compression (e.g. MS-Numpress): raw-float decode would be
     // silent garbage — skip the scan (ms_io/mzxml_io.py does the same).
-    if (!zl && low != "none" && !low.empty()) return;
+    if (!zl && low != "none" && !low.empty()) {
+      ++res->n_unsupported;
+      return;
+    }
   }
   bool big_endian = true;  // mzXML "network" default
   if (attr_value(tag, "byteOrder", &order_s)) {

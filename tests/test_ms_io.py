@@ -391,3 +391,51 @@ def test_unsupported_mzxml_compression_scan_skipped(tmp_path):
     open(path, "w").write(doc)
     out = list(mzxml_io.get_spectra(path))
     assert len(out) == 1  # the untouched second scan survives
+
+
+def test_mgf_empty_param_value_skips_spectrum_not_file(tmp_path):
+    """'PEPMASS=' / 'CHARGE=' with an empty value must skip that
+    spectrum (like the native scanner), not abort iteration of the
+    whole file with an IndexError."""
+    path = tmp_path / "empty_vals.mgf"
+    path.write_text(
+        "BEGIN IONS\n"
+        "TITLE=bad_pepmass\n"
+        "PEPMASS=\n"
+        "100.0 1.0\n"
+        "END IONS\n"
+        "BEGIN IONS\n"
+        "TITLE=bad_charge\n"
+        "PEPMASS=400.0\n"
+        "CHARGE=\n"
+        "150.0 1.0\n"
+        "END IONS\n"
+        "BEGIN IONS\n"
+        "TITLE=good\n"
+        "PEPMASS=500.0\n"
+        "CHARGE=2+\n"
+        "200.0 1.0\n"
+        "END IONS\n"
+    )
+    out = list(mgf_io.get_spectra(str(path)))
+    assert [s.identifier for s in out] == ["good"]
+
+
+def test_mzxml_unsupported_compression_warns_once(tmp_path, caplog):
+    doc = _make_mzxml([
+        dict(num=1, ms_level=2, rt=10.0, precursor_mz=500.0, charge=2,
+             mz=[150.0, 300.0], intensity=[1.0, 2.0]),
+        dict(num=2, ms_level=2, rt=11.0, precursor_mz=510.0, charge=2,
+             mz=[160.0, 310.0], intensity=[1.0, 2.0]),
+    ])
+    doc = doc.replace('compressionType="none"',
+                      'compressionType="numpress-linear"')
+    path = str(tmp_path / "warn.mzxml")
+    open(path, "w").write(doc)
+    import logging as _logging
+    with caplog.at_level(_logging.WARNING, logger="falcon_tpu"):
+        out = list(mzxml_io.get_spectra(path))
+    assert out == []
+    warnings = [r for r in caplog.records
+                if "unsupported peak compression" in r.message]
+    assert len(warnings) == 1

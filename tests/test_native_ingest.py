@@ -942,3 +942,46 @@ def test_native_mzxml_unknown_compression_skipped_like_python(tmp_path):
     expected, lqc = python_reference(path, DEFAULTS)
     assert_batch_matches(batch, expected, lqc)
     assert batch["n_read"] < n_total
+
+
+def test_native_mgf_empty_param_values_match_python(tmp_path):
+    """Empty 'PEPMASS=' / 'CHARGE=' values: both parsers skip exactly
+    those spectra (the Python reader must not abort the file)."""
+    path = str(tmp_path / "empty_vals.mgf")
+    peaks = "\n".join(f"{101.0 + 17 * i} {1.0 + i % 3}"
+                      for i in range(8)) + "\n400.0 2.0\n"
+    open(path, "w").write(
+        "BEGIN IONS\nTITLE=bad_pepmass\nPEPMASS=\n" + peaks +
+        "END IONS\n"
+        "BEGIN IONS\nTITLE=bad_charge\nPEPMASS=400.0\nCHARGE=\n" +
+        peaks + "END IONS\n"
+        "BEGIN IONS\nTITLE=good\nPEPMASS=500.0\nCHARGE=2+\n" + peaks +
+        "END IONS\n"
+    )
+    batch = native.mgf_ingest(path, **DEFAULTS)
+    expected, lqc = python_reference(path, DEFAULTS)
+    assert [s["identifier"] for s in expected] == ["good"]
+    assert_batch_matches(batch, expected, lqc)
+
+
+def test_fully_numpress_file_warns_not_silent(tmp_path, caplog):
+    """A file where EVERY spectrum uses numpress must produce a warning
+    on the native ingest path, not a silent empty result."""
+    spectra, _ = make_clustered_spectra(
+        n_clusters=4, cluster_size=3, n_noise=5, seed=43
+    )
+    path = _write_mzml(str(tmp_path / "allnp.mzml"), spectra,
+                       zlib_mz=False)
+    doc = open(path).read().replace(
+        'accession="MS:1000576" name="no compression"',
+        'accession="MS:1002312" name="numpress"')
+    open(path, "w").write(doc)
+    batch = native.mzml_ingest(path, **DEFAULTS)
+    assert batch["n_read"] == 0
+    assert batch["n_unsupported"] > 0
+    with caplog.at_level("WARNING", logger="falcon_tpu"):
+        result, lqc = ingest.read_and_process_file(path, DEFAULTS)
+    assert isinstance(result, dict)
+    assert len(result["precursor_mz"]) == 0
+    assert any("unsupported binary compression" in r.message
+               for r in caplog.records)

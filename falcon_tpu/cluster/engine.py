@@ -168,8 +168,12 @@ def generate_clusters(
                     fragment_tol, min_matches, **kwargs,
                 )
                 for local_i, pdist in gen:
+                    if state["stop"]:  # consumer failed: abort promptly
+                        return
                     put(small[local_i], pdist)
             for k in large:
+                if state["stop"]:
+                    return
                 mz_pad, int_pad = interval_peaks(k)
                 if mesh is not None:
                     from ..parallel.sharded_exact import (
@@ -281,7 +285,10 @@ def _cluster_interval(
         # itself (divergence: dataset row index, not interval position).
         return rows.astype(np.int64)
 
-    z = native.linkage(pdist.astype(np.float64), linkage)
+    # No astype here: native.linkage makes exactly one f64 working copy
+    # itself (native.py); a pre-conversion would add a second multi-GB
+    # temp at the 2^15 interval cap.
+    z = native.linkage(pdist, linkage)
     flat = native.fcluster(z, distance_threshold, n=n_vectors)
 
     order1 = np.argsort(flat, kind="stable")

@@ -123,14 +123,9 @@ def export_cluster_csv(
                     load("retention_time")[mask])
                 cols["cluster"].append(labels[lo:hi][mask])
             merged = {k: np.concatenate(v) for k, v in cols.items()}
-            ids = merged["spectrum_id"].tolist()
-            from . import native as native_lib
-
-            sub = native_lib.natsort_pairs(ids, [""] * len(ids))
-            if sub is None:
-                sub = sorted(range(len(ids)),
-                             key=lambda i: natsort_key(ids[i]))
-            sub = np.asarray(sub, np.int64)
+            sub = np.asarray(
+                _natsort_order(merged["spectrum_id"].tolist()), np.int64
+            )
             charge_col = merged["precursor_charge"][sub]
             charge_str = np.where(
                 charge_col == NULL_CHARGE, "",

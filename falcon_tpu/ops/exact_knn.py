@@ -33,7 +33,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .knn import NEG, _pow2_at_least
+from .knn import NEG, _pow2_at_least, band_bounds
 
 COL_TILE = 128
 
@@ -48,14 +48,10 @@ def window_layout(
     full tolerance band; width = tile-aligned power-of-two envelope of
     the widest band.
     """
-    mzs = np.asarray(mzs, np.float64)
-    if tol_mode == "Da":
-        lo_vals, hi_vals = mzs - tol_mass, mzs + tol_mass
-    else:
-        lo_vals = mzs / (1 + tol_mass / 1e6)
-        hi_vals = mzs / (1 - tol_mass / 1e6)  # kernel acceptance bound
-    band_lo = np.searchsorted(mzs, lo_vals, side="left")
-    band_hi = np.searchsorted(mzs, hi_vals, side="right")
+    # f32-consistent bounds shared with the banded scan (ops/knn.py):
+    # the kernel compares f32 m/z, so the window must cover its f32
+    # acceptance region.
+    band_lo, band_hi = band_bounds(mzs, tol_mass, tol_mode == "Da")
     starts = (band_lo // tile).astype(np.int32)
     span = int((band_hi - starts * tile).max(initial=1))
     window = _pow2_at_least(span, tile)

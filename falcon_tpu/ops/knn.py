@@ -37,6 +37,36 @@ def _pow2_at_least(x: int, minimum: int = 512) -> int:
     return size
 
 
+def band_bounds(mzs: np.ndarray, tol_mass: float, tol_is_da: bool):
+    """Per-row tolerance-band bounds (inclusive lo, exclusive hi) of
+    SORTED precursor m/z, covering the device kernels' acceptance.
+
+    The kernels compare FLOAT32-cast m/z, so the bounds are computed
+    from the same f32 values, widened by a few f32 ULPs — a window
+    derived from the f64 m/z can exclude a boundary pair the f32 kernel
+    accepts, making neighbor sets depend on block geometry.
+    Over-coverage is harmless: membership is decided by the kernel's own
+    in-tile tolerance mask; the window only gates candidate visibility.
+    Shared by the banded scan (this module), the hash-free exact index
+    (``ops/exact_knn.py``) and the multi-chip halo k-NN
+    (``parallel/sharded_knn.py``) so all three stay coverage-identical.
+    """
+    mzs32 = np.asarray(mzs, np.float64).astype(np.float32).astype(
+        np.float64)
+    ulp = 4e-7  # ~3.4 float32 ULPs of relative slack
+    if tol_is_da:
+        slack = ulp * np.abs(mzs32)
+        lo_vals = mzs32 - tol_mass - slack
+        hi_vals = mzs32 + tol_mass + slack
+    else:
+        # The kernel accepts |q-c|/c*1e6 <= tol, i.e. candidates up to
+        # q/(1-tol/1e6) (> q*(1+tol/1e6) by ~q*tol^2).
+        lo_vals = mzs32 / (1 + tol_mass / 1e6) * (1 - ulp)
+        hi_vals = mzs32 / (1 - tol_mass / 1e6) * (1 + ulp)
+    return (np.searchsorted(mzs32, lo_vals, side="left"),
+            np.searchsorted(mzs32, hi_vals, side="right"))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tol_is_da", "block_rows", "window",
@@ -176,18 +206,7 @@ def knn_banded(
     mzs = np.asarray(precursor_mzs, np.float64)
     tol_is_da = tol_mode == "Da"
 
-    # Band bounds per row (inclusive lo, exclusive hi) via searchsorted.
-    if tol_is_da:
-        lo_vals, hi_vals = mzs - tol_mass, mzs + tol_mass
-    else:
-        lo_vals = mzs / (1 + tol_mass / 1e6)
-        # The kernel accepts |q-c|/c*1e6 <= tol, i.e. candidates up
-        # to q/(1-tol/1e6) (> q*(1+tol/1e6) by ~q*tol^2): the window
-        # bound must cover the kernel's acceptance region exactly or
-        # boundary pairs become block-geometry-dependent.
-        hi_vals = mzs / (1 - tol_mass / 1e6)
-    band_lo = np.searchsorted(mzs, lo_vals, side="left")
-    band_hi = np.searchsorted(mzs, hi_vals, side="right")
+    band_lo, band_hi = band_bounds(mzs, tol_mass, tol_is_da)
 
     n_pad = _pow2_at_least(n)
     block_rows = min(block_rows, n_pad)

@@ -332,11 +332,13 @@ def _pad_rows(a: np.ndarray, target: int, fill: float) -> np.ndarray:
 
 def _bucket_size(n: int, minimum: int = TILE_J) -> int:  # noqa: D401
     """Next power of two >= n (at least ``minimum``), so the number of
-    distinct compiled kernel shapes stays logarithmic."""
-    size = minimum
-    while size < n:
-        size *= 2
-    return size
+    distinct compiled kernel shapes stays logarithmic.  One shared
+    bucketing rule for every stage (``knn._pow2_at_least``) — a policy
+    change (e.g. a cap) must apply everywhere or the compile cache
+    fragments into different shape families per stage."""
+    from .knn import _pow2_at_least
+
+    return _pow2_at_least(n, minimum)
 
 
 def use_pallas() -> bool:

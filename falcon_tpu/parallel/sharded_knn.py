@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.knn import NEG, _pow2_at_least
+from ..ops.knn import NEG, _pow2_at_least, band_bounds
 
 
 def _local_banded_topk(
@@ -131,13 +131,10 @@ def knn_banded_sharded(
     n_dev = mesh.devices.size
     mzs = np.asarray(precursor_mzs, np.float64)
     tol_is_da = tol_mode == "Da"
-    if tol_is_da:
-        lo_vals, hi_vals = mzs - tol_mass, mzs + tol_mass
-    else:
-        lo_vals = mzs / (1 + tol_mass / 1e6)
-        hi_vals = mzs / (1 - tol_mass / 1e6)  # kernel acceptance bound
-    band_lo = np.searchsorted(mzs, lo_vals, side="left")
-    band_hi = np.searchsorted(mzs, hi_vals, side="right")
+    # f32-consistent bounds shared with the banded scan (ops/knn.py):
+    # the kernel compares f32 m/z, so the halo window must cover its f32
+    # acceptance region.
+    band_lo, band_hi = band_bounds(mzs, tol_mass, tol_is_da)
 
     # Local rows: power of two, divisible into blocks.
     local = _pow2_at_least((n + n_dev - 1) // n_dev, 512)

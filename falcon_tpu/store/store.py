@@ -155,14 +155,22 @@ class ShardWriter:
         return keys_seen
 
     def close(self) -> List[str]:
-        """Flush all remaining buffers; returns the charge keys written."""
-        for key, buf in list(self._buffers.items()):
+        """Flush all remaining buffers; returns the charge keys written.
+
+        The buffer is re-read UNDER the charge lock (not snapshotted
+        outside it): a concurrent ``add()`` may flush and replace the
+        list between iteration and lock acquisition, and flushing a
+        stale snapshot would write those rows to a second shard.
+        """
+        for key in list(self._buffers):
             with self._charge_lock(key):
+                buf = self._buffers.get(key)
                 if buf:
                     self._flush_charge(key, buf)
                     self._buffers[key] = []
-        for key, chunks in list(self._col_buffers.items()):
+        for key in list(self._col_buffers):
             with self._charge_lock(key):
+                chunks = self._col_buffers.get(key)
                 if chunks:
                     self._write_shard(key, _concat_chunks(chunks))
                     self._col_buffers[key] = []
@@ -208,8 +216,8 @@ class ShardWriter:
         shard_dir = os.path.join(dataset_dir, name)
         tmp_dir = shard_dir + ".tmp"
         os.makedirs(tmp_dir)
-        for name, arr in columns.items():
-            np.save(os.path.join(tmp_dir, f"{name}.npy"), arr)
+        for col, arr in columns.items():
+            np.save(os.path.join(tmp_dir, f"{col}.npy"), arr)
         os.rename(tmp_dir, shard_dir)  # atomic publish
 
 

@@ -540,3 +540,35 @@ def test_rt_holes_do_not_drop_prefilter_survivors(tmp_path):
     # in the same cluster; no decoy may join them (RT gap 5000).
     assert labels[0] == labels[1]
     assert not (labels[2:] == labels[0]).any()
+
+
+def test_band_bounds_cover_f32_kernel_acceptance():
+    """The band window must contain every pair the device kernel's
+    FLOAT32 tolerance comparison accepts, for both modes — otherwise
+    neighbor sets depend on block geometry (review finding r3)."""
+    from falcon_tpu.ops.knn import band_bounds
+
+    rng = np.random.default_rng(77)
+    # Dense cluster of near-identical masses maximizes boundary pairs.
+    base = np.sort(rng.uniform(300.0, 1500.0, 300))
+    mzs = np.sort(np.concatenate(
+        [base, base * (1 + rng.uniform(-25e-6, 25e-6, len(base)))]
+    ))
+    mzs32 = mzs.astype(np.float32)
+    for tol_mass, tol_is_da in ((20.0, False), (0.01, True)):
+        band_lo, band_hi = band_bounds(mzs, tol_mass, tol_is_da)
+        q = mzs32[:, None].astype(np.float32)
+        c = mzs32[None, :].astype(np.float32)
+        if tol_is_da:
+            accepted = np.abs(
+                (q - c).astype(np.float32)) <= np.float32(tol_mass)
+        else:
+            diff = np.abs((q - c).astype(np.float32))
+            accepted = (diff / c * np.float32(1e6)) <= np.float32(
+                tol_mass)
+        ii, jj = np.nonzero(accepted)
+        inside = (jj >= band_lo[ii]) & (jj < band_hi[ii])
+        assert inside.all(), (
+            f"{(~inside).sum()} f32-accepted pairs outside the band "
+            f"window (tol_is_da={tol_is_da})"
+        )

@@ -85,7 +85,8 @@ def consensus_spectra(
 
     ``offsets``/``mz_flat``/``intensity_flat``: the ragged peak arrays of
     one charge dataset (store layout).  ``labels``: per-row cluster label
-    (dataset row order).  Returns {label: (mz, intensity)} with intensity
+    (dataset row order); labels must be NON-NEGATIVE — the engines
+    promote noise (-1) to singleton labels before this runs.  Returns {label: (mz, intensity)} with intensity
     L2-normalized, for the labels in ``cluster_filter`` (default: all).
 
     Single-member clusters pass their (already preprocessed) spectrum

@@ -194,14 +194,13 @@ def _band_windows(mzs, tol_mass, tol_is_da, n_dev, local, block_rows):
 
     Returns (starts, window) or None when a band exceeds the one-shard
     halo (caller falls back to single-device)."""
+    from ..ops.knn import band_bounds
+
     n = len(mzs)
-    if tol_is_da:
-        lo_vals, hi_vals = mzs - tol_mass, mzs + tol_mass
-    else:
-        lo_vals = mzs / (1 + tol_mass / 1e6)
-        hi_vals = mzs / (1 - tol_mass / 1e6)  # kernel acceptance bound
-    band_lo = np.searchsorted(mzs, lo_vals, side="left")
-    band_hi = np.searchsorted(mzs, hi_vals, side="right")
+    # f32-consistent bounds shared with every other kNN path: the device
+    # kernel compares f32 m/z, so the halo window must cover its f32
+    # acceptance region (ops/knn.band_bounds).
+    band_lo, band_hi = band_bounds(mzs, tol_mass, tol_is_da)
     n_blocks = local // block_rows
     starts = np.zeros((n_dev, n_blocks), np.int32)
     max_span = block_rows

@@ -331,7 +331,6 @@ class IVFIndex:
         if self_search:
             q3d, qmz3d, qrow3d = self._corpus3d, self._mz3d, self._row3d
             qlb = lb
-            q_slot_rows = self._row3d_host.reshape(-1)
         else:
             if isinstance(q_vec, np.ndarray):
                 from .xfer import device_put_chunked
@@ -365,10 +364,7 @@ class IVFIndex:
             ).reshape(self.n_lists, qlb, 1)
             qmz3d = jnp.asarray(qmz3.reshape(self.n_lists, qlb))
             qrow3d = jnp.asarray(qrow3.reshape(self.n_lists, qlb))
-            q_slot_rows = np.where(
-                qrow3.reshape(-1) != -2, 0, -1)  # validity only
             q_slot_pos = np.full(self.n_lists * qlb, -1, np.int64)
-            flat = qrow3.reshape(-1)
             # Map layout slots back to sorted query positions.
             pos = 0
             for lst in range(self.n_lists):

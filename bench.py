@@ -134,12 +134,55 @@ def _reference_baseline_seconds(work_dir: str, input_path: str) -> float:
     return seconds
 
 
+def _wait_for_backend() -> None:
+    """Wait (bounded) for the JAX backend before the timed runs.
+
+    The axon TPU tunnel fronts a shared pool with measured outages of
+    tens of minutes (backend init hangs, or raises UNAVAILABLE); a
+    bench launched during one would otherwise record a spurious
+    failure.  Probes run in fresh subprocesses because a failed
+    in-process backend init cannot be retried.  FALCON_TPU_BENCH_WAIT_S
+    bounds the total wait (default 1800 s; 0 disables).  If the probe
+    still fails at the deadline the bench proceeds anyway — no worse
+    than not waiting.
+    """
+    import subprocess
+
+    max_wait = float(os.environ.get("FALCON_TPU_BENCH_WAIT_S", "1800"))
+    if max_wait <= 0:
+        return
+    deadline = time.time() + max_wait
+    probe = "import jax; jax.devices()"
+    while True:
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, timeout=300,
+            )
+            if res.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(
+                "bench: JAX backend probe still failing at deadline; "
+                "proceeding anyway", file=sys.stderr,
+            )
+            return
+        print(
+            "bench: JAX backend unavailable; retrying in 60 s",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+
+
 def main() -> int:
     from falcon_tpu import cli
     from falcon_tpu.simulate import make_clustered_spectra, write_mgf
 
     input_path = _ensure_dataset()
     n_spectra = _count_spectra(input_path)
+    _wait_for_backend()
 
     # Warmup: one UNTIMED full run of the same input absorbs the
     # per-process compile/executable-load cost at the exact kernel

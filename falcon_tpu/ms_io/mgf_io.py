@@ -41,9 +41,17 @@ def _parse_charge(value: str) -> int:
 
 
 def get_spectra(source: Union[IO, str]) -> Iterator[Spectrum]:
-    """Iterate over the MS/MS spectra in an MGF file."""
+    """Iterate over the MS/MS spectra in an MGF file.
+
+    Files are decoded as UTF-8 with undecodable bytes replaced (U+FFFD)
+    rather than raised: a corrupt or binary file then parses to zero
+    (or fewer) spectra through the normal malformed-spectrum skip path
+    instead of aborting a whole multi-file run with a
+    ``UnicodeDecodeError`` (divergence from pyteomics' strict text
+    decode; tests/test_fuzz.py).
+    """
     if isinstance(source, str):
-        with open(source) as f_in:
+        with open(source, encoding="utf-8", errors="replace") as f_in:
             yield from _iter_mgf(f_in)
     else:
         yield from _iter_mgf(source)

@@ -712,6 +712,10 @@ void parse_scan_block(std::string_view block, const Params& p,
   size_t width = f64 ? 8 : 4;
   size_t n_vals = bytes->size() / width;
   size_t n_peaks = n_vals / 2;
+  // Consume only complete (m/z, intensity) pairs: corrupt payloads can
+  // decode to an odd n_vals, and the final unpaired value would write
+  // mz_arr[n_peaks] — one past the end.
+  n_vals = n_peaks * 2;
   std::vector<float> mz_arr(n_peaks), int_arr(n_peaks);
   for (size_t i = 0; i < n_vals; ++i) {
     uint64_t u = 0;

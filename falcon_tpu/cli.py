@@ -154,6 +154,17 @@ def _run(args: Union[str, List[str], None], cleanup: list) -> int:
     # Ingest-resume point (reference falcon.py:143-149).
     charges = store.load_charges()
     if charges is None:
+        # The charge cache is the commit record of a completed ingest.
+        # If it is absent but the store has content, a previous run
+        # crashed mid-ingest — re-ingesting on top would collide with
+        # (or duplicate) the partial shards, so start the store fresh.
+        if os.listdir(store.root):
+            logger.warning(
+                "Found a partially-written spectrum store (no charge "
+                "cache) in %s; discarding it and re-ingesting",
+                store.root,
+            )
+            store.clear()
         from . import ingest
 
         with profiler.phase("ingest"):

@@ -102,6 +102,37 @@ def test_cli_overwrite_gate_and_resume(mgf_inputs):
     assert not called  # ingest skipped on resume
 
 
+def test_cli_interrupted_ingest_restarts_cleanly(mgf_inputs, caplog):
+    """A work_dir whose ingest crashed midway (shards on disk, no charge
+    cache — the cache is only written when ingest completes) must be
+    discarded and re-ingested, not stacked with duplicate shards."""
+    import logging
+
+    from falcon_tpu import ingest
+    from falcon_tpu.store.store import SpectrumStore
+
+    tmp_path, files, spectra, _ = mgf_inputs
+    out = str(tmp_path / "out_interrupted")
+    work = str(tmp_path / "work_interrupted")
+    # Simulate the crash: one input file fully ingested, then the
+    # process died before the remaining files and the charge cache.
+    store = SpectrumStore(os.path.join(work, "spectra"))
+    ingest.ingest_file_to_store(
+        files[0], 0, store.root,
+        dict(min_peaks=5, min_mz_range=250.0, mz_min=101.0, mz_max=1500.0,
+             remove_precursor_tolerance=1.5, min_intensity=0.01,
+             max_peaks_used=50, scaling=None),
+    )
+    assert store.load_charges() is None
+    with caplog.at_level(logging.WARNING, logger="falcon_tpu"):
+        assert cli.main(files + [out, "--work_dir", work]) == 0
+    assert "partially-written" in caplog.text
+    df = _read_csv(out + ".csv")
+    # Every input spectrum appears exactly once (no duplicated shards).
+    assert len(df) == len(spectra)
+    assert not df.duplicated(["filename", "spectrum_id"]).any()
+
+
 def test_cli_deterministic(mgf_inputs):
     tmp_path, files, _, _ = mgf_inputs
     out_a = str(tmp_path / "det_a")

@@ -292,13 +292,23 @@ def _run(args: Union[str, List[str], None], cleanup: list) -> int:
     # Futures, not bare threads: a bare Thread swallows exceptions, so
     # a failed export (disk full, corrupt shard) would still exit 0
     # with a truncated CSV; future.result() re-raises in main.
+    # Outputs publish atomically: written to a same-directory .partial
+    # path and renamed only on success, so a crash mid-export never
+    # leaves a truncated out.csv/.mgf behind to trip the overwrite gate.
+    csv_path = f"{config.output_filename}.csv"
+    mgf_path = f"{config.output_filename}.mgf"
+    csv_tmp, mgf_tmp = csv_path + ".partial", mgf_path + ".partial"
+    for stale in (csv_tmp, mgf_tmp):
+        if os.path.exists(stale):
+            os.remove(stale)
     with _ExportPool(max_workers=2) as export_pool:
         csv_future = export_pool.submit(
-            export_cluster_csv, f"{config.output_filename}.csv",
-            _write_manifest, labels_by_charge,
+            export_cluster_csv, csv_tmp, _write_manifest, labels_by_charge,
         )
         if config.export_representatives:
-            from .ms_io import ms_io
+            # mgf_io directly: the extension dispatch in ms_io would
+            # reject the ".partial" temp name (the real name is .mgf).
+            from .ms_io import mgf_io
             from .ms_io.containers import Spectrum
 
             spectra = [
@@ -311,13 +321,16 @@ def _run(args: Union[str, List[str], None], cleanup: list) -> int:
             ]
             logger.info(
                 "Export %d cluster representative spectra to output "
-                "file %s", len(spectra), f"{config.output_filename}.mgf",
+                "file %s", len(spectra), mgf_path,
             )
             export_pool.submit(
-                ms_io.write_spectra, f"{config.output_filename}.mgf",
-                spectra,
+                mgf_io.write_spectra, mgf_tmp, spectra,
             ).result()
         csv_future.result()
+        # Publish together, only once every export succeeded.
+        os.replace(csv_tmp, csv_path)
+        if config.export_representatives:
+            os.replace(mgf_tmp, mgf_path)
     export_phase.__exit__(None, None, None)
 
     profiler.stop_trace()

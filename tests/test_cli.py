@@ -133,6 +133,27 @@ def test_cli_interrupted_ingest_restarts_cleanly(mgf_inputs, caplog):
     assert not df.duplicated(["filename", "spectrum_id"]).any()
 
 
+def test_cli_atomic_export_publication(mgf_inputs):
+    """Outputs are written to .partial paths and renamed on success: a
+    stale .partial from a crashed export is discarded, the final files
+    are complete, and no .partial files survive a successful run."""
+    tmp_path, files, spectra, _ = mgf_inputs
+    out = str(tmp_path / "out_atomic")
+    with open(out + ".csv.partial", "w") as f:
+        f.write("garbage from a crashed export\n")
+    rc = cli.main(files + [out, "--work_dir",
+                           str(tmp_path / "work_atomic"),
+                           "--export_representatives"])
+    assert rc == 0
+    assert not os.path.exists(out + ".csv.partial")
+    assert not os.path.exists(out + ".mgf.partial")
+    with open(out + ".csv") as f:
+        content = f.read()
+    assert "garbage" not in content
+    assert len(_read_csv(out + ".csv")) == len(spectra)
+    assert os.path.isfile(out + ".mgf")
+
+
 def test_cli_deterministic(mgf_inputs):
     tmp_path, files, _, _ = mgf_inputs
     out_a = str(tmp_path / "det_a")

@@ -164,36 +164,61 @@ bool preprocess(std::vector<float>& mz, std::vector<float>& inten,
   //    with intensity strictly > min_intensity * base peak, then at most
   //    the max_peaks_used most intense; stable ascending sort so ties
   //    resolve by peak position.
-  if (!std::isnan(p.min_intensity) || p.max_peaks_used > 0) {
+  if ((!std::isnan(p.min_intensity) || p.max_peaks_used > 0) &&
+      !inten.empty()) {
     double min_int = std::isnan(p.min_intensity) ? 0.0 : p.min_intensity;
     size_t n = inten.size();
     int64_t max_num = p.max_peaks_used > 0
                           ? p.max_peaks_used : static_cast<int64_t>(n);
-    std::vector<int64_t> order(n);
-    std::iota(order.begin(), order.end(), 0);
-    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-      return inten[a] < inten[b];
-    });
-    double threshold = min_int * static_cast<double>(inten[order.back()]);
-    // side='right' searchsorted: first index with value > threshold.
-    int64_t start_i = 0;
-    while (start_i < static_cast<int64_t>(n) &&
-           static_cast<double>(inten[order[start_i]]) <= threshold) {
-      ++start_i;
-    }
-    int64_t lo = std::max(start_i, static_cast<int64_t>(n) - max_num);
-    std::vector<uint8_t> keep(n, 0);
-    for (int64_t i = lo; i < static_cast<int64_t>(n); ++i) keep[order[i]] = 1;
-    size_t w = 0;
-    for (size_t i = 0; i < n; ++i) {
-      if (keep[i]) {
-        mz[w] = mz[i];
-        inten[w] = inten[i];
-        ++w;
+    if (static_cast<int64_t>(n) <= max_num) {
+      // Common case (most spectra have fewer peaks than the cap): the
+      // top-N cut is inactive, so the sorted order is only needed for
+      // the base peak — the kept set is exactly "intensity strictly
+      // above min_int * base", in original order.  Skips the
+      // stable_sort, which dominates the preprocessing profile.
+      double base = static_cast<double>(
+          *std::max_element(inten.begin(), inten.end()));
+      double threshold = min_int * base;
+      size_t w = 0;
+      for (size_t i = 0; i < n; ++i) {
+        if (static_cast<double>(inten[i]) > threshold) {
+          mz[w] = mz[i];
+          inten[w] = inten[i];
+          ++w;
+        }
       }
+      mz.resize(w);
+      inten.resize(w);
+    } else {
+      std::vector<int64_t> order(n);
+      std::iota(order.begin(), order.end(), 0);
+      std::stable_sort(order.begin(), order.end(),
+                       [&](int64_t a, int64_t b) {
+        return inten[a] < inten[b];
+      });
+      double threshold =
+          min_int * static_cast<double>(inten[order.back()]);
+      // side='right' searchsorted: first index with value > threshold.
+      int64_t start_i = 0;
+      while (start_i < static_cast<int64_t>(n) &&
+             static_cast<double>(inten[order[start_i]]) <= threshold) {
+        ++start_i;
+      }
+      int64_t lo = std::max(start_i, static_cast<int64_t>(n) - max_num);
+      std::vector<uint8_t> keep(n, 0);
+      for (int64_t i = lo; i < static_cast<int64_t>(n); ++i)
+        keep[order[i]] = 1;
+      size_t w = 0;
+      for (size_t i = 0; i < n; ++i) {
+        if (keep[i]) {
+          mz[w] = mz[i];
+          inten[w] = inten[i];
+          ++w;
+        }
+      }
+      mz.resize(w);
+      inten.resize(w);
     }
-    mz.resize(w);
-    inten.resize(w);
     if (!spectrum_valid(mz, p)) return false;
   }
 

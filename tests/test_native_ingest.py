@@ -184,6 +184,28 @@ def test_native_intensity_tie_breaking(tmp_path):
     assert_batch_matches(batch, expected, lqc)
 
 
+@pytest.mark.parametrize("n_peaks,cap", [(20, 20), (19, 20), (21, 20)])
+def test_native_intensity_filter_at_cap_boundary(tmp_path, n_peaks, cap):
+    # Straddle the sort-free fast branch (n <= max_peaks_used) and the
+    # stable-sort branch (n > max_peaks_used), with intensities sitting
+    # EXACTLY on the min_intensity * base threshold (strictly-greater
+    # keeps; ties at the threshold drop) — both paths must agree with
+    # the Python reference.
+    path = str(tmp_path / f"cap_{n_peaks}.mgf")
+    with open(path, "w") as f:
+        f.write("BEGIN IONS\nTITLE=t\nPEPMASS=600.0\nCHARGE=2\n")
+        for i in range(n_peaks):
+            m = 110.0 + 12.0 * i
+            # base 5.0; several exactly at threshold 0.2*5.0 = 1.0
+            inten = 5.0 if i == 0 else (1.0 if i % 3 == 0 else 2.5)
+            f.write(f"{m} {inten}\n")
+        f.write("END IONS\n")
+    kwargs = dict(DEFAULTS, max_peaks_used=cap, min_intensity=0.2)
+    expected, lqc = python_reference(path, kwargs)
+    batch = native.mgf_ingest(path, **kwargs)
+    assert_batch_matches(batch, expected, lqc)
+
+
 def test_read_and_process_file_prefers_native(tmp_path):
     spectra, _ = make_clustered_spectra(
         n_clusters=10, cluster_size=3, n_noise=20, seed=3

@@ -257,6 +257,16 @@ def main() -> int:
     best = min(run_times)
     value = n_spectra / best
     baseline_rate = n_spectra / baseline_seconds
+    import jax
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        commit = ""
     print(json.dumps({
         "metric": (
             "spectra/sec clustered end-to-end "
@@ -270,6 +280,10 @@ def main() -> int:
         "median_seconds": round(float(np.median(run_times)), 3),
         "run_seconds": [round(t, 3) for t in run_times],
         "headline": "best-of-%d full end-to-end runs" % n_runs,
+        # Self-description: which backend actually executed (a tunnel
+        # outage can force CPU) and the code version measured.
+        "jax_backend": jax.default_backend(),
+        "git_commit": commit,
         **quality,
     }))
     return 0

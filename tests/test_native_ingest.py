@@ -206,6 +206,74 @@ def test_native_intensity_filter_at_cap_boundary(tmp_path, n_peaks, cap):
     assert_batch_matches(batch, expected, lqc)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_mgf_random_formatting_matches_python(tmp_path, seed):
+    """Randomized legal-but-weird MGF formatting (CRLF, comments,
+    scientific notation, charge styles, tabs, extra tokens, blank
+    lines, missing params) parses identically on both paths — the MGF
+    counterpart of the mzML/mzXML randomized-formatting parity tests."""
+    rng = np.random.default_rng(1000 + seed)
+
+    def eol():
+        return "\r\n" if rng.random() < 0.4 else "\n"
+
+    def num(v):
+        style = rng.integers(0, 4)
+        if style == 0:
+            return f"{v:.4f}"
+        if style == 1:
+            return f"{v:.6e}"
+        if style == 2:
+            return f"+{v:.3f}"
+        return repr(float(v))
+
+    lines = []
+    if rng.random() < 0.7:  # file-header params + comments
+        lines.append("# generated file" + eol())
+        lines.append("CHARGE=2+" + eol())
+        lines.append("COM=header comment" + eol())
+    for s in range(12):
+        if rng.random() < 0.3:
+            lines.append(rng.choice(["#", ";", "!", "/"]) + " noise"
+                         + eol())
+        if rng.random() < 0.3:
+            lines.append(eol())  # blank line
+        lines.append("BEGIN IONS" + eol())
+        if rng.random() < 0.9:
+            lines.append(f"TITLE=spec {s} with spaces" + eol())
+        pep = 400.0 + 50.0 * s
+        second = " 1234.5" if rng.random() < 0.3 else ""
+        lines.append(f"PEPMASS={num(pep)}{second}" + eol())
+        style = rng.integers(0, 5)
+        if style == 0:
+            lines.append("CHARGE=2+" + eol())
+        elif style == 1:
+            lines.append("CHARGE=3-" + eol())
+        elif style == 2:
+            lines.append("CHARGE=2" + eol())
+        elif style == 3:
+            lines.append("CHARGE=2+," + eol())
+        # style 4: no CHARGE line (header default may apply)
+        if rng.random() < 0.5:
+            lines.append(f"RTINSECONDS={num(rng.random() * 100)}" + eol())
+        n_peaks = int(rng.integers(6, 30))
+        mzs = np.sort(rng.uniform(110.0, 1450.0, n_peaks))
+        for m in mzs:
+            sep = rng.choice([" ", "\t", "   "])
+            extra = " 1" if rng.random() < 0.2 else ""
+            lines.append(f"{num(m)}{sep}{num(rng.random())}{extra}"
+                         + eol())
+        lines.append("END IONS" + eol())
+    path = str(tmp_path / "random.mgf")
+    with open(path, "w", newline="") as f:
+        f.write("".join(lines))
+
+    expected, lqc = python_reference(path, DEFAULTS)
+    assert expected, "generator should produce some surviving spectra"
+    batch = native.mgf_ingest(path, **DEFAULTS)
+    assert_batch_matches(batch, expected, lqc)
+
+
 def test_read_and_process_file_prefers_native(tmp_path):
     spectra, _ = make_clustered_spectra(
         n_clusters=10, cluster_size=3, n_noise=20, seed=3

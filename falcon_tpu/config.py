@@ -371,29 +371,76 @@ class Config:
         if config_path is None and os.path.isfile("config.ini"):
             config_path = "config.ini"
         if config_path is not None:
-            file_values = _read_config_file(config_path)
+            # Config-file values are applied via set_defaults, which
+            # bypasses argparse's own validation — so validate here and
+            # report through parser.error (clean message, exit code 2)
+            # instead of leaking a traceback.  Unknown keys are an
+            # error, like configargparse (the reference's config layer)
+            # treats unrecognized config-file entries.
+            try:
+                file_values = _read_config_file(config_path)
+            except (OSError, UnicodeDecodeError) as e:
+                self._parser.error(
+                    f"could not read config file {config_path}: {e}"
+                )
+            skip = {"help", "config", "input_filenames", "output_filename"}
+            known = {
+                action.dest for action in self._parser._actions
+                if action.dest not in skip
+            }
+            unknown = sorted(set(file_values) - known)
+            if unknown:
+                self._parser.error(
+                    f"unknown option(s) in config file {config_path}: "
+                    + ", ".join(unknown)
+                )
             defaults = {}
             for action in self._parser._actions:
-                if action.dest in ("help", "config", "input_filenames",
-                                   "output_filename"):
+                if action.dest in skip or action.dest not in file_values:
                     continue
-                if action.dest in file_values:
-                    raw = file_values[action.dest]
-                    if isinstance(action, argparse._StoreTrueAction):
-                        defaults[action.dest] = raw.lower() in _TRUE_STRINGS
-                    elif action.nargs == 2:
-                        defaults[action.dest] = raw.split()
-                    elif action.type is not None:
+                raw = file_values[action.dest]
+                if isinstance(action, argparse._StoreTrueAction):
+                    defaults[action.dest] = raw.lower() in _TRUE_STRINGS
+                elif action.nargs == 2:
+                    parts = raw.split()
+                    if len(parts) != 2:
+                        self._parser.error(
+                            f"option '{action.dest}' in config file "
+                            f"{config_path} needs 2 values, got {raw!r}"
+                        )
+                    defaults[action.dest] = parts
+                elif action.type is not None:
+                    try:
                         defaults[action.dest] = action.type(raw)
-                    else:
-                        defaults[action.dest] = raw
+                    except (TypeError, ValueError):
+                        self._parser.error(
+                            f"option '{action.dest}' in config file "
+                            f"{config_path}: invalid value {raw!r}"
+                        )
+                else:
+                    defaults[action.dest] = raw
+                if (action.choices is not None
+                        and defaults[action.dest] not in action.choices):
+                    self._parser.error(
+                        f"option '{action.dest}' in config file "
+                        f"{config_path}: {raw!r} is not one of "
+                        + ", ".join(map(str, action.choices))
+                    )
             self._parser.set_defaults(**defaults)
 
         self._namespace = vars(self._parser.parse_args(args))
-        self._namespace["precursor_tol"] = [
-            float(self._namespace["precursor_tol"][0]),
-            str(self._namespace["precursor_tol"][1]),
-        ]
+        try:
+            self._namespace["precursor_tol"] = [
+                float(self._namespace["precursor_tol"][0]),
+                str(self._namespace["precursor_tol"][1]),
+            ]
+        except (TypeError, ValueError):
+            # The reference crashes on a non-numeric tolerance (its own
+            # float cast, config.py:187-201); report cleanly instead.
+            self._parser.error(
+                "argument --precursor_tol: invalid numeric value "
+                f"{self._namespace['precursor_tol'][0]!r}"
+            )
 
     def __getattr__(self, option):
         if option.startswith("_"):

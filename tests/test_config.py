@@ -84,3 +84,40 @@ def test_unknown_option_raises_attribute_error():
     assert not hasattr(config, "definitely_not_an_option")
     with pytest.raises(AttributeError):
         config.definitely_not_an_option
+
+
+@pytest.mark.parametrize("content,fragment", [
+    ("eps = not_a_number\n", "invalid value 'not_a_number'"),
+    ("unknown_option = 5\n", "unknown option(s)"),
+    ("precursor_tol = 20\n", "needs 2 values"),
+    ("backend = bogus\n", "is not one of"),
+])
+def test_config_file_errors_are_clean(tmp_path, capsys, content, fragment):
+    """Config-file values bypass argparse validation (set_defaults), so
+    the file layer validates itself: bad values exit via parser.error
+    (SystemExit 2 + message), never a leaked traceback."""
+    ini = tmp_path / "bad.ini"
+    ini.write_text(content)
+    cfg = Config()
+    with pytest.raises(SystemExit) as exc:
+        cfg.parse(["-c", str(ini), "in.mgf", "out"])
+    assert exc.value.code == 2
+    assert fragment in capsys.readouterr().err
+
+
+def test_config_file_binary_garbage_is_clean(tmp_path, capsys):
+    ini = tmp_path / "binary.ini"
+    ini.write_bytes(bytes([0, 255, 254, 150]) * 10)
+    cfg = Config()
+    with pytest.raises(SystemExit) as exc:
+        cfg.parse(["-c", str(ini), "in.mgf", "out"])
+    assert exc.value.code == 2
+    assert "could not read config file" in capsys.readouterr().err
+
+
+def test_cli_non_numeric_precursor_tol_is_clean(capsys):
+    cfg = Config()
+    with pytest.raises(SystemExit) as exc:
+        cfg.parse(["--precursor_tol", "abc", "ppm", "in.mgf", "out"])
+    assert exc.value.code == 2
+    assert "invalid numeric value" in capsys.readouterr().err

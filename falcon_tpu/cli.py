@@ -168,9 +168,19 @@ def _run(args: Union[str, List[str], None], cleanup: list) -> int:
         from . import ingest
 
         with profiler.phase("ingest"):
-            charges = ingest.prepare_spectra(
-                store, config.input_filenames, process_kwargs
-            )
+            try:
+                charges = ingest.prepare_spectra(
+                    store, config.input_filenames, process_kwargs
+                )
+            except ValueError as e:
+                # User-input errors (no files matched, non-existing
+                # peak file, unknown extension — raised here or inside
+                # an ingest worker): report cleanly, exit 1, instead of
+                # leaking a traceback (the library-level readers still
+                # raise for API callers, tests/test_ms_io.py).
+                logger.error(str(e))
+                logging.shutdown()
+                return 1
 
     # Import the engine lazily: it pulls in JAX (and on TPU hosts the
     # exclusive chip), which ingest worker processes must never touch.

@@ -154,6 +154,25 @@ def test_cli_atomic_export_publication(mgf_inputs):
     assert os.path.isfile(out + ".mgf")
 
 
+def test_cli_missing_input_clean_error(tmp_path, caplog):
+    """User-input errors (no matching files, non-existing file, unknown
+    extension) exit 1 with a logged error, not a traceback."""
+    import logging
+
+    out = str(tmp_path / "out_missing")
+    with caplog.at_level(logging.ERROR, logger="falcon_tpu"):
+        rc = cli.main([str(tmp_path / "nope_*.mgf"), out])
+    assert rc == 1
+    assert "No input peak files found" in caplog.text
+
+    with open(tmp_path / "data.xyz", "w") as f:
+        f.write("not a peak file\n")
+    with caplog.at_level(logging.ERROR, logger="falcon_tpu"):
+        rc = cli.main([str(tmp_path / "data.xyz"), out])
+    assert rc == 1
+    assert "Unknown spectrum file type" in caplog.text
+
+
 def test_cli_deterministic(mgf_inputs):
     tmp_path, files, _, _ = mgf_inputs
     out_a = str(tmp_path / "det_a")

@@ -40,10 +40,29 @@ def read_and_process_file(
     spectrum dicts (the pure-Python fallback when the native library is
     unavailable or returns nothing for a non-empty file).  Mirrors
     reference ``_read_spectra`` (``falcon/falcon.py:362-392``), including
-    storing the absolute filename on each spectrum.
+    storing the absolute filename on each spectrum.  A gzipped input is
+    decompressed to a temp file once so the native fast path applies;
+    the ORIGINAL ``.gz`` path is what lands in the filename metadata.
     """
     filename = os.path.abspath(filename)
-    lower = filename.lower()
+    tmp = ms_io.decompress_to_temp(filename)
+    try:
+        return _read_processed(tmp or filename, filename, process_kwargs,
+                               allow_native)
+    finally:
+        if tmp is not None:
+            os.remove(tmp)
+
+
+def _read_processed(
+    parse_path: str, record_filename: str, process_kwargs: Dict,
+    allow_native: bool = True,
+) -> FileResult:
+    """Core of :func:`read_and_process_file`: parse ``parse_path`` (an
+    on-disk, already-decompressed peak file) while recording
+    ``record_filename`` as each spectrum's origin."""
+    filename = record_filename
+    lower = parse_path.lower()
     native_fmt = next((fmt for fmt in (".mgf", ".mzml", ".mzxml")
                        if lower.endswith(fmt)), None)
     if allow_native and native_fmt:
@@ -52,13 +71,13 @@ def read_and_process_file(
         ingest_fn = {".mgf": native.mgf_ingest,
                      ".mzml": native.mzml_ingest,
                      ".mzxml": native.mzxml_ingest}[native_fmt]
-        batch = ingest_fn(filename, **process_kwargs)
+        batch = ingest_fn(parse_path, **process_kwargs)
         if (
             batch is not None
             and batch.get("n_read", 1) == 0
             and batch.get("n_blocks", 0) == 0
             and not batch.get("truncated")
-            and os.path.getsize(filename) > 0
+            and os.path.getsize(parse_path) > 0
         ):
             # The native scanner found no spectrum ELEMENTS in a
             # non-empty file (e.g. unusual whitespace/namespacing in the
@@ -92,7 +111,7 @@ def read_and_process_file(
             return batch, batch["n_low_quality"]
     low_quality_counter = 0
     spectra = []
-    for spec in ms_io.get_spectra(filename):
+    for spec in ms_io.get_spectra(parse_path):
         spec.filename = filename
         processed = prep.process_spectrum(spec, **process_kwargs)
         if processed is None:
@@ -109,7 +128,8 @@ _RANGE_TARGET_BYTES = 8 * 2**20
 
 
 def _read_file_ranges(
-    filename: str, fmt: str, process_kwargs: Dict, budget: int
+    filename: str, fmt: str, process_kwargs: Dict, budget: int,
+    record_filename: Optional[str] = None,
 ) -> Optional[Tuple[List[dict], int]]:
     """Parse one large peak file with ``budget`` concurrent native range
     calls.
@@ -127,6 +147,8 @@ def _read_file_ranges(
 
     from . import native
 
+    if record_filename is None:
+        record_filename = filename
     ingest_fn = {".mgf": native.mgf_ingest,
                  ".mzml": native.mzml_ingest,
                  ".mzxml": native.mzxml_ingest}[fmt]
@@ -164,7 +186,7 @@ def _read_file_ranges(
             "(e.g. MS-Numpress) in %s", n_unsupported, filename,
         )
     for b in batches:
-        b["filename"] = np.repeat(np.array([filename]),
+        b["filename"] = np.repeat(np.array([record_filename]),
                                   len(b["precursor_mz"]))
     lqc = sum(b["n_low_quality"] for b in batches)
     return [b for b in batches if len(b["precursor_mz"])], lqc
@@ -196,23 +218,33 @@ def ingest_file_to_store(
                           shard_prefix=f"{file_index:04d}_")
     result: Union[List[dict], Dict[str, np.ndarray], None] = None
     lqc = 0
-    lower = filename.lower()
-    fmt = next((f for f in (".mgf", ".mzml", ".mzxml")
-                if lower.endswith(f)), None)
-    if (range_budget > 1 and fmt is not None
-            and os.path.getsize(filename) >= _RANGE_MIN_BYTES):
-        ranged = _read_file_ranges(filename, fmt, process_kwargs,
-                                   range_budget)
-        if ranged is not None:
-            batches, lqc = ranged
-            charges: set = set()
-            n_kept = 0
-            for batch in batches:  # file order -> deterministic shards
-                n_kept += len(batch["precursor_mz"])
-                charges.update(writer.add_batch(batch))
-            writer.close()
-            return sorted(charges), n_kept, lqc
-    result, lqc = read_and_process_file(filename, process_kwargs)
+    # Gzipped inputs decompress ONCE here so both the range-parallel
+    # and single-range paths parse the same temp file; the original
+    # .gz path is what the store records.
+    tmp = ms_io.decompress_to_temp(filename)
+    parse_path = tmp or filename
+    try:
+        lower = parse_path.lower()
+        fmt = next((f for f in (".mgf", ".mzml", ".mzxml")
+                    if lower.endswith(f)), None)
+        if (range_budget > 1 and fmt is not None
+                and os.path.getsize(parse_path) >= _RANGE_MIN_BYTES):
+            ranged = _read_file_ranges(parse_path, fmt, process_kwargs,
+                                       range_budget,
+                                       record_filename=filename)
+            if ranged is not None:
+                batches, lqc = ranged
+                charges: set = set()
+                n_kept = 0
+                for batch in batches:  # file order -> deterministic shards
+                    n_kept += len(batch["precursor_mz"])
+                    charges.update(writer.add_batch(batch))
+                writer.close()
+                return sorted(charges), n_kept, lqc
+        result, lqc = _read_processed(parse_path, filename, process_kwargs)
+    finally:
+        if tmp is not None:
+            os.remove(tmp)
     charges = set()
     if isinstance(result, dict):
         n_kept = len(result["precursor_mz"])

@@ -173,6 +173,36 @@ def test_cli_missing_input_clean_error(tmp_path, caplog):
     assert "Unknown spectrum file type" in caplog.text
 
 
+def test_cli_gzipped_inputs(mgf_inputs):
+    """Mixed plain + gzipped inputs cluster identically to all-plain
+    inputs, with the .gz path recorded in the CSV filename column."""
+    import gzip
+    import shutil
+
+    tmp_path, files, spectra, _ = mgf_inputs
+    gz_path = str(tmp_path / "run2.mgf.gz")
+    with open(files[1], "rb") as f_in, gzip.open(gz_path, "wb") as f_out:
+        shutil.copyfileobj(f_in, f_out)
+    out_plain = str(tmp_path / "out_plain")
+    out_gz = str(tmp_path / "out_gz")
+    assert cli.main(files + [out_plain]) == 0
+    assert cli.main([files[0], gz_path, out_gz]) == 0
+    df_plain = _read_csv(out_plain + ".csv")
+    df_gz = _read_csv(out_gz + ".csv")
+    assert len(df_gz) == len(df_plain) == len(spectra)
+    assert set(df_gz["filename"]) == {
+        os.path.abspath(files[0]), os.path.abspath(gz_path),
+    }
+    # Same clustering structure on the same underlying spectra.
+    key = ["spectrum_id"]
+    merged = df_plain.merge(df_gz, on=key, suffixes=("_p", "_g"))
+    import pandas as pd
+
+    pairs_p = merged.groupby("cluster_p")["spectrum_id"].apply(frozenset)
+    pairs_g = merged.groupby("cluster_g")["spectrum_id"].apply(frozenset)
+    assert set(pairs_p) == set(pairs_g)
+
+
 def test_cli_deterministic(mgf_inputs):
     tmp_path, files, _, _ = mgf_inputs
     out_a = str(tmp_path / "det_a")

@@ -439,3 +439,46 @@ def test_mzxml_unsupported_compression_warns_once(tmp_path, caplog):
     warnings = [r for r in caplog.records
                 if "unsupported peak compression" in r.message]
     assert len(warnings) == 1
+
+
+def _gzip_file(src: str, dst: str) -> str:
+    import gzip
+    import shutil
+
+    with open(src, "rb") as f_in, gzip.open(dst, "wb") as f_out:
+        shutil.copyfileobj(f_in, f_out)
+    return dst
+
+
+def test_gzipped_mgf_parses_identically(tmp_path):
+    plain = tmp_path / "in.mgf"
+    plain.write_text(MGF_TEXT)
+    gz = _gzip_file(str(plain), str(tmp_path / "in.mgf.gz"))
+    a = list(ms_io.get_spectra(str(plain)))
+    b = list(ms_io.get_spectra(gz))
+    assert len(a) == len(b) == 2
+    for sa, sb in zip(a, b):
+        assert sa.identifier == sb.identifier
+        np.testing.assert_array_equal(sa.mz, sb.mz)
+        np.testing.assert_array_equal(sa.intensity, sb.intensity)
+
+
+def test_gzipped_unknown_inner_extension_raises(tmp_path):
+    (tmp_path / "x.txt").write_text("hi")
+    gz = _gzip_file(str(tmp_path / "x.txt"), str(tmp_path / "x.txt.gz"))
+    with pytest.raises(ValueError, match="Unknown spectrum file type"):
+        list(ms_io.get_spectra(gz))
+
+
+def test_truncated_gzip_warns_and_parses_prefix(tmp_path, caplog):
+    import logging
+
+    plain = tmp_path / "in.mgf"
+    plain.write_text(MGF_TEXT * 50)
+    gz = _gzip_file(str(plain), str(tmp_path / "in.mgf.gz"))
+    data = (tmp_path / "in.mgf.gz").read_bytes()
+    (tmp_path / "trunc.mgf.gz").write_bytes(data[: len(data) // 2])
+    with caplog.at_level(logging.WARNING, logger="falcon_tpu"):
+        specs = list(ms_io.get_spectra(str(tmp_path / "trunc.mgf.gz")))
+    assert "gzip" in caplog.text
+    assert len(specs) < 100  # prefix only — and no exception

@@ -1075,3 +1075,68 @@ def test_fully_numpress_file_warns_not_silent(tmp_path, caplog):
     assert len(result["precursor_mz"]) == 0
     assert any("unsupported binary compression" in r.message
                for r in caplog.records)
+
+
+def test_gzipped_file_uses_native_path_and_records_gz_name(tmp_path):
+    """A .mgf.gz input decompresses once, parses through the native fast
+    path, and the store metadata records the ORIGINAL .gz path."""
+    import gzip
+    import shutil
+
+    spectra, _ = make_clustered_spectra(
+        n_clusters=8, cluster_size=3, n_noise=10, seed=5
+    )
+    plain = write_mgf(str(tmp_path / "in.mgf"), spectra)
+    gz_path = str(tmp_path / "in.mgf.gz")
+    with open(plain, "rb") as f_in, gzip.open(gz_path, "wb") as f_out:
+        shutil.copyfileobj(f_in, f_out)
+
+    result, lqc = ingest.read_and_process_file(gz_path, DEFAULTS)
+    assert isinstance(result, dict)  # native columnar batch
+    assert (result["filename"] == os.path.abspath(gz_path)).all()
+    ref, ref_lqc = ingest.read_and_process_file(plain, DEFAULTS)
+    assert lqc == ref_lqc
+    np.testing.assert_array_equal(result["precursor_mz"],
+                                  ref["precursor_mz"])
+    np.testing.assert_array_equal(result["mz"], ref["mz"])
+    # No temp droppings left behind.
+    stray = [f for f in os.listdir(tmp_path)
+             if f not in ("in.mgf", "in.mgf.gz")]
+    assert not stray
+
+
+def test_gzipped_range_parse_matches_whole_file(tmp_path, monkeypatch):
+    """A large gzipped MGF still goes through the byte-range parallel
+    path (on the decompressed temp) and records the .gz filename."""
+    import gzip
+    import shutil
+
+    from falcon_tpu.store.store import SpectrumStore
+
+    spectra, _ = make_clustered_spectra(
+        n_clusters=30, cluster_size=4, n_noise=30, seed=9
+    )
+    plain = write_mgf(str(tmp_path / "big.mgf"), spectra)
+    gz_path = str(tmp_path / "big.mgf.gz")
+    with open(plain, "rb") as f_in, gzip.open(gz_path, "wb") as f_out:
+        shutil.copyfileobj(f_in, f_out)
+    monkeypatch.setattr(ingest, "_RANGE_MIN_BYTES", 1)
+    monkeypatch.setattr(ingest, "_RANGE_TARGET_BYTES", 4096)
+
+    root_a = str(tmp_path / "store_a")
+    charges_a, kept_a, _ = ingest.ingest_file_to_store(
+        gz_path, 0, root_a, DEFAULTS, range_budget=4
+    )
+    root_b = str(tmp_path / "store_b")
+    charges_b, kept_b, _ = ingest.ingest_file_to_store(
+        plain, 0, root_b, DEFAULTS, range_budget=1
+    )
+    assert charges_a == charges_b and kept_a == kept_b and kept_a > 0
+    for charge in charges_a:
+        key = None if charge == "None" else int(charge)
+        ds_a = SpectrumStore(root_a).dataset(key)
+        ds_b = SpectrumStore(root_b).dataset(key)
+        meta_a, meta_b = ds_a.read_metadata(), ds_b.read_metadata()
+        np.testing.assert_array_equal(meta_a["precursor_mz"],
+                                      meta_b["precursor_mz"])
+        assert (meta_a["filename"] == os.path.abspath(gz_path)).all()

@@ -3,9 +3,11 @@
 Behavioral parity with reference ``falcon/ms_io/ms_io.py``: readers for
 .mgf/.mzml/.mzxml (error on missing file or unknown extension,
 ``ms_io.py:28-38``), writer for MGF only (``ms_io.py:58-66``) — implemented
-here as a table-driven dispatch.  Beyond the reference, gzipped inputs
-(``.mgf.gz`` / ``.mzML.gz`` / ``.mzXML.gz`` — the form public proteomics
-archives ship) are read transparently.
+here as a table-driven dispatch.  Beyond the reference: ``.msp``
+spectral libraries (promised by the reference's docstring, never
+implemented there) and gzipped inputs (``.mgf.gz`` / ``.mzML.gz`` /
+``.mzXML.gz`` — the form public proteomics archives ship) are read
+transparently.
 """
 
 import logging
@@ -13,12 +15,16 @@ import os
 from typing import Iterable, Iterator, Optional
 
 from .containers import Spectrum
-from . import mgf_io, mzml_io, mzxml_io
+from . import mgf_io, msp_io, mzml_io, mzxml_io
 
 logger = logging.getLogger("falcon_tpu")
 
 _READERS = {
     ".mgf": mgf_io,
+    # The reference docstring promises MSP ("Supported file formats are
+    # MGF, MSP, mzML, mzXML", falcon/ms_io/ms_io.py:15) but registers
+    # no reader; falcon-tpu implements it (msp_io.py).
+    ".msp": msp_io,
     ".mzml": mzml_io,
     ".mzxml": mzxml_io,
 }

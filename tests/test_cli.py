@@ -203,6 +203,28 @@ def test_cli_gzipped_inputs(mgf_inputs):
     assert set(pairs_p) == set(pairs_g)
 
 
+def test_cli_msp_input(mgf_inputs):
+    """An MSP spectral library (the format the reference's docstring
+    promises but never implements) clusters end-to-end like the same
+    spectra in MGF form."""
+    from test_fuzz import _write_msp
+
+    tmp_path, files, spectra, _ = mgf_inputs
+    msp_path = str(tmp_path / "lib.msp")
+    _write_msp(msp_path, spectra)
+    out = str(tmp_path / "out_msp")
+    assert cli.main([msp_path, out]) == 0
+    df = _read_csv(out + ".csv")
+    assert len(df) == len(spectra)
+    ref_out = str(tmp_path / "out_ref_mgf")
+    assert cli.main(files + [ref_out]) == 0
+    df_ref = _read_csv(ref_out + ".csv")
+    merged = df.merge(df_ref, on="spectrum_id", suffixes=("_m", "_r"))
+    pairs_m = merged.groupby("cluster_m")["spectrum_id"].apply(frozenset)
+    pairs_r = merged.groupby("cluster_r")["spectrum_id"].apply(frozenset)
+    assert set(pairs_m) == set(pairs_r)
+
+
 def test_cli_deterministic(mgf_inputs):
     tmp_path, files, _, _ = mgf_inputs
     out_a = str(tmp_path / "det_a")

@@ -30,7 +30,21 @@ _NATIVE_INGEST = {
     "mgf": native.mgf_ingest,
     "mzML": native.mzml_ingest,
     "mzXML": native.mzxml_ingest,
+    # MSP has no native scanner (Python reader only).
 }
+
+
+def _write_msp(path, spectra) -> None:
+    with open(path, "w") as f:
+        for s in spectra:
+            f.write(f"Name: {s.identifier}\n"
+                    f"PrecursorMZ: {s.precursor_mz}\n")
+            if s.precursor_charge is not None:
+                f.write(f"Charge: {s.precursor_charge}\n")
+            f.write(f"Num Peaks: {len(s.mz)}\n")
+            for m, i in zip(s.mz, s.intensity):
+                f.write(f"{m} {i}\n")
+            f.write("\n")
 
 
 def _base_file(tmp_path, fmt: str) -> bytes:
@@ -42,6 +56,8 @@ def _base_file(tmp_path, fmt: str) -> bytes:
         write_mgf(path, spectra)
     elif fmt == "mzML":
         _write_mzml(path, spectra)
+    elif fmt == "msp":
+        _write_msp(path, spectra)
     else:
         _write_mzxml(path, _spectra_to_scans(spectra))
     with open(path, "rb") as f:
@@ -90,7 +106,7 @@ def _assert_batch_sane(batch) -> None:
     assert len(batch["intensity"]) == offsets[-1]
 
 
-@pytest.mark.parametrize("fmt", ["mgf", "mzML", "mzXML"])
+@pytest.mark.parametrize("fmt", ["mgf", "mzML", "mzXML", "msp"])
 def test_parsers_survive_random_mutations(tmp_path, fmt, caplog):
     base = _base_file(tmp_path, fmt)
     rng = np.random.default_rng(abs(hash(fmt)) % 2**32)
@@ -103,12 +119,13 @@ def test_parsers_survive_random_mutations(tmp_path, fmt, caplog):
             _assert_sane(spec)
         # Native parser: a columnar batch, or None (library refused) —
         # and, implicitly, no crash of this very process.
-        batch = _NATIVE_INGEST[fmt](path, 1, 0.0)
+        ingest_fn = _NATIVE_INGEST.get(fmt)
+        batch = ingest_fn(path, 1, 0.0) if ingest_fn else None
         if batch is not None:
             _assert_batch_sane(batch)
 
 
-@pytest.mark.parametrize("fmt", ["mgf", "mzML", "mzXML"])
+@pytest.mark.parametrize("fmt", ["mgf", "mzML", "mzXML", "msp"])
 def test_parsers_survive_binary_garbage_file(tmp_path, fmt):
     """A file that was never text at all (e.g. a gzip or Thermo RAW file
     renamed to a supported extension) parses to zero spectra without an
@@ -118,6 +135,7 @@ def test_parsers_survive_binary_garbage_file(tmp_path, fmt):
     with open(path, "wb") as f:
         f.write(bytes(rng.integers(0, 256, 65536, dtype=np.uint8)))
     assert list(ms_io.get_spectra(path)) == []
-    batch = _NATIVE_INGEST[fmt](path, 1, 0.0)
+    ingest_fn = _NATIVE_INGEST.get(fmt)
+    batch = ingest_fn(path, 1, 0.0) if ingest_fn else None
     if batch is not None:
         assert len(batch["identifier"]) == 0

@@ -482,3 +482,79 @@ def test_truncated_gzip_warns_and_parses_prefix(tmp_path, caplog):
         specs = list(ms_io.get_spectra(str(tmp_path / "trunc.mgf.gz")))
     assert "gzip" in caplog.text
     assert len(specs) < 100  # prefix only — and no exception
+
+
+MSP_TEXT = """# library header comment
+Name: compound one
+PrecursorMZ: 500.25
+Charge: 2+
+Comment: RTINSECONDS=12.5 Collision=HCD
+Num Peaks: 4
+100.1 10.0; 200.2 20.0
+300.3 5.0 "b2 ion"
+400.4 1.5
+
+Name: via parent
+Comment: Parent=610.5 Charge=3
+Num peaks: 2
+150.0 1.0
+250.0 2.0
+
+Name: missing precursor
+Num Peaks: 1
+100.0 1.0
+
+Name: malformed peak
+PrecursorMZ: 700.0
+Num Peaks: 2
+100.0 xyz
+200.0 1.0
+
+Name: mw fallback
+MW: 820.75
+Charge: 1-
+Num Peaks: 2
+120.0 3.0
+220.0 4.0
+"""
+
+
+def test_msp_parse(tmp_path):
+    path = tmp_path / "lib.msp"
+    path.write_text(MSP_TEXT)
+    specs = list(ms_io.get_spectra(str(path)))
+    assert [s.identifier for s in specs] == [
+        "compound one", "via parent", "mw fallback",
+    ]
+    s1, s2, s3 = specs
+    assert s1.precursor_mz == pytest.approx(500.25)
+    assert s1.precursor_charge == 2
+    assert s1.retention_time == pytest.approx(12.5)
+    np.testing.assert_allclose(s1.mz, [100.1, 200.2, 300.3, 400.4],
+                               rtol=1e-6)
+    np.testing.assert_allclose(s1.intensity, [10.0, 20.0, 5.0, 1.5])
+    assert s2.precursor_mz == pytest.approx(610.5)
+    assert s2.precursor_charge == 3
+    assert s2.retention_time == -1.0
+    assert s3.precursor_mz == pytest.approx(820.75)
+    assert s3.precursor_charge == -1
+
+
+def test_msp_without_blank_separators(tmp_path):
+    path = tmp_path / "dense.msp"
+    path.write_text(
+        "Name: a\nPrecursorMZ: 500.0\nNum Peaks: 1\n100.0 1.0\n"
+        "Name: b\nPrecursorMZ: 600.0\nNum Peaks: 1\n110.0 2.0\n"
+    )
+    specs = list(ms_io.get_spectra(str(path)))
+    assert [s.identifier for s in specs] == ["a", "b"]
+    assert specs[1].precursor_mz == pytest.approx(600.0)
+
+
+def test_msp_gzipped(tmp_path):
+    plain = tmp_path / "lib.msp"
+    plain.write_text(MSP_TEXT)
+    gz = _gzip_file(str(plain), str(tmp_path / "lib.msp.gz"))
+    a = [s.identifier for s in ms_io.get_spectra(str(plain))]
+    b = [s.identifier for s in ms_io.get_spectra(gz)]
+    assert a == b

@@ -35,8 +35,9 @@ def read_and_process_file(
 
     Returns (result, low-quality count) where result is either a columnar
     batch dict (the native C++ fast path — parse + the full preprocessing
-    chain for all three formats: MGF in ``native/falcon_ingest.cc``,
-    mzML/mzXML in ``native/falcon_mzml.cc``) or a list of processed
+    chain for all four formats: MGF and MSP in
+    ``native/falcon_ingest.cc``, mzML/mzXML in ``native/falcon_mzml.cc``)
+    or a list of processed
     spectrum dicts (the pure-Python fallback when the native library is
     unavailable or returns nothing for a non-empty file).  Mirrors
     reference ``_read_spectra`` (``falcon/falcon.py:362-392``), including
@@ -63,14 +64,15 @@ def _read_processed(
     ``record_filename`` as each spectrum's origin."""
     filename = record_filename
     lower = parse_path.lower()
-    native_fmt = next((fmt for fmt in (".mgf", ".mzml", ".mzxml")
+    native_fmt = next((fmt for fmt in (".mgf", ".mzml", ".mzxml", ".msp")
                        if lower.endswith(fmt)), None)
     if allow_native and native_fmt:
         from . import native
 
         ingest_fn = {".mgf": native.mgf_ingest,
                      ".mzml": native.mzml_ingest,
-                     ".mzxml": native.mzxml_ingest}[native_fmt]
+                     ".mzxml": native.mzxml_ingest,
+                     ".msp": native.msp_ingest}[native_fmt]
         batch = ingest_fn(parse_path, **process_kwargs)
         if (
             batch is not None
@@ -137,9 +139,9 @@ def _read_file_ranges(
     The native range parsers release the GIL, so a thread pool gives
     real parse parallelism without process-spawn cost; per-range batches
     concatenate to the whole-file parse exactly (ownership by BEGIN IONS
-    line offset for MGF — ``native/falcon_ingest.cc`` — and by
-    spectrum/scan open-tag offset for mzML/mzXML —
-    ``native/falcon_mzml.cc``).  Returns (columnar batches in file
+    line offset for MGF and Name: line offset for MSP —
+    ``native/falcon_ingest.cc`` — and by spectrum/scan open-tag offset
+    for mzML/mzXML — ``native/falcon_mzml.cc``).  Returns (columnar batches in file
     order, low-quality count), or None when the native range entry is
     unavailable (caller falls back to the single-range path).
     """
@@ -151,7 +153,8 @@ def _read_file_ranges(
         record_filename = filename
     ingest_fn = {".mgf": native.mgf_ingest,
                  ".mzml": native.mzml_ingest,
-                 ".mzxml": native.mzxml_ingest}[fmt]
+                 ".mzxml": native.mzxml_ingest,
+                 ".msp": native.msp_ingest}[fmt]
     size = os.path.getsize(filename)
     n_ranges = min(budget, max(size // _RANGE_TARGET_BYTES, 1))
     if n_ranges <= 1:
@@ -225,7 +228,7 @@ def ingest_file_to_store(
     parse_path = tmp or filename
     try:
         lower = parse_path.lower()
-        fmt = next((f for f in (".mgf", ".mzml", ".mzxml")
+        fmt = next((f for f in (".mgf", ".mzml", ".mzxml", ".msp")
                     if lower.endswith(f)), None)
         if (range_budget > 1 and fmt is not None
                 and os.path.getsize(parse_path) >= _RANGE_MIN_BYTES):

@@ -101,7 +101,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if hasattr(lib, "fc_result_n_unsupported"):
             lib.fc_result_n_unsupported.restype = ctypes.c_int64
             lib.fc_result_n_unsupported.argtypes = [ctypes.c_void_p]
-        for entry in ("fc_mzml_ingest", "fc_mzxml_ingest"):
+        for entry in ("fc_mzml_ingest", "fc_mzxml_ingest",
+                      "fc_msp_ingest"):
             if hasattr(lib, entry):
                 fn = getattr(lib, entry)
                 fn.restype = ctypes.c_void_p
@@ -111,7 +112,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_double, ctypes.c_int, ctypes.c_int,
                     ctypes.POINTER(ctypes.c_int64),
                 ]
-        for entry in ("fc_mzml_ingest_range", "fc_mzxml_ingest_range"):
+        for entry in ("fc_mzml_ingest_range", "fc_mzxml_ingest_range",
+                      "fc_msp_ingest_range"):
             if hasattr(lib, entry):
                 fn = getattr(lib, entry)
                 fn.restype = ctypes.c_void_p
@@ -292,6 +294,31 @@ def mzxml_ingest(
     byte-range selection, as for mzML — ownership by each ``<scan``
     open tag's own offset, nested MS2 scans included)."""
     return _native_ingest(filename, "fc_mzxml_ingest", min_peaks,
+                          min_mz_range, mz_min, mz_max,
+                          remove_precursor_tolerance, min_intensity,
+                          max_peaks_used, scaling, start=start, end=end)
+
+
+def msp_ingest(
+    filename: str,
+    min_peaks: int,
+    min_mz_range: float,
+    mz_min: Optional[float] = None,
+    mz_max: Optional[float] = None,
+    remove_precursor_tolerance: Optional[float] = None,
+    min_intensity: Optional[float] = None,
+    max_peaks_used: Optional[int] = None,
+    scaling: Optional[str] = None,
+    start: Optional[int] = None,
+    end: Optional[int] = None,
+) -> Optional[dict]:
+    """Parse + preprocess an entire MSP spectral library in the native
+    library (``native/falcon_ingest.cc``, mirroring
+    ``ms_io/msp_io.py``); same batch contract as :func:`mgf_ingest`,
+    including ``start``/``end`` byte-range selection (ownership by each
+    ``Name:`` line's offset, so arbitrary splits concatenate to the
+    whole-file parse)."""
+    return _native_ingest(filename, "fc_msp_ingest", min_peaks,
                           min_mz_range, mz_min, mz_max,
                           remove_precursor_tolerance, min_intensity,
                           max_peaks_used, scaling, start=start, end=end)

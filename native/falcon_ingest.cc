@@ -21,6 +21,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <limits>
+#include <map>
 #include <numeric>
 #include <string>
 #include <vector>
@@ -401,6 +402,176 @@ void read_mgf_header(const char* path, MgfParams* hdr) {
   std::fclose(f);
 }
 
+// ----- MSP (NIST/GNPS spectral-library) scanner ---------------------
+// Mirrors falcon_tpu/ms_io/msp_io.py line for line (which itself covers
+// the format the reference PROMISES — "Supported file formats are MGF,
+// MSP, mzML, mzXML", falcon/ms_io/ms_io.py:15 — but never implements).
+
+// Comment key=value scan, equivalent to msp_io._COMMENT_KV:
+// (\w[\w/.-]*)=("[^"]*"|\S+), values stripped of surrounding quotes.
+void msp_scan_comment(const std::string& value,
+                      std::map<std::string, std::string>* kv) {
+  const size_t n = value.size();
+  auto is_word = [](unsigned char c) {
+    return std::isalnum(c) || c == '_';
+  };
+  auto is_key_char = [&](unsigned char c) {
+    return is_word(c) || c == '/' || c == '.' || c == '-';
+  };
+  size_t i = 0;
+  while (i < n) {
+    if (!is_word(static_cast<unsigned char>(value[i]))) {
+      ++i;
+      continue;
+    }
+    size_t ks = i, j = i;
+    while (j < n && is_key_char(static_cast<unsigned char>(value[j]))) ++j;
+    bool matched = false;
+    if (j < n && value[j] == '=') {
+      size_t vs = j + 1;
+      std::string val;
+      if (vs < n && value[vs] == '"') {
+        size_t close = value.find('"', vs + 1);
+        if (close != std::string::npos) {
+          val = value.substr(vs, close - vs + 1);
+          i = close + 1;
+          matched = true;
+        }
+      }
+      if (!matched) {
+        size_t ve = vs;
+        while (ve < n &&
+               !std::isspace(static_cast<unsigned char>(value[ve])))
+          ++ve;
+        if (ve > vs) {
+          val = value.substr(vs, ve - vs);
+          i = ve;
+          matched = true;
+        }
+      }
+      if (matched) {
+        // Python: m.group(2).strip('"')
+        size_t v0 = val.find_first_not_of('"');
+        size_t v1 = val.find_last_not_of('"');
+        val = v0 == std::string::npos
+                  ? "" : val.substr(v0, v1 - v0 + 1);
+        std::string key = value.substr(ks, j - ks);
+        for (auto& c : key)
+          c = std::tolower(static_cast<unsigned char>(c));
+        (*kv)[key] = val;
+        continue;
+      }
+    }
+    i = ks + 1;  // the regex engine retries at the next offset
+  }
+}
+
+struct MspEntry {
+  bool started = false, in_peaks = false, malformed = false;
+  std::map<std::string, std::string> fields;  // lowercased keys
+  std::map<std::string, std::string> ckv;     // Comment key=values
+  std::vector<float> mz, inten;
+};
+
+// First whitespace-delimited token of a value (Python .split()[0]);
+// empty if none.
+std::string first_token(const std::string& s) {
+  size_t b = s.find_first_not_of(" \t\r\n\v\f");
+  if (b == std::string::npos) return "";
+  size_t e = s.find_first_of(" \t\r\n\v\f", b);
+  return e == std::string::npos ? s.substr(b) : s.substr(b, e - b);
+}
+
+// Non-empty lookup with Python falsy-string semantics ("" counts as
+// absent in `a or b` chains).
+const std::string* msp_get(const std::map<std::string, std::string>& m,
+                           const char* key) {
+  auto it = m.find(key);
+  if (it == m.end() || it->second.empty()) return nullptr;
+  return &it->second;
+}
+
+// msp_io._make_spectrum: Name + a precursor m/z required; malformed
+// entries skipped silently (not counted as read).
+void msp_finish(IngestResult* res, const Params& p, MspEntry* e) {
+  if (!e->started || e->malformed) return;
+  auto name_it = e->fields.find("name");
+  if (name_it == e->fields.end()) return;
+  const std::string* pre = nullptr;
+  for (const char* k : {"precursormz", "precursor_m/z", "precursor m/z"}) {
+    if ((pre = msp_get(e->fields, k)) != nullptr) break;
+  }
+  if (!pre) pre = msp_get(e->ckv, "parent");
+  if (!pre) pre = msp_get(e->fields, "mw");
+  if (!pre) return;
+  double precursor_mz;
+  {
+    std::string tok = first_token(*pre);
+    if (tok.empty() ||
+        !parse_double(tok.data(), tok.data() + tok.size(), &precursor_mz))
+      return;
+  }
+  int32_t charge = kNullCharge;
+  {
+    const std::string* raw = msp_get(e->fields, "charge");
+    if (!raw) raw = msp_get(e->ckv, "charge");
+    if (raw && !parse_charge(*raw, &charge)) return;
+  }
+  double rt = -1.0;
+  {
+    const std::string* raw = msp_get(e->ckv, "rtinseconds");
+    if (!raw) raw = msp_get(e->fields, "rtinseconds");
+    if (!raw) raw = msp_get(e->ckv, "retentiontime");
+    if (!raw) raw = msp_get(e->fields, "retentiontime");
+    if (raw) {
+      // Python float(raw) on the WHOLE value: leading/trailing
+      // whitespace tolerated, anything else (multi-token, empty) is a
+      // ValueError -> entry skipped.
+      size_t b = raw->find_first_not_of(" \t\r\n\v\f");
+      if (b == std::string::npos) return;
+      size_t en = raw->find_last_not_of(" \t\r\n\v\f");
+      std::string tok = raw->substr(b, en - b + 1);
+      if (tok.find_first_of(" \t\r\n\v\f") != std::string::npos) return;
+      if (!parse_double(tok.data(), tok.data() + tok.size(), &rt))
+        return;
+    }
+  }
+  res->n_read += 1;
+  // containers.Spectrum sorts unsorted peaks (stable).
+  bool sorted = true;
+  for (size_t i = 1; i < e->mz.size(); ++i) {
+    if (e->mz[i] < e->mz[i - 1]) { sorted = false; break; }
+  }
+  if (!sorted) {
+    std::vector<int64_t> ord(e->mz.size());
+    std::iota(ord.begin(), ord.end(), 0);
+    std::stable_sort(ord.begin(), ord.end(), [&](int64_t a, int64_t b) {
+      return e->mz[a] < e->mz[b];
+    });
+    std::vector<float> m2(ord.size()), i2(ord.size());
+    for (size_t i = 0; i < ord.size(); ++i) {
+      m2[i] = e->mz[ord[i]];
+      i2[i] = e->inten[ord[i]];
+    }
+    e->mz = std::move(m2);
+    e->inten = std::move(i2);
+  }
+  if (!preprocess(e->mz, e->inten, precursor_mz, charge, p)) {
+    res->n_low_quality += 1;
+    return;
+  }
+  res->precursor_mz.push_back(precursor_mz);
+  res->precursor_charge.push_back(charge);
+  res->retention_time.push_back(rt);
+  res->title_bytes.append(name_it->second);
+  res->title_offsets.push_back(
+      static_cast<int64_t>(res->title_bytes.size()));
+  res->mz.insert(res->mz.end(), e->mz.begin(), e->mz.end());
+  res->intensity.insert(res->intensity.end(), e->inten.begin(),
+                        e->inten.end());
+  res->peak_offsets.push_back(static_cast<int64_t>(res->mz.size()));
+}
+
 // Fill out_counts from a (possibly empty) result and hand it back —
 // used when a range seek lands past EOF so the caller still gets a
 // well-formed empty handle rather than NULL ("cannot open").
@@ -579,6 +750,159 @@ void* fc_mgf_ingest(const char* path, int min_peaks, double min_mz_range,
                     double remove_precursor_tol, double min_intensity,
                     int max_peaks_used, int scaling, int64_t* out_counts) {
   return fc_mgf_ingest_range(path, 0, -1, min_peaks, min_mz_range, mz_min,
+                             mz_max, remove_precursor_tol, min_intensity,
+                             max_peaks_used, scaling, out_counts);
+}
+
+// Parse + preprocess the MSP entries whose "Name:" line starts in
+// [start, end); same range-concatenation contract and result handle as
+// fc_mgf_ingest_range.  Mirrors falcon_tpu/ms_io/msp_io.py.
+void* fc_msp_ingest_range(const char* path, int64_t start, int64_t end,
+                          int min_peaks, double min_mz_range,
+                          double mz_min, double mz_max,
+                          double remove_precursor_tol, double min_intensity,
+                          int max_peaks_used, int scaling,
+                          int64_t* out_counts) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  Params p{min_peaks, min_mz_range, mz_min, mz_max,
+           remove_precursor_tol, min_intensity, max_peaks_used, scaling};
+  auto* res = new IngestResult();
+
+  int64_t offset = 0;
+  if (start > 0) {
+    // Skip the partial line a mid-line range start would otherwise see
+    // (same contract as fc_mgf_ingest_range).
+    if (std::fseek(f, static_cast<long>(start - 1), SEEK_SET) != 0) {
+      std::fclose(f);
+      return res_counts_empty(res, out_counts);
+    }
+    int prev = std::fgetc(f);
+    offset = start;
+    if (prev != '\n' && prev != EOF) {
+      int c;
+      while ((c = std::fgetc(f)) != EOF) {
+        ++offset;
+        if (c == '\n') break;
+      }
+    }
+  }
+
+  MspEntry entry;
+  int64_t n_blocks = 0;
+  char* line = nullptr;
+  size_t cap = 0;
+  ssize_t got;
+  while ((got = getline(&line, &cap, f)) != -1) {
+    const int64_t line_start = offset;
+    offset += got;
+    char* b = line;
+    char* e = line + got;
+    while (b < e && std::isspace(static_cast<unsigned char>(*b))) ++b;
+    while (e > b && std::isspace(static_cast<unsigned char>(e[-1]))) --e;
+    if (b == e) {
+      // Blank line: ends the peak list (entry boundary); tolerated
+      // between header fields.
+      if (entry.in_peaks) {
+        msp_finish(res, p, &entry);
+        entry = MspEntry();
+      }
+      continue;
+    }
+    if ((*b == '#' || *b == ';') && !entry.in_peaks) continue;
+    size_t len = static_cast<size_t>(e - b);
+    const char* colon =
+        static_cast<const char*>(std::memchr(b, ':', len));
+    if (colon != nullptr) {
+      std::string key(static_cast<const char*>(b), colon);
+      size_t k0 = key.find_first_not_of(" \t");
+      size_t k1 = key.find_last_not_of(" \t");
+      key = k0 == std::string::npos ? "" : key.substr(k0, k1 - k0 + 1);
+      for (auto& c : key)
+        c = std::tolower(static_cast<unsigned char>(c));
+      std::string value(colon + 1, static_cast<const char*>(e));
+      size_t v0 = value.find_first_not_of(" \t");
+      size_t v1 = value.find_last_not_of(" \t");
+      value = v0 == std::string::npos
+                  ? "" : value.substr(v0, v1 - v0 + 1);
+      if (key == "name") {
+        // A new Name ends the previous entry — whether in its header
+        // or its peak list.
+        if (end >= 0 && line_start >= end) break;  // next range owns it
+        msp_finish(res, p, &entry);
+        entry = MspEntry();
+        entry.started = true;
+        entry.fields["name"] = value;
+        ++n_blocks;
+        continue;
+      }
+      if (!entry.in_peaks) {
+        if (key == "num peaks" || key == "numpeaks" ||
+            key == "num_peaks") {
+          entry.in_peaks = true;
+        } else if (key == "comment" || key == "comments") {
+          msp_scan_comment(value, &entry.ckv);
+        } else {
+          entry.fields[key] = value;
+        }
+        continue;
+      }
+    }
+    if (entry.in_peaks) {
+      // ';'-separated chunks of "mz intensity [annotations...]".
+      const char* cb = b;
+      while (cb < e) {
+        const char* ce = static_cast<const char*>(
+            std::memchr(cb, ';', static_cast<size_t>(e - cb)));
+        if (ce == nullptr) ce = e;
+        const char* s = cb;
+        while (s < ce && std::isspace(static_cast<unsigned char>(*s)))
+          ++s;
+        const char* t0b = s;
+        while (s < ce && !std::isspace(static_cast<unsigned char>(*s)))
+          ++s;
+        const char* t0e = s;
+        while (s < ce && std::isspace(static_cast<unsigned char>(*s)))
+          ++s;
+        const char* t1b = s;
+        while (s < ce && !std::isspace(static_cast<unsigned char>(*s)))
+          ++s;
+        const char* t1e = s;
+        if (t1b != t1e) {  // >= 2 tokens; otherwise skip the chunk
+          double m, i;
+          if (parse_double(t0b, t0e, &m) && parse_double(t1b, t1e, &i)) {
+            entry.mz.push_back(static_cast<float>(m));
+            entry.inten.push_back(static_cast<float>(i));
+          } else {
+            entry.malformed = true;
+            break;
+          }
+        }
+        cb = ce == e ? e : ce + 1;
+      }
+    }
+    // No colon outside a peak list: ignored, like the Python reader.
+  }
+  msp_finish(res, p, &entry);
+  std::free(line);
+  std::fclose(f);
+
+  out_counts[0] = static_cast<int64_t>(res->precursor_mz.size());
+  out_counts[1] = static_cast<int64_t>(res->mz.size());
+  out_counts[2] = static_cast<int64_t>(res->title_bytes.size());
+  out_counts[3] = res->n_read;
+  out_counts[4] = res->n_low_quality;
+  out_counts[5] = 0;
+  out_counts[6] = n_blocks;
+  return res;
+}
+
+// Parse + preprocess an entire MSP file (the [0, EOF) range).
+void* fc_msp_ingest(const char* path, int min_peaks, double min_mz_range,
+                    double mz_min, double mz_max,
+                    double remove_precursor_tol, double min_intensity,
+                    int max_peaks_used, int scaling, int64_t* out_counts) {
+  return fc_msp_ingest_range(path, 0, -1, min_peaks, min_mz_range, mz_min,
                              mz_max, remove_precursor_tol, min_intensity,
                              max_peaks_used, scaling, out_counts);
 }

@@ -30,7 +30,7 @@ _NATIVE_INGEST = {
     "mgf": native.mgf_ingest,
     "mzML": native.mzml_ingest,
     "mzXML": native.mzxml_ingest,
-    # MSP has no native scanner (Python reader only).
+    "msp": native.msp_ingest,
 }
 
 

@@ -1140,3 +1140,114 @@ def test_gzipped_range_parse_matches_whole_file(tmp_path, monkeypatch):
         np.testing.assert_array_equal(meta_a["precursor_mz"],
                                       meta_b["precursor_mz"])
         assert (meta_a["filename"] == os.path.abspath(gz_path)).all()
+
+
+def _random_msp(rng, n_entries=14) -> str:
+    """Randomized legal-but-weird MSP content covering the dialect:
+    semicolon-packed pairs, quoted annotations, Comment key=values,
+    Parent=/MW fallbacks, charge styles, stray headers inside peak
+    lists (whole-entry skip), entries with and without blank-line
+    separators."""
+    lines = []
+    for s in range(n_entries):
+        if rng.random() < 0.3:
+            lines.append("# library comment")
+        lines.append(f"Name: entry {s} spaced name")
+        pep = 400.0 + 37.0 * s
+        style = rng.integers(0, 5)
+        if style == 0:
+            lines.append(f"PrecursorMZ: {pep:.4f}")
+        elif style == 1:
+            lines.append(f"PRECURSORMZ: {pep:.4f} extra")
+        elif style == 2:
+            lines.append(f"Comment: Spec=great Parent={pep:.4f} X=1")
+        elif style == 3:
+            lines.append(f"MW: {pep:.4f}")
+        # style 4: no precursor at all -> entry skipped
+        cstyle = rng.integers(0, 4)
+        if cstyle == 0:
+            lines.append("Charge: 2+")
+        elif cstyle == 1:
+            lines.append("Charge: 3")
+        elif cstyle == 2:
+            lines.append(f'Comment: Charge=2 Note="has spaces"')
+        if rng.random() < 0.5:
+            lines.append(f"Comment: RTINSECONDS={rng.random() * 90:.3f}")
+        elif rng.random() < 0.3:
+            lines.append(f"RetentionTime: {rng.random() * 90:.3f}")
+        lines.append(f"Num Peaks: irrelevant")
+        n_peaks = int(rng.integers(6, 20))
+        mzs = np.sort(rng.uniform(110.0, 1450.0, n_peaks))
+        i = 0
+        while i < n_peaks:
+            if rng.random() < 0.3 and i + 1 < n_peaks:
+                lines.append(
+                    f"{mzs[i]:.4f} {rng.random():.4f}; "
+                    f"{mzs[i + 1]:.4f} {rng.random():.4f}"
+                )
+                i += 2
+            else:
+                extra = ' "y1 ann"' if rng.random() < 0.3 else ""
+                lines.append(f"{mzs[i]:.4f}\t{rng.random():.4f}{extra}")
+                i += 1
+        if rng.random() < 0.1:
+            # Stray header inside the peak list -> entry malformed.
+            lines.append("Collision: HCD")
+        if rng.random() < 0.7:
+            lines.append("")  # blank separator (else next Name ends it)
+    return "\n".join(lines) + "\n"
+
+
+MSP_DEFAULTS = dict(DEFAULTS, min_peaks=3, min_mz_range=100.0)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_msp_random_matches_python(tmp_path, seed):
+    rng = np.random.default_rng(3000 + seed)
+    path = str(tmp_path / "lib.msp")
+    with open(path, "w") as f:
+        f.write(_random_msp(rng))
+    expected, lqc = python_reference(path, MSP_DEFAULTS)
+    assert expected, "generator should produce surviving entries"
+    batch = native.msp_ingest(path, **MSP_DEFAULTS)
+    assert_batch_matches(batch, expected, lqc)
+
+
+def test_msp_range_parse_concatenates_to_whole_file(tmp_path):
+    rng = np.random.default_rng(77)
+    path = str(tmp_path / "big.msp")
+    with open(path, "w") as f:
+        f.write(_random_msp(rng, n_entries=40))
+    whole = native.msp_ingest(path, **MSP_DEFAULTS)
+    size = os.path.getsize(path)
+    for n_ranges in (2, 3, 7):
+        bounds = [size * i // n_ranges for i in range(n_ranges + 1)]
+        parts = [
+            native.msp_ingest(path, start=bounds[i], end=bounds[i + 1],
+                              **MSP_DEFAULTS)
+            for i in range(n_ranges)
+        ]
+        ids = np.concatenate([p["identifier"] for p in parts])
+        np.testing.assert_array_equal(ids, whole["identifier"])
+        np.testing.assert_array_equal(
+            np.concatenate([p["precursor_mz"] for p in parts]),
+            whole["precursor_mz"],
+        )
+        np.testing.assert_array_equal(
+            np.concatenate([p["mz"] for p in parts]), whole["mz"]
+        )
+
+
+def test_gzipped_msp_uses_native_path(tmp_path):
+    import gzip
+
+    rng = np.random.default_rng(5)
+    plain = str(tmp_path / "lib.msp")
+    with open(plain, "w") as f:
+        f.write(_random_msp(rng))
+    gz_path = str(tmp_path / "lib.msp.gz")
+    with open(plain, "rb") as f_in, gzip.open(gz_path, "wb") as f_out:
+        f_out.write(f_in.read())
+    result, _ = ingest.read_and_process_file(gz_path, MSP_DEFAULTS)
+    assert isinstance(result, dict)  # native columnar batch
+    assert (result["filename"] == os.path.abspath(gz_path)).all()

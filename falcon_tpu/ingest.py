@@ -207,7 +207,7 @@ def ingest_file_to_store(
     shard names are namespaced by the input file index, so concurrent
     writers never collide and runs stay deterministic).
 
-    ``range_budget`` > 1 lets a large file (any of the three formats)
+    ``range_budget`` > 1 lets a large file (any supported format)
     parse as that many concurrent byte ranges (GIL-released native calls
     on threads) when the pool has spare CPUs — the single-big-file case
     the reference's one-process-per-file layout

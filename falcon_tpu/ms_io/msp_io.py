@@ -45,8 +45,8 @@ from .mgf_io import _parse_charge
 
 logger = logging.getLogger("falcon_tpu")
 
-# "100.1 10.0" or "100.1\t10.0 anything..." — first two whitespace
-# tokens of each ';'-separated chunk.
+# key=value pairs inside a Comment: line — values either quoted (may
+# contain spaces) or a single non-space run.
 _COMMENT_KV = re.compile(r'(\w[\w/.-]*)=("[^"]*"|\S+)')
 
 
@@ -118,9 +118,7 @@ def _iter_msp(f_in: IO) -> Iterator[Spectrum]:
             for chunk in line.split(";"):
                 tokens = chunk.split()
                 if len(tokens) < 2:
-                    if tokens:  # single orphan token: skip the chunk
-                        continue
-                    continue
+                    continue  # empty or single-orphan-token chunk
                 try:
                     mz.append(float(tokens[0]))
                     intensity.append(float(tokens[1]))

@@ -134,6 +134,14 @@ def _reference_baseline_seconds(work_dir: str, input_path: str) -> float:
     return seconds
 
 
+# Set when the backend-wait deadline forced the CPU platform: the bench
+# then trades discipline for boundedness (no warmup, 1 timed run, no
+# agreement pass, no NN-recall phase) so ONE honest JSON line still
+# comes out before any outer timeout — a 1-core CPU run of the full
+# best-of-3 protocol takes >40 min, which defeats the fallback.
+_FORCED_CPU = False
+
+
 def _wait_for_backend() -> None:
     """Wait (bounded) for the JAX backend before the timed runs.
 
@@ -143,8 +151,9 @@ def _wait_for_backend() -> None:
     failure.  Probes run in fresh subprocesses because a failed
     in-process backend init cannot be retried.  FALCON_TPU_BENCH_WAIT_S
     bounds the total wait (default 1800 s; 0 disables).  If the probe
-    still fails at the deadline the bench proceeds anyway — no worse
-    than not waiting.
+    still fails at the deadline the bench forces the CPU platform and a
+    bounded single-run protocol (see ``_FORCED_CPU``) so one honest
+    JSON line — labeled by its ``jax_backend`` field — still comes out.
     """
     import subprocess
 
@@ -164,10 +173,28 @@ def _wait_for_backend() -> None:
         except subprocess.TimeoutExpired:
             pass
         if time.time() >= deadline:
+            # Proceeding against a dead tunnel hangs or crashes; force
+            # CPU instead so the bench completes with a number honestly
+            # labeled by the JSON's "jax_backend" field.
             print(
                 "bench: JAX backend probe still failing at deadline; "
-                "proceeding anyway", file=sys.stderr,
+                "forcing the CPU platform so the bench completes",
+                file=sys.stderr,
             )
+            os.environ["PALLAS_AXON_POOL_IPS"] = ""
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            # Bound the CPU run's wall-clock: one timed run, no
+            # agreement pass (explicit env settings still win).
+            os.environ.setdefault("FALCON_TPU_BENCH_RUNS", "1")
+            os.environ.setdefault("FALCON_TPU_BENCH_AGREEMENT", "0")
+            global _FORCED_CPU
+            _FORCED_CPU = True
+            try:
+                import jax
+
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
             return
         print(
             "bench: JAX backend unavailable; retrying in 60 s",
@@ -192,15 +219,16 @@ def main() -> int:
     # when the persistent compile cache hits).  The timed run below
     # still executes the complete pipeline from scratch — parse,
     # preprocess, store, device chain, export.
-    warm_dir = tempfile.mkdtemp()
-    try:
-        cli.main([
-            input_path, os.path.join(warm_dir, "out"),
-            "--work_dir", os.path.join(warm_dir, "work"),
-            "--backend", "ann", "--eps", "0.10", "--overwrite",
-        ])
-    finally:
-        shutil.rmtree(warm_dir, ignore_errors=True)
+    if not _FORCED_CPU:
+        warm_dir = tempfile.mkdtemp()
+        try:
+            cli.main([
+                input_path, os.path.join(warm_dir, "out"),
+                "--work_dir", os.path.join(warm_dir, "work"),
+                "--backend", "ann", "--eps", "0.10", "--overwrite",
+            ])
+        finally:
+            shutil.rmtree(warm_dir, ignore_errors=True)
 
     # Timed end-to-end runs: parse -> preprocess -> store -> vectorize ->
     # banded k-NN -> density clustering -> refine -> CSV.  The shared
@@ -346,7 +374,13 @@ def _quality_metrics(work_dir: str, csv_path: str) -> dict:
     }
 
     # NN recall@50 per charge: hashed banded k-NN vs exact matching
-    # cosine on a query sample.
+    # cosine on a query sample.  Skipped on the forced-CPU fallback:
+    # re-running vectorize + banded k-NN + the exact oracle panel costs
+    # ~20 min on one CPU core (vs seconds on the chip) and the recall
+    # is a property of the algorithm, not the platform — purity and
+    # completeness above already come from the CSV for free.
+    if _FORCED_CPU:
+        return quality
     _, mz_min, mz_max = get_dim(101.0, 1500.0, 0.05)
     hasher = SpectrumHasher(mz_min, mz_max, 0.05, 400, 0)
     store = SpectrumStore(os.path.join(work_dir, "spectra"))

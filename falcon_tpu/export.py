@@ -25,6 +25,7 @@ from typing import Callable, Iterable, List, Sequence, Tuple
 
 import numpy as np
 
+from . import native as native_lib
 from .store.store import NULL_CHARGE, ChargeDataset
 from .utils.natsort import natsort_key
 
@@ -34,14 +35,19 @@ CSV_COLUMNS = ("filename", "spectrum_id", "precursor_charge",
                "precursor_mz", "retention_time", "cluster")
 
 
-def _natsort_order(strings: Sequence[str]) -> List[int]:
-    from . import native as native_lib
-
-    order = native_lib.natsort_pairs(list(strings), [""] * len(strings))
+def _natsort_order(strings: Sequence[str]) -> np.ndarray:
+    n = len(strings)
+    # Numpy U arrays ride the zero-copy native path; lists go through
+    # the per-object packing.
+    if isinstance(strings, np.ndarray):
+        secondary = np.zeros(n, dtype="U1")
+    else:
+        strings = list(strings)
+        secondary = [""] * n
+    order = native_lib.natsort_pairs(strings, secondary)
     if order is None:
-        order = sorted(range(len(strings)),
-                       key=lambda i: natsort_key(strings[i]))
-    return list(order)
+        order = sorted(range(n), key=lambda i: natsort_key(strings[i]))
+    return np.asarray(order, np.int64)
 
 
 def export_cluster_csv(
@@ -87,7 +93,9 @@ def export_cluster_csv(
             groups.append([idx])
 
     n_rows = 0
-    with open(out_path, "a") as f_out:
+    # Explicit UTF-8 keeps the text-mode header/fallback rows and the
+    # native formatter's UTF-8 buffers consistent regardless of locale.
+    with open(out_path, "a", encoding="utf-8") as f_out:
         write_header(f_out)
         writer = csv.writer(f_out, lineterminator="\n")
         writer.writerow(CSV_COLUMNS)
@@ -123,21 +131,32 @@ def export_cluster_csv(
                     load("retention_time")[mask])
                 cols["cluster"].append(labels[lo:hi][mask])
             merged = {k: np.concatenate(v) for k, v in cols.items()}
-            sub = np.asarray(
-                _natsort_order(merged["spectrum_id"].tolist()), np.int64
-            )
+            sub = _natsort_order(merged["spectrum_id"])
             charge_col = merged["precursor_charge"][sub]
-            charge_str = np.where(
-                charge_col == NULL_CHARGE, "",
-                charge_col.astype(np.int64).astype(str),
-            )
-            writer.writerows(zip(
-                merged["filename"][sub],
-                merged["spectrum_id"][sub],
-                charge_str,
+            # Native formatter (~9x csv.writer; byte-for-byte parity
+            # enforced by tests): hands back one UTF-8 buffer per group.
+            buf = native_lib.csv_rows(
+                merged["filename"][sub], merged["spectrum_id"][sub],
+                charge_col, int(NULL_CHARGE),
                 merged["precursor_mz"][sub],
                 merged["retention_time"][sub],
                 merged["cluster"][sub],
-            ))
+            )
+            if buf is not None:
+                f_out.flush()
+                f_out.buffer.write(buf)
+            else:
+                charge_str = np.where(
+                    charge_col == NULL_CHARGE, "",
+                    charge_col.astype(np.int64).astype(str),
+                )
+                writer.writerows(zip(
+                    merged["filename"][sub],
+                    merged["spectrum_id"][sub],
+                    charge_str,
+                    merged["precursor_mz"][sub],
+                    merged["retention_time"][sub],
+                    merged["cluster"][sub],
+                ))
             n_rows += len(sub)
     return n_rows

@@ -130,6 +130,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ]
+        if hasattr(lib, "fc_natsort_pairs_u32"):
+            lib.fc_natsort_pairs_u32.restype = ctypes.c_int
+            lib.fc_natsort_pairs_u32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ]
+        if hasattr(lib, "fc_csv_format_rows_u32"):
+            lib.fc_csv_format_rows_u32.restype = ctypes.c_int64
+            lib.fc_csv_format_rows_u32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+            ]
+            lib.fc_buffer_free.restype = None
+            lib.fc_buffer_free.argtypes = [
+                ctypes.POINTER(ctypes.c_char)]
         _lib = lib
         return lib
 
@@ -424,6 +445,18 @@ def _native_ingest(filename, entry, min_peaks, min_mz_range, mz_min,
     }
 
 
+def _u32_col(col) -> Optional[Tuple[np.ndarray, int]]:
+    """Numpy U-dtype column -> (contiguous array, width in UTF-32 code
+    units) for zero-copy native access, or None if ``col`` is anything
+    else (caller uses the per-object path).  Big-endian arrays (foreign
+    npy files) are excluded — the native side reads native-endian."""
+    if (not isinstance(col, np.ndarray) or col.dtype.kind != "U"
+            or col.dtype.str[0] == ">"):
+        return None
+    arr = np.ascontiguousarray(col)
+    return arr, arr.dtype.itemsize // 4
+
+
 def natsort_pairs(primary, secondary) -> Optional[np.ndarray]:
     """Stable natural-order argsort of (primary, secondary) string pairs.
 
@@ -431,11 +464,32 @@ def natsort_pairs(primary, secondary) -> Optional[np.ndarray]:
     numerically and before text at the same position; parity enforced by
     tests/test_utils.py).  Returns None when the native library is
     unavailable (caller falls back to the Python keys).
+
+    Numpy U-dtype arrays take a zero-copy fast path (the raw fixed-width
+    UTF-32 buffer goes straight to the native sort); at 25M export rows
+    the per-string Python-object repacking this skips costs tens of
+    seconds.
     """
     lib = get_lib()
     if lib is None or not hasattr(lib, "fc_natsort_pairs"):
         return None
     n = len(primary)
+    if hasattr(lib, "fc_natsort_pairs_u32"):
+        fa, fb = _u32_col(primary), _u32_col(secondary)
+        if fa is not None and fb is not None:
+            (arr_a, w_a), (arr_b, w_b) = fa, fb
+            order = np.empty(n, np.int64)
+            rc = lib.fc_natsort_pairs_u32(
+                arr_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                ctypes.c_int64(w_a),
+                arr_b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                ctypes.c_int64(w_b),
+                ctypes.c_int64(n),
+                order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            if rc != 0:
+                raise RuntimeError("fc_natsort_pairs_u32 failed")
+            return order
 
     def pack(strings):
         encoded = [s.encode("utf-8") for s in strings]
@@ -459,6 +513,61 @@ def natsort_pairs(primary, secondary) -> Optional[np.ndarray]:
     if rc != 0:
         raise RuntimeError("fc_natsort_pairs failed")
     return order
+
+
+def csv_rows(filenames, identifiers, charges, null_charge, mzs, rts,
+             clusters) -> Optional[bytes]:
+    """Format cluster-assignment CSV rows natively, byte-for-byte like
+    ``csv.writer(f, lineterminator="\\n")`` fed ``str()`` of the same
+    values (parity enforced by tests/test_export.py, including Python
+    float-repr semantics, QUOTE_MINIMAL quoting, and the empty
+    null-charge field).  ``filenames``/``identifiers`` must be numpy
+    string arrays.  Returns the encoded UTF-8 bytes, or None when the
+    native path is unavailable (caller falls back to csv.writer)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fc_csv_format_rows_u32"):
+        return None
+    n = len(clusters)
+    if n == 0:
+        return b""
+    fn = _u32_col(np.asarray(filenames))
+    sid = _u32_col(np.asarray(identifiers))
+    if fn is None or sid is None:
+        return None
+    (fn_b, fn_w), (id_b, id_w) = fn, sid
+    charges = np.ascontiguousarray(charges, np.int64)
+
+    def float_col(col):
+        # Preserve float32 storage precision: str(np.float32) formats
+        # differently from str(float) and the native side mirrors both.
+        arr = np.asarray(col)
+        if arr.dtype != np.float32:
+            arr = arr.astype(np.float64, copy=False)
+        return np.ascontiguousarray(arr), int(arr.dtype == np.float32)
+
+    mzs, mz_f32 = float_col(mzs)
+    rts, rt_f32 = float_col(rts)
+    clusters = np.ascontiguousarray(clusters, np.int64)
+    buf_ptr = ctypes.POINTER(ctypes.c_char)()
+    written = lib.fc_csv_format_rows_u32(
+        fn_b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(fn_w),
+        id_b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(id_w),
+        charges.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(null_charge),
+        ctypes.c_void_p(mzs.ctypes.data), ctypes.c_int(mz_f32),
+        ctypes.c_void_p(rts.ctypes.data), ctypes.c_int(rt_f32),
+        clusters.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n),
+        ctypes.byref(buf_ptr),
+    )
+    if written < 0:
+        return None
+    try:
+        return ctypes.string_at(buf_ptr, written)
+    finally:
+        lib.fc_buffer_free(buf_ptr)
 
 
 def connected_components(

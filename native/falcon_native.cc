@@ -17,11 +17,15 @@
 
 #include <algorithm>
 #include <cctype>
+#include <charconv>
+#include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <functional>
 #include <limits>
 #include <numeric>
+#include <string>
 #include <vector>
 
 namespace {
@@ -318,6 +322,84 @@ int fc_natsort_pairs(const char* bytes_a, const int64_t* offs_a,
   return 0;
 }
 
+namespace {
+
+// UTF-32 (numpy U-dtype) natural-order comparison, same semantics as
+// nat_compare above; code-point order == UTF-8 byte order, so the two
+// paths sort identically (parity enforced by tests/test_utils.py and
+// tests/test_export.py).
+inline bool u32_digit(uint32_t c) { return c >= '0' && c <= '9'; }
+
+// True end of a NUL-padded fixed-width slot.
+inline const uint32_t* u32_trim(const uint32_t* s, int64_t width) {
+  const uint32_t* e = s + width;
+  while (e > s && e[-1] == 0) --e;
+  return e;
+}
+
+int nat_compare_u32(const uint32_t* a, const uint32_t* a_end,
+                    const uint32_t* b, const uint32_t* b_end) {
+  while (true) {
+    bool a_done = a == a_end, b_done = b == b_end;
+    if (a_done && b_done) return 0;
+    if (a_done) return -1;
+    if (b_done) return 1;
+    bool a_digit = u32_digit(*a);
+    bool b_digit = u32_digit(*b);
+    if (a_digit != b_digit) return a_digit ? -1 : 1;  // (0, n) < (1, s)
+    if (a_digit) {
+      const uint32_t* a0 = a;
+      const uint32_t* b0 = b;
+      while (a < a_end && u32_digit(*a)) ++a;
+      while (b < b_end && u32_digit(*b)) ++b;
+      while (a0 < a && *a0 == '0') ++a0;  // strip leading zeros
+      while (b0 < b && *b0 == '0') ++b0;
+      int64_t la = a - a0, lb = b - b0;
+      if (la != lb) return la < lb ? -1 : 1;
+      for (; a0 < a; ++a0, ++b0)
+        if (*a0 != *b0) return *a0 < *b0 ? -1 : 1;
+      // Numerically equal (possibly different leading zeros): tie.
+    } else {
+      while (a < a_end && b < b_end && !u32_digit(*a) && !u32_digit(*b)) {
+        if (*a != *b) return *a < *b ? -1 : 1;
+        ++a;
+        ++b;
+      }
+      bool a_text = a < a_end && !u32_digit(*a);
+      bool b_text = b < b_end && !u32_digit(*b);
+      if (a_text != b_text) return b_text ? -1 : 1;
+    }
+  }
+}
+
+}  // namespace
+
+// Stable natural-order argsort over numpy U-dtype (fixed-width UTF-32,
+// NUL-padded) string columns, passed as raw buffers with widths in code
+// units.  Same ordering semantics as fc_natsort_pairs; this entry point
+// skips the per-string Python-object repacking (tens of seconds at the
+// 25M-row export scale).  Returns 0 on success.
+int fc_natsort_pairs_u32(const uint32_t* data_a, int64_t width_a,
+                         const uint32_t* data_b, int64_t width_b,
+                         int64_t n, int64_t* order_out) {
+  std::vector<const uint32_t*> end_a(n), end_b(n);
+  for (int64_t i = 0; i < n; ++i) {
+    end_a[i] = u32_trim(data_a + i * width_a, width_a);
+    end_b[i] = u32_trim(data_b + i * width_b, width_b);
+  }
+  std::vector<int64_t> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(), [&](int64_t x, int64_t y) {
+    int c = nat_compare_u32(data_a + x * width_a, end_a[x],
+                            data_a + y * width_a, end_a[y]);
+    if (c != 0) return c < 0;
+    return nat_compare_u32(data_b + x * width_b, end_b[x],
+                           data_b + y * width_b, end_b[y]) < 0;
+  });
+  std::memcpy(order_out, order.data(), n * sizeof(int64_t));
+  return 0;
+}
+
 // Connected components over an undirected edge list.
 //   u, v: edge endpoints (n_edges), nodes in [0, n_nodes).
 //   labels_out: n_nodes int32 component ids, numbered by first occurrence.
@@ -350,5 +432,235 @@ int64_t fc_connected_components(const int64_t* u, const int64_t* v,
   }
   return next;
 }
+
+}  // extern "C"
+
+namespace {
+
+// Append Python's repr of a float (CPython float_repr /
+// PyOS_double_to_string('r') semantics, which csv.writer reaches via
+// str()): shortest round-trip digits; fixed-point notation when the
+// decimal point lands in (-4, 16], otherwise scientific with a signed,
+// at-least-two-digit exponent; nan/inf spelled Python-style.  The
+// shortest digit string comes from std::to_chars (both it and CPython
+// produce the unique shortest correctly-rounded representation);
+// byte-for-byte parity with str(float) is enforced by
+// tests/test_export.py.
+// Shortest round-trip digit string of a positive finite value via
+// std::to_chars scientific; sets decpt so that value = 0.<digits> *
+// 10^decpt.  Returns the digit count.
+template <typename T>
+int shortest_digits(T v, char* digits, int* decpt) {
+  char buf[48];
+  auto res = std::to_chars(buf, buf + sizeof(buf), v,
+                           std::chars_format::scientific);
+  const char* e = std::find(static_cast<const char*>(buf),
+                            static_cast<const char*>(res.ptr), 'e');
+  int n_digits = 0;
+  for (const char* p = buf; p != e; ++p)
+    if (*p != '.') digits[n_digits++] = *p;
+  const char* p = e + 1;
+  bool neg_exp = *p == '-';
+  if (*p == '-' || *p == '+') ++p;
+  int exp10 = 0;
+  while (p != res.ptr) exp10 = exp10 * 10 + (*p++ - '0');
+  if (neg_exp) exp10 = -exp10;
+  *decpt = exp10 + 1;
+  return n_digits;
+}
+
+// Assemble a repr from shortest digits: positional with a guaranteed
+// fractional part (trailing ".0"), or scientific with a signed,
+// zero-padded, at-least-two-digit exponent — the shared shape of
+// CPython's and numpy's float formatting.
+void assemble_float_repr(std::string& out, const char* digits,
+                         int n_digits, int decpt, bool positional) {
+  if (!positional) {  // scientific
+    out += digits[0];
+    if (n_digits > 1) {
+      out += '.';
+      out.append(digits + 1, n_digits - 1);
+    }
+    out += 'e';
+    int ex = decpt - 1;
+    out += ex < 0 ? '-' : '+';
+    ex = std::abs(ex);
+    char eb[8];
+    auto er = std::to_chars(eb, eb + sizeof(eb), ex);
+    if (er.ptr - eb < 2) out += '0';
+    out.append(eb, er.ptr - eb);
+  } else if (decpt <= 0) {  // 0.00<digits>
+    out += "0.";
+    out.append(-decpt, '0');
+    out.append(digits, n_digits);
+  } else if (decpt >= n_digits) {  // <digits>00.0
+    out.append(digits, n_digits);
+    out.append(decpt - n_digits, '0');
+    out += ".0";
+  } else {  // <dig.its>
+    out.append(digits, decpt);
+    out += '.';
+    out.append(digits + decpt, n_digits - decpt);
+  }
+}
+
+void append_py_float_repr(std::string& out, double v) {
+  if (std::isnan(v)) {
+    out += "nan";
+    return;
+  }
+  if (std::isinf(v)) {
+    out += v < 0 ? "-inf" : "inf";
+    return;
+  }
+  if (v == 0.0) {
+    out += std::signbit(v) ? "-0.0" : "0.0";
+    return;
+  }
+  if (v < 0) {
+    out += '-';
+    v = -v;
+  }
+  char digits[24];
+  int decpt;
+  int n_digits = shortest_digits(v, digits, &decpt);
+  // CPython: positional iff the decimal point lands in (-4, 16].
+  assemble_float_repr(out, digits, n_digits, decpt,
+                      decpt > -4 && decpt <= 16);
+}
+
+// str(np.float32(v)): shortest digits that round-trip in FLOAT32 (not
+// the widened double), positional iff 1e-4 <= |v| < 1e16 — numpy
+// decides on the VALUE, unlike CPython's decimal-point rule, so e.g.
+// np.float32(1e-4) (= 9.9999997e-05) prints '1e-04' where its shortest
+// digits alone would say '0.0001'.  Neither threshold is exactly
+// representable in float32, so the comparison never lands on the
+// boundary.  Parity with str(np.float32) is fuzzed in
+// tests/test_export.py.
+void append_np_f32_repr(std::string& out, float v) {
+  if (std::isnan(v)) {
+    out += "nan";
+    return;
+  }
+  if (std::isinf(v)) {
+    out += v < 0 ? "-inf" : "inf";
+    return;
+  }
+  if (v == 0.0f) {
+    out += std::signbit(v) ? "-0.0" : "0.0";
+    return;
+  }
+  if (v < 0) {
+    out += '-';
+    v = -v;
+  }
+  char digits[16];
+  int decpt;
+  int n_digits = shortest_digits(v, digits, &decpt);
+  double a = static_cast<double>(v);
+  assemble_float_repr(out, digits, n_digits, decpt,
+                      a >= 1e-4 && a < 1e16);
+}
+
+inline void append_utf8(std::string& out, uint32_t c) {
+  if (c < 0x80) {
+    out += static_cast<char>(c);
+  } else if (c < 0x800) {
+    out += static_cast<char>(0xC0 | (c >> 6));
+    out += static_cast<char>(0x80 | (c & 0x3F));
+  } else if (c < 0x10000) {
+    out += static_cast<char>(0xE0 | (c >> 12));
+    out += static_cast<char>(0x80 | ((c >> 6) & 0x3F));
+    out += static_cast<char>(0x80 | (c & 0x3F));
+  } else {
+    out += static_cast<char>(0xF0 | (c >> 18));
+    out += static_cast<char>(0x80 | ((c >> 12) & 0x3F));
+    out += static_cast<char>(0x80 | ((c >> 6) & 0x3F));
+    out += static_cast<char>(0x80 | (c & 0x3F));
+  }
+}
+
+// csv.QUOTE_MINIMAL: quote a field iff it contains the delimiter, the
+// quote char, or a CR/LF (CPython checks '\r' and '\n' regardless of
+// the configured lineterminator — verified empirically); embedded
+// quotes are doubled.  Input is UTF-32 code points, output UTF-8.
+void append_csv_str_field(std::string& out, const uint32_t* s,
+                          const uint32_t* end) {
+  bool quote = false;
+  for (const uint32_t* p = s; p != end; ++p) {
+    uint32_t c = *p;
+    if (c == ',' || c == '"' || c == '\n' || c == '\r') {
+      quote = true;
+      break;
+    }
+  }
+  if (quote) out += '"';
+  for (const uint32_t* p = s; p != end; ++p) {
+    if (*p == '"') out += '"';
+    append_utf8(out, *p);
+  }
+  if (quote) out += '"';
+}
+
+void append_int64(std::string& out, int64_t v) {
+  char buf[24];
+  auto r = std::to_chars(buf, buf + sizeof(buf), v);
+  out.append(buf, r.ptr - buf);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Format cluster-assignment CSV rows
+// (filename,spectrum_id,precursor_charge,precursor_mz,retention_time,
+// cluster) byte-for-byte like csv.writer(lineterminator="\n") fed str()
+// of the same values (the export path's Python fallback).  String
+// columns arrive as numpy U-dtype buffers (fixed-width UTF-32,
+// NUL-padded, widths in code units); charge == null_charge renders as
+// an empty field.  The float columns keep their storage precision:
+// mz_f32/rt_f32 select str(np.float32) formatting (the store holds
+// float32, falcon_tpu/store/store.py) vs str(float).  Allocates the
+// exact-size UTF-8 output into *out_buf (caller frees with
+// fc_buffer_free) and returns its byte length, or -1 on allocation
+// failure.
+int64_t fc_csv_format_rows_u32(const uint32_t* fn_data, int64_t fn_width,
+                               const uint32_t* id_data, int64_t id_width,
+                               const int64_t* charge, int64_t null_charge,
+                               const void* mz, int mz_f32, const void* rt,
+                               int rt_f32, const int64_t* cluster,
+                               int64_t n, char** out_buf) {
+  std::string out;
+  out.reserve(static_cast<size_t>(n) * 64);
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t* fn = fn_data + i * fn_width;
+    append_csv_str_field(out, fn, u32_trim(fn, fn_width));
+    out += ',';
+    const uint32_t* id = id_data + i * id_width;
+    append_csv_str_field(out, id, u32_trim(id, id_width));
+    out += ',';
+    if (charge[i] != null_charge) append_int64(out, charge[i]);
+    out += ',';
+    if (mz_f32)
+      append_np_f32_repr(out, static_cast<const float*>(mz)[i]);
+    else
+      append_py_float_repr(out, static_cast<const double*>(mz)[i]);
+    out += ',';
+    if (rt_f32)
+      append_np_f32_repr(out, static_cast<const float*>(rt)[i]);
+    else
+      append_py_float_repr(out, static_cast<const double*>(rt)[i]);
+    out += ',';
+    append_int64(out, cluster[i]);
+    out += '\n';
+  }
+  char* buf = static_cast<char*>(std::malloc(out.size() ? out.size() : 1));
+  if (buf == nullptr) return -1;
+  std::memcpy(buf, out.data(), out.size());
+  *out_buf = buf;
+  return static_cast<int64_t>(out.size());
+}
+
+void fc_buffer_free(char* p) { std::free(p); }
 
 }  // extern "C"

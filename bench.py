@@ -189,12 +189,24 @@ def _wait_for_backend() -> None:
             os.environ.setdefault("FALCON_TPU_BENCH_AGREEMENT", "0")
             global _FORCED_CPU
             _FORCED_CPU = True
+            # The timed runs call cli.main() IN-PROCESS and jax is
+            # already imported (the env vars above only help if the
+            # process were re-exec'd), so this config switch is the
+            # lever that actually forces CPU.  It succeeds as long as
+            # no backend has initialized in-process — probes run in
+            # subprocesses precisely to keep it that way.  If it fails
+            # anyway, proceeding would hang on the dead tunnel: emit an
+            # honest error JSON instead.
             try:
                 import jax
 
                 jax.config.update("jax_platforms", "cpu")
-            except Exception:
-                pass
+            except Exception as exc:
+                print(json.dumps({
+                    "error": "backend unavailable at deadline and CPU "
+                             f"fallback failed: {exc}",
+                }))
+                sys.exit(1)
             return
         print(
             "bench: JAX backend unavailable; retrying in 60 s",

@@ -538,15 +538,19 @@ def csv_rows(filenames, identifiers, charges, null_charge, mzs, rts,
     charges = np.ascontiguousarray(charges, np.int64)
 
     def float_col(col):
-        # Preserve float32 storage precision: str(np.float32) formats
+        # Preserve storage precision: str(np.float32) formats
         # differently from str(float) and the native side mirrors both.
+        # Any OTHER dtype (float16, int...) would silently diverge from
+        # the csv.writer fallback if widened -> decline the fast path.
         arr = np.asarray(col)
-        if arr.dtype != np.float32:
-            arr = arr.astype(np.float64, copy=False)
+        if arr.dtype not in (np.float32, np.float64):
+            return None, 0
         return np.ascontiguousarray(arr), int(arr.dtype == np.float32)
 
     mzs, mz_f32 = float_col(mzs)
     rts, rt_f32 = float_col(rts)
+    if mzs is None or rts is None:
+        return None
     clusters = np.ascontiguousarray(clusters, np.int64)
     buf_ptr = ctypes.POINTER(ctypes.c_char)()
     written = lib.fc_csv_format_rows_u32(

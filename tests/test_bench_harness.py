@@ -93,10 +93,11 @@ def test_deadline_respects_explicit_run_count(monkeypatch):
     assert os.environ["FALCON_TPU_BENCH_RUNS"] == "5"
 
 
-def test_deadline_survives_jax_config_failure(monkeypatch):
-    """The in-process jax.config poke is best-effort: a failure there
-    must not abort the fallback (env vars still flipped for the CLI
-    subprocesses the bench drives)."""
+def test_deadline_fails_honestly_on_jax_config_failure(monkeypatch, capsys):
+    """The in-process jax.config switch is the lever that actually
+    forces CPU (the timed runs call cli.main() in-process, so the env
+    vars alone cannot help).  If it fails, proceeding would hang on the
+    dead tunnel — the bench must exit with an error JSON instead."""
     monkeypatch.setenv("FALCON_TPU_BENCH_WAIT_S", "0.01")
     monkeypatch.setenv("JAX_PLATFORMS", "bogus")
     monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "1.2.3.4")
@@ -113,7 +114,13 @@ def test_deadline_survives_jax_config_failure(monkeypatch):
 
     fake_jax = types.SimpleNamespace(config=_RaisingConfig())
     monkeypatch.setitem(sys.modules, "jax", fake_jax)
-    bench._wait_for_backend()
-    import os
+    import pytest
 
-    assert os.environ["JAX_PLATFORMS"] == "cpu"
+    with pytest.raises(SystemExit) as excinfo:
+        bench._wait_for_backend()
+    assert excinfo.value.code == 1
+    out = capsys.readouterr().out
+    import json
+
+    err = json.loads(out.strip().splitlines()[-1])
+    assert "CPU fallback failed" in err["error"]

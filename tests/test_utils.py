@@ -71,6 +71,22 @@ def test_native_natsort_pairs_random_parity():
                        natsort_key(secondary[i])),
     )
     assert list(got) == want
+    # The zero-copy UTF-32 path (numpy U arrays hit
+    # fc_natsort_pairs_u32, a separate comparator) must order
+    # identically — including non-ASCII, whose UTF-32 code-point order
+    # must match the object path's UTF-8 byte order.
+    import numpy as np
+
+    unicode_extra = ["ü2", "ü10", "é1", "\U0001F600x", "z9"]
+    prim_u = np.asarray(primary[:-len(unicode_extra)] + unicode_extra)
+    sec_u = np.asarray(secondary)
+    got_u32 = native.natsort_pairs(prim_u, sec_u)
+    want_u32 = sorted(
+        range(500),
+        key=lambda i: (natsort_key(str(prim_u[i])),
+                       natsort_key(str(sec_u[i]))),
+    )
+    assert list(got_u32) == want_u32
 
 
 def test_device_put_chunked_roundtrip():

@@ -107,6 +107,13 @@ const int8_t kB64[256] = {
     // clang-format on
 };
 
+// Locale-independent ASCII whitespace (matches the "C"-locale
+// std::isspace set); the base64 decoder tests this per byte of peak
+// data, where a locale-aware libc call is measurable overhead.
+inline bool ascii_space_c(char c) {
+  return c == ' ' || (c >= '\t' && c <= '\r');
+}
+
 bool b64_decode(std::string_view in, std::vector<uint8_t>* out) {
   out->clear();
   out->reserve(in.size() * 3 / 4 + 4);
@@ -116,7 +123,7 @@ bool b64_decode(std::string_view in, std::vector<uint8_t>* out) {
     int8_t v = kB64[static_cast<uint8_t>(c)];
     if (v == -2) break;  // '=' padding: done
     if (v < 0) {
-      if (std::isspace(static_cast<unsigned char>(c))) continue;
+      if (ascii_space_c(c)) continue;
       return false;
     }
     acc = (acc << 6) | static_cast<uint32_t>(v);
@@ -264,7 +271,7 @@ bool attr_value(std::string_view tag, std::string_view name,
     size_t after = pos + name.size();
     // must be preceded by space and followed by =" (attribute, not a
     // substring of another name)
-    if (pos > 0 && !std::isspace(static_cast<unsigned char>(tag[pos - 1]))) {
+    if (pos > 0 && !ascii_space_c(tag[pos - 1])) {
       pos = after;
       continue;
     }
@@ -660,11 +667,9 @@ void parse_scan_block(std::string_view block, const Params& p,
       std::string_view text =
           block.substr(open_end + 1, close - open_end - 1);
       // strip whitespace
-      while (!text.empty() &&
-             std::isspace(static_cast<unsigned char>(text.front())))
+      while (!text.empty() && ascii_space_c(text.front()))
         text.remove_prefix(1);
-      while (!text.empty() &&
-             std::isspace(static_cast<unsigned char>(text.back())))
+      while (!text.empty() && ascii_space_c(text.back()))
         text.remove_suffix(1);
       parse_double_sv(text, &precursor_mz);
     }

@@ -26,6 +26,10 @@ from falcon_tpu.simulate import make_clustered_spectra, write_mgf  # noqa: E402
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    if native.get_lib() is None:
+        print(json.dumps({"error": "native library unavailable; "
+                                   "run `make -C native` first"}))
+        return 1
     spectra, _ = make_clustered_spectra(
         n_clusters=n // 13, cluster_size=10, n_noise=n - (n // 13) * 10,
         seed=3,
@@ -46,17 +50,23 @@ def main() -> int:
     ingest = {"mgf": native.mgf_ingest, "mzML": native.mzml_ingest,
               "mzXML": native.mzxml_ingest, "msp": native.msp_ingest}
 
-    out = {"n_spectra": len(spectra)}
-    for fmt, path in paths.items():
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            batch = ingest[fmt](path, 5, 250.0, 101.0, 1500.0, 1.5, 0.01,
-                                50, scaling=None)
-            best = min(best, time.time() - t0)
-            assert len(batch["identifier"]) > 0
-        out[f"{fmt}_spectra_per_s"] = round(len(spectra) / best)
-        out[f"{fmt}_mb_per_s"] = round(os.path.getsize(path) / 1e6 / best)
+    try:
+        out = {"n_spectra": len(spectra)}
+        for fmt, path in paths.items():
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                batch = ingest[fmt](path, 5, 250.0, 101.0, 1500.0, 1.5,
+                                    0.01, 50, scaling=None)
+                best = min(best, time.time() - t0)
+                assert len(batch["identifier"]) > 0
+            out[f"{fmt}_spectra_per_s"] = round(len(spectra) / best)
+            out[f"{fmt}_mb_per_s"] = round(
+                os.path.getsize(path) / 1e6 / best)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
     return 0
 

@@ -12,11 +12,6 @@
 //
 // Exposed via a plain C ABI for ctypes binding.
 
-#include <fcntl.h>
-#include <sys/mman.h>
-#include <sys/stat.h>
-#include <unistd.h>
-
 #include <algorithm>
 #include <charconv>
 #include <cctype>
@@ -31,57 +26,68 @@
 #include <string>
 #include <vector>
 
+#include "falcon_ascii.h"
+
 namespace {
 
 constexpr double kProton = 1.0072766;  // preprocess/spectrum.py:37
 constexpr int32_t kNullCharge = INT32_MIN;
 
-// Locale-independent ASCII character classes.  The scanners previously
-// used std::isspace/std::toupper, whose behavior for bytes >= 0x80
-// depends on the embedding process's locale (CPython coerces C to
-// C.UTF-8); these are deterministic and measurably faster (no libc call
-// per character in the line-strip loops).
-inline bool ascii_space(char c) {
-  return c == ' ' || (c >= '\t' && c <= '\r');
-}
-inline char ascii_upper(char c) {
-  return c >= 'a' && c <= 'z' ? static_cast<char>(c - 32) : c;
-}
-inline bool ascii_digit(char c) { return c >= '0' && c <= '9'; }
+inline bool ascii_space(char c) { return falcon_ascii::space(c); }
+inline char ascii_upper(char c) { return falcon_ascii::upper(c); }
+inline char ascii_lower(char c) { return falcon_ascii::lower(c); }
+inline bool ascii_digit(char c) { return falcon_ascii::digit(c); }
 
-// Read-only memory map of a whole file: the scanners iterate lines with
-// memchr over the mapping instead of per-line getline calls (the MGF
-// scanner measured ~1.5x faster end-to-end).  A zero-byte file maps to
-// (nullptr, 0), which every scan loop handles as EOF.
-struct MappedFile {
-  const char* data = nullptr;
-  size_t size = 0;
+// Buffered line iterator over a file: fills a window with large freads
+// and splits lines with memchr — the per-line getline it replaced
+// measured ~1.8x slower on MGF scanning (per-line libc call + copy),
+// while staying robust to concurrent truncation (a short read is EOF;
+// an mmap of a shrinking file would SIGBUS the embedding process).
+// Returned [b, e) pointers are valid until the next next_line call.
+struct LineWindow {
+  explicit LineWindow(FILE* f, int64_t base) : f_(f), base_(base) {
+    window_.reserve(kChunk + 4096);
+  }
 
-  bool open(const char* path) {
-    int fd = ::open(path, O_RDONLY);
-    if (fd < 0) return false;
-    struct stat st;
-    if (fstat(fd, &st) != 0 || !S_ISREG(st.st_mode)) {
-      ::close(fd);
-      return false;
-    }
-    size = static_cast<size_t>(st.st_size);
-    if (size > 0) {
-      void* p = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
-      if (p == MAP_FAILED) {
-        ::close(fd);
-        return false;
+  // Next line (without its trailing '\n').  Returns false at EOF.
+  bool next_line(const char** b, const char** e, int64_t* line_start) {
+    for (;;) {
+      const char* nl = static_cast<const char*>(
+          std::memchr(window_.data() + pos_, '\n', window_.size() - pos_));
+      if (nl != nullptr) {
+        *b = window_.data() + pos_;
+        *e = nl;
+        *line_start = base_ + static_cast<int64_t>(pos_);
+        pos_ = static_cast<size_t>(nl - window_.data()) + 1;
+        return true;
       }
-      madvise(p, size, MADV_SEQUENTIAL);
-      data = static_cast<const char*>(p);
+      if (eof_) {
+        if (pos_ >= window_.size()) return false;
+        *b = window_.data() + pos_;  // final line without newline
+        *e = window_.data() + window_.size();
+        *line_start = base_ + static_cast<int64_t>(pos_);
+        pos_ = window_.size();
+        return true;
+      }
+      // Drop consumed bytes, then read more.
+      base_ += static_cast<int64_t>(pos_);
+      window_.erase(0, pos_);
+      pos_ = 0;
+      size_t old = window_.size();
+      window_.resize(old + kChunk);
+      size_t got = std::fread(&window_[old], 1, kChunk, f_);
+      window_.resize(old + got);
+      if (got == 0) eof_ = true;
     }
-    ::close(fd);
-    return true;
   }
 
-  ~MappedFile() {
-    if (data != nullptr) munmap(const_cast<char*>(data), size);
-  }
+ private:
+  static constexpr size_t kChunk = 4 << 20;
+  FILE* f_;
+  std::string window_;
+  size_t pos_ = 0;
+  int64_t base_;  // absolute file offset of window_[0]
+  bool eof_ = false;
 };
 
 enum Scaling { SCALE_OFF = 0, SCALE_ROOT = 1, SCALE_LOG = 2, SCALE_RANK = 3 };
@@ -436,8 +442,8 @@ void read_mgf_header(const char* path, MgfParams* hdr) {
     consumed += got;
     char* b = line;
     char* e = line + got;
-    while (b < e && std::isspace(static_cast<unsigned char>(*b))) ++b;
-    while (e > b && std::isspace(static_cast<unsigned char>(e[-1]))) --e;
+    while (b < e && ascii_space(*b)) ++b;
+    while (e > b && ascii_space(e[-1])) --e;
     if (b == e || is_comment_start(*b)) {
       if (consumed > kHeaderCap) break;
       continue;
@@ -446,7 +452,7 @@ void read_mgf_header(const char* path, MgfParams* hdr) {
     if (istarts_with(b, len, "BEGIN IONS")) break;
     const char* eq = static_cast<const char*>(std::memchr(b, '=', len));
     bool first_digit =
-        std::isdigit(static_cast<unsigned char>(b[0])) || b[0] == '-';
+        ascii_digit(b[0]) || b[0] == '-';
     if (eq && !first_digit) apply_mgf_param(b, e, eq, hdr);
     if (consumed > kHeaderCap) break;
   }
@@ -493,7 +499,7 @@ void msp_scan_comment(const std::string& value,
       if (!matched) {
         size_t ve = vs;
         while (ve < n &&
-               !std::isspace(static_cast<unsigned char>(value[ve])))
+               !ascii_space(value[ve]))
           ++ve;
         if (ve > vs) {
           val = value.substr(vs, ve - vs);
@@ -509,7 +515,7 @@ void msp_scan_comment(const std::string& value,
                   ? "" : val.substr(v0, v1 - v0 + 1);
         std::string key = value.substr(ks, j - ks);
         for (auto& c : key)
-          c = std::tolower(static_cast<unsigned char>(c));
+          c = ascii_lower(c);
         (*kv)[key] = val;
         continue;
       }
@@ -687,26 +693,30 @@ void* fc_mgf_ingest_range(const char* path, int64_t start, int64_t end,
                           double remove_precursor_tol, double min_intensity,
                           int max_peaks_used, int scaling,
                           int64_t* out_counts) {
-  MappedFile map;
-  if (!map.open(path)) return nullptr;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
   Params p{min_peaks, min_mz_range, mz_min, mz_max,
            remove_precursor_tol, min_intensity, max_peaks_used, scaling};
   auto* res = new IngestResult();
 
-  const char* cursor = map.data;
-  const char* const eof = map.data + map.size;
+  int64_t base = 0;
   if (start > 0) {
-    if (static_cast<size_t>(start) >= map.size)
+    // A range that begins mid-line must not see that partial line: peek
+    // at the byte before `start` — if it is not a newline, the line
+    // containing `start` began earlier and belongs to the previous
+    // range, so skip to the next line.
+    if (std::fseek(f, static_cast<long>(start - 1), SEEK_SET) != 0) {
+      std::fclose(f);
       return res_counts_empty(res, out_counts);
-    // A range that begins mid-line must not see that partial line: if
-    // the byte before `start` is not a newline, the line containing
-    // `start` began earlier and belongs to the previous range — skip to
-    // the next line.
-    cursor = map.data + start;
-    if (cursor[-1] != '\n') {
-      const char* nl = static_cast<const char*>(
-          std::memchr(cursor, '\n', static_cast<size_t>(eof - cursor)));
-      cursor = nl ? nl + 1 : eof;
+    }
+    int prev = std::fgetc(f);
+    base = start;
+    if (prev != '\n' && prev != EOF) {
+      int c;
+      while ((c = std::fgetc(f)) != EOF) {
+        ++base;
+        if (c == '\n') break;
+      }
     }
   }
 
@@ -721,13 +731,11 @@ void* fc_mgf_ingest_range(const char* path, int64_t start, int64_t end,
   mz.reserve(4096);
   inten.reserve(4096);
 
-  while (cursor < eof) {
-    const int64_t line_start = cursor - map.data;
-    const char* nl = static_cast<const char*>(
-        std::memchr(cursor, '\n', static_cast<size_t>(eof - cursor)));
-    const char* b = cursor;
-    const char* e = nl ? nl : eof;
-    cursor = nl ? nl + 1 : eof;
+  LineWindow lines(f, base);
+  const char* b;
+  const char* e;
+  int64_t line_start;
+  while (lines.next_line(&b, &e, &line_start)) {
     // strip() both ends.
     while (b < e && ascii_space(*b)) ++b;
     while (e > b && ascii_space(e[-1])) --e;
@@ -777,6 +785,7 @@ void* fc_mgf_ingest_range(const char* path, int64_t start, int64_t end,
       }
     }
   }
+  std::fclose(f);
 
   out_counts[0] = static_cast<int64_t>(res->precursor_mz.size());
   out_counts[1] = static_cast<int64_t>(res->mz.size());
@@ -807,36 +816,38 @@ void* fc_msp_ingest_range(const char* path, int64_t start, int64_t end,
                           double remove_precursor_tol, double min_intensity,
                           int max_peaks_used, int scaling,
                           int64_t* out_counts) {
-  MappedFile map;
-  if (!map.open(path)) return nullptr;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
   Params p{min_peaks, min_mz_range, mz_min, mz_max,
            remove_precursor_tol, min_intensity, max_peaks_used, scaling};
   auto* res = new IngestResult();
 
-  const char* cursor = map.data;
-  const char* const eof = map.data + map.size;
+  int64_t base = 0;
   if (start > 0) {
-    if (static_cast<size_t>(start) >= map.size)
-      return res_counts_empty(res, out_counts);
     // Skip the partial line a mid-line range start would otherwise see
     // (same contract as fc_mgf_ingest_range).
-    cursor = map.data + start;
-    if (cursor[-1] != '\n') {
-      const char* nl = static_cast<const char*>(
-          std::memchr(cursor, '\n', static_cast<size_t>(eof - cursor)));
-      cursor = nl ? nl + 1 : eof;
+    if (std::fseek(f, static_cast<long>(start - 1), SEEK_SET) != 0) {
+      std::fclose(f);
+      return res_counts_empty(res, out_counts);
+    }
+    int prev = std::fgetc(f);
+    base = start;
+    if (prev != '\n' && prev != EOF) {
+      int c;
+      while ((c = std::fgetc(f)) != EOF) {
+        ++base;
+        if (c == '\n') break;
+      }
     }
   }
 
   MspEntry entry;
   int64_t n_blocks = 0;
-  while (cursor < eof) {
-    const int64_t line_start = cursor - map.data;
-    const char* nl = static_cast<const char*>(
-        std::memchr(cursor, '\n', static_cast<size_t>(eof - cursor)));
-    const char* b = cursor;
-    const char* e = nl ? nl : eof;
-    cursor = nl ? nl + 1 : eof;
+  LineWindow lines(f, base);
+  const char* b;
+  const char* e;
+  int64_t line_start;
+  while (lines.next_line(&b, &e, &line_start)) {
     while (b < e && ascii_space(*b)) ++b;
     while (e > b && ascii_space(e[-1])) --e;
     if (b == e) {
@@ -858,7 +869,7 @@ void* fc_msp_ingest_range(const char* path, int64_t start, int64_t end,
       size_t k1 = key.find_last_not_of(" \t");
       key = k0 == std::string::npos ? "" : key.substr(k0, k1 - k0 + 1);
       for (auto& c : key)
-        c = (c >= 'A' && c <= 'Z') ? static_cast<char>(c + 32) : c;
+        c = ascii_lower(c);
       std::string value(colon + 1, e);
       size_t v0 = value.find_first_not_of(" \t");
       size_t v1 = value.find_last_not_of(" \t");
@@ -918,6 +929,7 @@ void* fc_msp_ingest_range(const char* path, int64_t start, int64_t end,
     }
     // No colon outside a peak list: ignored, like the Python reader.
   }
+  std::fclose(f);
   msp_finish(res, p, &entry);
 
   out_counts[0] = static_cast<int64_t>(res->precursor_mz.size());

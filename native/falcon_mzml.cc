@@ -32,6 +32,8 @@
 
 #include <zlib.h>
 
+#include "falcon_ascii.h"
+
 namespace {
 
 constexpr int32_t kNullCharge = INT32_MIN;
@@ -107,12 +109,9 @@ const int8_t kB64[256] = {
     // clang-format on
 };
 
-// Locale-independent ASCII whitespace (matches the "C"-locale
-// std::isspace set); the base64 decoder tests this per byte of peak
-// data, where a locale-aware libc call is measurable overhead.
-inline bool ascii_space_c(char c) {
-  return c == ' ' || (c >= '\t' && c <= '\r');
-}
+// The base64 decoder tests whitespace per byte of peak data, where a
+// locale-aware libc call is measurable overhead (falcon_ascii.h).
+inline bool ascii_space_c(char c) { return falcon_ascii::space(c); }
 
 bool b64_decode(std::string_view in, std::vector<uint8_t>* out) {
   out->clear();
@@ -616,7 +615,7 @@ double parse_duration_seconds(std::string_view s) {
     if (s[i] == 'T') { in_time = true; ++i; continue; }
     size_t j = i;
     while (j < s.size() &&
-           (std::isdigit(static_cast<unsigned char>(s[j])) || s[j] == '.'))
+           (falcon_ascii::digit(s[j]) || s[j] == '.'))
       ++j;
     if (j == i || j >= s.size()) return -1.0;
     double v;
@@ -691,7 +690,7 @@ void parse_scan_block(std::string_view block, const Params& p,
   bool zl = false;
   if (attr_value(tag, "compressionType", &comp_s)) {
     std::string low(comp_s);
-    for (auto& c : low) c = std::tolower(static_cast<unsigned char>(c));
+    for (auto& c : low) c = falcon_ascii::lower(c);
     zl = low == "zlib";
     // Unknown compression (e.g. MS-Numpress): raw-float decode would be
     // silent garbage — skip the scan (ms_io/mzxml_io.py does the same).
@@ -703,7 +702,7 @@ void parse_scan_block(std::string_view block, const Params& p,
   bool big_endian = true;  // mzXML "network" default
   if (attr_value(tag, "byteOrder", &order_s)) {
     std::string low(order_s);
-    for (auto& c : low) c = std::tolower(static_cast<unsigned char>(c));
+    for (auto& c : low) c = falcon_ascii::lower(c);
     big_endian = low == "network" || low == "big";
   }
   std::vector<uint8_t> raw, inflated;

@@ -1251,3 +1251,35 @@ def test_gzipped_msp_uses_native_path(tmp_path):
     result, _ = ingest.read_and_process_file(gz_path, MSP_DEFAULTS)
     assert isinstance(result, dict)  # native columnar batch
     assert (result["filename"] == os.path.abspath(gz_path)).all()
+
+
+def test_scanner_window_boundary_on_multi_megabyte_file(tmp_path):
+    """Lines that straddle the scanner's internal read-window boundary
+    (LineWindow's 4 MB fread chunks, native/falcon_ingest.cc) must parse
+    identically to the Python reader.  Every other test uses files far
+    below one chunk, so window compaction/refill never runs there."""
+    rng = np.random.default_rng(17)
+    path = str(tmp_path / "big.mgf")
+    n_spec, n_peaks = 2200, 60
+    with open(path, "w") as f:
+        for s in range(n_spec):
+            f.write(f"BEGIN IONS\nTITLE=spec{s}\n"
+                    f"PEPMASS={400 + (s % 500) * 0.37:.4f}\n"
+                    "CHARGE=2+\nRTINSECONDS=%.2f\n" % (s * 0.5))
+            mzs = np.sort(rng.uniform(101.0, 1490.0, n_peaks))
+            # Long peak lines (full float repr + padding) so the file
+            # comfortably exceeds one 4 MB chunk.
+            for m in mzs:
+                f.write(f"{float(m)!r} {rng.uniform(0.01, 1.0):.17f}   \n")
+            f.write("END IONS\n")
+    assert os.path.getsize(path) > (4 << 20) + (1 << 20)
+    batch = native.mgf_ingest(path, **DEFAULTS)
+    ref, lqc = python_reference(path, DEFAULTS)
+    assert len(batch["identifier"]) == len(ref)
+    np.testing.assert_array_equal(
+        batch["identifier"], np.asarray([r["identifier"] for r in ref]))
+    np.testing.assert_allclose(
+        batch["precursor_mz"],
+        np.asarray([r["precursor_mz"] for r in ref]))
+    np.testing.assert_array_equal(
+        batch["mz"], np.concatenate([r["mz"] for r in ref]))

@@ -150,6 +150,28 @@ def test_export_native_vs_fallback_identical(tmp_path, monkeypatch):
         assert fa.read() == fb.read()
 
 
+def test_export_chunked_rows_identical(tmp_path, monkeypatch):
+    """A tiny _CSV_CHUNK_ROWS (forcing many native-formatter calls per
+    tie-group) must produce a byte-identical file: the chunking that
+    bounds transient memory is not allowed to move or split rows."""
+    import falcon_tpu.export as export_mod
+
+    rows = [_row(f"scan={i}", str(tmp_path / "a.mgf"), mz=100.0 + i)
+            for i in range(23)]
+    store = _write_rows(str(tmp_path / "sp4"), rows)
+    store.save_charges([2])
+    ds = store.dataset(2)
+    entries = [(ds, np.arange(ds.count_rows(), dtype=np.int64))]
+
+    out_whole = str(tmp_path / "whole.csv")
+    export_cluster_csv(out_whole, lambda f: None, entries)
+    monkeypatch.setattr(export_mod, "_CSV_CHUNK_ROWS", 5)
+    out_chunked = str(tmp_path / "chunked.csv")
+    export_cluster_csv(out_chunked, lambda f: None, entries)
+    with open(out_whole, "rb") as fa, open(out_chunked, "rb") as fb:
+        assert fa.read() == fb.read()
+
+
 def test_export_null_charge_empty_field(tmp_path):
     rows = [_row("s1", str(tmp_path / "a.mgf"), charge=None),
             _row("s2", str(tmp_path / "a.mgf"), charge=3)]

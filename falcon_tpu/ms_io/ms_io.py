@@ -50,13 +50,18 @@ def decompress_to_temp(filename: str) -> Optional[str]:
     import shutil
     import tempfile
 
+    import zlib
+
     inner = os.path.splitext(os.path.splitext(filename)[0])[1].lower()
     fd, tmp_path = tempfile.mkstemp(suffix=inner or ".peakfile")
     try:
         with os.fdopen(fd, "wb") as dst:
             with gzip.open(filename, "rb") as src:
                 shutil.copyfileobj(src, dst, 1 << 20)
-    except (OSError, EOFError) as e:
+    except (OSError, EOFError, zlib.error) as e:
+        # OSError covers BadGzipFile, EOFError a truncated stream, and
+        # zlib.error corrupt deflate data MID-stream — all three must
+        # degrade to the decompressed prefix, not abort the whole run.
         logger.warning(
             "Corrupt or truncated gzip stream in %s: %s (parsing the "
             "decompressed prefix)", filename, e,

@@ -139,3 +139,31 @@ def test_parsers_survive_binary_garbage_file(tmp_path, fmt):
     batch = ingest_fn(path, 1, 0.0) if ingest_fn else None
     if batch is not None:
         assert len(batch["identifier"]) == 0
+
+
+@pytest.mark.parametrize("fmt", ["mgf", "mzML", "mzXML", "msp"])
+def test_gz_wrapped_mutations_survive_full_ingest_path(tmp_path, fmt):
+    """Corrupt .gz containers (mutated payloads AND flipped bytes in the
+    gz stream itself) must flow through ingest.read_and_process_file
+    without an unhandled exception — a mid-stream zlib error previously
+    escaped decompress_to_temp and aborted the run."""
+    import gzip
+
+    from falcon_tpu import ingest
+
+    kw = dict(min_peaks=5, min_mz_range=250.0, mz_min=101.0,
+              mz_max=1500.0, remove_precursor_tolerance=1.5,
+              min_intensity=0.01, max_peaks_used=50, scaling=None)
+    base = _base_file(tmp_path, fmt)
+    rng = np.random.default_rng(abs(hash("gz" + fmt)) % 2**32)
+    path = str(tmp_path / f"mut.{fmt}.gz")
+    for trial in range(10):
+        with gzip.open(path, "wb") as f:
+            f.write(_mutate(base, rng))
+        if trial % 3 == 0:  # corrupt the gz container itself
+            raw = bytearray(open(path, "rb").read())
+            if len(raw) > 10:
+                raw[int(rng.integers(0, len(raw)))] ^= 0xFF
+            open(path, "wb").write(bytes(raw))
+        result, lqc = ingest.read_and_process_file(path, kw)
+        assert result is None or isinstance(result, (dict, list))

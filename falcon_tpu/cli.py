@@ -191,12 +191,18 @@ def _run(args: Union[str, List[str], None], cleanup: list) -> int:
     total_rows = total_clusters = 0
     datasets = []
     for charge in charges:
+        # A charge bucket whose persisted store is missing or damaged
+        # (e.g. a corrupted --work_dir being resumed) is dropped with an
+        # error and the run continues, mirroring the reference dropping
+        # an unopenable Lance dataset (falcon/falcon.py:315-322).
         try:
             dataset = store.dataset(charge)
-        except ValueError:
-            logger.error("Failed to open dataset for charge %s", charge)
-            continue
-        if dataset.count_rows() == 0:
+            dataset.validate()
+            if dataset.count_rows() == 0:
+                continue
+        except (ValueError, OSError) as exc:
+            logger.error("Failed to open dataset for charge %s: %s",
+                         charge, exc)
             continue
         datasets.append((charge, dataset))
 

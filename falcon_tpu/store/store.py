@@ -262,6 +262,37 @@ class ChargeDataset:
             total += len(offsets) - 1
         return total
 
+    def validate(self) -> None:
+        """Raise ValueError/OSError if any shard is structurally
+        corrupt (missing/truncated/garbage columns, row counts
+        disagreeing across columns, peak offsets inconsistent with the
+        flat peak arrays).
+
+        Cheap — header reads plus one offsets column per shard — and
+        called when the CLI opens a resumed dataset, so a charge whose
+        persisted store was damaged is DROPPED with an error like the
+        reference dropping an unopenable Lance dataset
+        (``falcon/falcon.py:315-322``), instead of crashing mid-run on
+        a lazy load.
+        """
+        for shard in self.shards:
+            offsets = np.asarray(self._load(shard, "peak_offsets"))
+            n = len(offsets) - 1
+            if n < 0 or offsets[0] != 0 or (np.diff(offsets) < 0).any():
+                raise ValueError(
+                    f"Corrupt peak offsets in store shard {shard}")
+            for col in _COLUMNS:
+                if len(self._load(shard, col)) != n:
+                    raise ValueError(
+                        f"Column {col} row count mismatch in store "
+                        f"shard {shard}")
+            n_peaks = int(offsets[-1])
+            for col in ("mz", "intensity"):
+                if len(self._load(shard, col)) != n_peaks:
+                    raise ValueError(
+                        f"Peak array {col} length mismatch in store "
+                        f"shard {shard}")
+
     def _load(self, shard: str, column: str, mmap: bool = True) -> np.ndarray:
         return np.load(
             os.path.join(shard, f"{column}.npy"),

@@ -102,6 +102,46 @@ def test_cli_overwrite_gate_and_resume(mgf_inputs):
     assert not called  # ingest skipped on resume
 
 
+def test_cli_corrupted_store_drops_charge_and_continues(mgf_inputs,
+                                                        caplog):
+    """Resuming a work_dir whose persisted store was damaged (truncated
+    / garbage / deleted shard columns) drops the affected charge with an
+    error and completes, mirroring the reference dropping an unopenable
+    Lance dataset (falcon/falcon.py:315-322) — it must never crash."""
+    import glob as glob_mod
+    import logging
+
+    import numpy as np
+
+    tmp_path, files, _, _ = mgf_inputs
+    out = str(tmp_path / "out_corrupt")
+    work = str(tmp_path / "work_corrupt")
+    assert cli.main(files + [out, "--work_dir", work]) == 0
+    victims = sorted(glob_mod.glob(
+        os.path.join(work, "spectra", "**", "*.npy"), recursive=True))
+    rng = np.random.default_rng(5)
+    for mode in ("truncate", "garbage", "delete"):
+        v = victims[int(rng.integers(0, len(victims)))]
+        if mode == "truncate":
+            with open(v, "r+b") as f:
+                f.truncate(max(1, os.path.getsize(v) // 3))
+        elif mode == "garbage":
+            with open(v, "wb") as f:
+                f.write(b"\x00garbage not an npy file")
+        else:
+            os.remove(v)
+        os.remove(out + ".csv")
+        caplog.clear()
+        with caplog.at_level(logging.ERROR, logger="falcon_tpu"):
+            rc = cli.main(files + [out, "--work_dir", work])
+        # Either the damaged charge was dropped (other charges still
+        # exported, rc 0) or every charge was damaged (rc 1) — never an
+        # unhandled exception.
+        assert rc in (0, 1)
+        assert any("Failed to open dataset" in r.message
+                   for r in caplog.records)
+
+
 def test_cli_interrupted_ingest_restarts_cleanly(mgf_inputs, caplog):
     """A work_dir whose ingest crashed midway (shards on disk, no charge
     cache — the cache is only written when ingest completes) must be

@@ -27,11 +27,14 @@ Ragged peak arrays are stored flat + offsets so reads are zero-copy
 """
 
 import json
+import logging
 import os
 import threading
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+logger = logging.getLogger("falcon_tpu")
 
 NULL_CHARGE = np.int16(-(2**15))  # sentinel for a missing precursor charge
 
@@ -411,10 +414,24 @@ class SpectrumStore:
         return os.path.join(self.root, self.CHARGES_FILE)
 
     def load_charges(self) -> Optional[List[Optional[int]]]:
+        """The persisted charge set, or None when the cache is absent OR
+        unreadable — a corrupt/truncated cache means the previous run's
+        commit record cannot be trusted, which is the same situation as
+        a run that died before writing it (the caller discards the
+        partial store and re-ingests, falcon_tpu/cli.py)."""
         if not os.path.isfile(self.charges_path):
             return None
-        with open(self.charges_path) as f:
-            return [None if c is None else int(c) for c in json.load(f)]
+        try:
+            with open(self.charges_path) as f:
+                return [None if c is None else int(c)
+                        for c in json.load(f)]
+        except (ValueError, UnicodeDecodeError, OSError) as exc:
+            logger.warning(
+                "Unreadable charge cache %s (%s); treating the work "
+                "directory as an incomplete ingest",
+                self.charges_path, exc,
+            )
+            return None
 
     def save_charges(self, charges: Iterable[Optional[int]]) -> None:
         with open(self.charges_path, "w") as f:

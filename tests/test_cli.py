@@ -142,6 +142,35 @@ def test_cli_corrupted_store_drops_charge_and_continues(mgf_inputs,
                    for r in caplog.records)
 
 
+def test_cli_corrupted_charge_cache_reingests(mgf_inputs, caplog):
+    """A corrupt/truncated charge cache is treated as an incomplete
+    ingest commit record: the partial store is discarded and re-ingested
+    with warnings, producing a complete output — never a crash."""
+    import glob as glob_mod
+    import logging
+
+    tmp_path, files, spectra, _ = mgf_inputs
+    out = str(tmp_path / "out_cache")
+    work = str(tmp_path / "work_cache")
+    assert cli.main(files + [out, "--work_dir", work]) == 0
+    n_rows = sum(1 for line in open(out + ".csv")
+                 if not line.startswith("#")) - 1
+    for payload in (b"\x80\x04garbage", b"", b'["unclosed'):
+        cache = glob_mod.glob(os.path.join(work, "**", "charges*"),
+                              recursive=True)[0]
+        with open(cache, "wb") as f:
+            f.write(payload)
+        os.remove(out + ".csv")
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="falcon_tpu"):
+            assert cli.main(files + [out, "--work_dir", work]) == 0
+        assert any("Unreadable charge cache" in r.message
+                   for r in caplog.records)
+        rows = sum(1 for line in open(out + ".csv")
+                   if not line.startswith("#")) - 1
+        assert rows == n_rows
+
+
 def test_cli_interrupted_ingest_restarts_cleanly(mgf_inputs, caplog):
     """A work_dir whose ingest crashed midway (shards on disk, no charge
     cache — the cache is only written when ingest completes) must be

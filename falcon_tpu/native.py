@@ -136,6 +136,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int,
             ]
         if hasattr(lib, "fc_csv_format_rows_u32"):
             lib.fc_csv_format_rows_u32.restype = ctypes.c_int64
@@ -147,6 +148,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+                ctypes.c_int,
             ]
             lib.fc_buffer_free.restype = None
             lib.fc_buffer_free.argtypes = [
@@ -457,6 +459,20 @@ def _u32_col(col) -> Optional[Tuple[np.ndarray, int]]:
     return arr, arr.dtype.itemsize // 4
 
 
+def _export_threads() -> int:
+    """Worker threads for the export kernels (natsort + CSV format).
+    Defaults to the host's core count (the 25M-export tail is the one
+    single-threaded stretch left on a multicore TPU-VM host); capped at
+    16 — the kernels saturate memory bandwidth well before that.
+    FALCON_TPU_EXPORT_THREADS overrides."""
+    try:
+        t = int(os.environ.get("FALCON_TPU_EXPORT_THREADS",
+                               os.cpu_count() or 1))
+    except ValueError:
+        t = 1
+    return max(1, min(t, 16))
+
+
 def natsort_pairs(primary, secondary) -> Optional[np.ndarray]:
     """Stable natural-order argsort of (primary, secondary) string pairs.
 
@@ -486,6 +502,7 @@ def natsort_pairs(primary, secondary) -> Optional[np.ndarray]:
                 ctypes.c_int64(w_b),
                 ctypes.c_int64(n),
                 order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int(_export_threads()),
             )
             if rc != 0:
                 raise RuntimeError("fc_natsort_pairs_u32 failed")
@@ -565,6 +582,7 @@ def csv_rows(filenames, identifiers, charges, null_charge, mzs, rts,
         clusters.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int64(n),
         ctypes.byref(buf_ptr),
+        ctypes.c_int(_export_threads()),
     )
     if written < 0:
         return None

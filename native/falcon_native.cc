@@ -26,6 +26,7 @@
 #include <limits>
 #include <numeric>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -378,10 +379,15 @@ int nat_compare_u32(const uint32_t* a, const uint32_t* a_end,
 // NUL-padded) string columns, passed as raw buffers with widths in code
 // units.  Same ordering semantics as fc_natsort_pairs; this entry point
 // skips the per-string Python-object repacking (tens of seconds at the
-// 25M-row export scale).  Returns 0 on success.
+// 25M-row export scale).  threads > 1 sorts contiguous index chunks on
+// worker threads and stably merges pairwise (left before right, so the
+// order is IDENTICAL to the single-threaded sort — parity enforced by
+// tests/test_utils.py with a forced thread count); the 1-CPU dev box
+// can only verify correctness, the speedup is for multicore TPU-VM
+// hosts.  Returns 0 on success.
 int fc_natsort_pairs_u32(const uint32_t* data_a, int64_t width_a,
                          const uint32_t* data_b, int64_t width_b,
-                         int64_t n, int64_t* order_out) {
+                         int64_t n, int64_t* order_out, int threads) {
   std::vector<const uint32_t*> end_a(n), end_b(n);
   for (int64_t i = 0; i < n; ++i) {
     end_a[i] = u32_trim(data_a + i * width_a, width_a);
@@ -389,13 +395,49 @@ int fc_natsort_pairs_u32(const uint32_t* data_a, int64_t width_a,
   }
   std::vector<int64_t> order(n);
   std::iota(order.begin(), order.end(), 0);
-  std::stable_sort(order.begin(), order.end(), [&](int64_t x, int64_t y) {
+  auto less = [&](int64_t x, int64_t y) {
     int c = nat_compare_u32(data_a + x * width_a, end_a[x],
                             data_a + y * width_a, end_a[y]);
     if (c != 0) return c < 0;
     return nat_compare_u32(data_b + x * width_b, end_b[x],
                            data_b + y * width_b, end_b[y]) < 0;
-  });
+  };
+  if (threads <= 1 || n < (1 << 16)) {
+    std::stable_sort(order.begin(), order.end(), less);
+  } else {
+    int t = std::min<int64_t>(threads, n);
+    std::vector<int64_t> bounds(t + 1);
+    for (int i = 0; i <= t; ++i) bounds[i] = n * i / t;
+    {
+      std::vector<std::thread> pool;
+      pool.reserve(t);
+      for (int i = 0; i < t; ++i) {
+        pool.emplace_back([&, i] {
+          std::stable_sort(order.begin() + bounds[i],
+                           order.begin() + bounds[i + 1], less);
+        });
+      }
+      for (auto& th : pool) th.join();
+    }
+    // Pairwise stable merges until one run remains.
+    while (bounds.size() > 2) {
+      std::vector<int64_t> next;
+      next.push_back(bounds[0]);
+      std::vector<std::thread> pool;
+      for (size_t i = 0; i + 2 < bounds.size(); i += 2) {
+        pool.emplace_back([&, i] {
+          std::inplace_merge(order.begin() + bounds[i],
+                             order.begin() + bounds[i + 1],
+                             order.begin() + bounds[i + 2], less);
+        });
+        next.push_back(bounds[i + 2]);
+      }
+      if (bounds.size() % 2 == 0)  // odd run count: last carries over
+        next.push_back(bounds.back());
+      for (auto& th : pool) th.join();
+      bounds = std::move(next);
+    }
+  }
   std::memcpy(order_out, order.data(), n * sizeof(int64_t));
   return 0;
 }
@@ -629,36 +671,61 @@ int64_t fc_csv_format_rows_u32(const uint32_t* fn_data, int64_t fn_width,
                                const int64_t* charge, int64_t null_charge,
                                const void* mz, int mz_f32, const void* rt,
                                int rt_f32, const int64_t* cluster,
-                               int64_t n, char** out_buf) {
-  std::string out;
-  out.reserve(static_cast<size_t>(n) * 64);
-  for (int64_t i = 0; i < n; ++i) {
-    const uint32_t* fn = fn_data + i * fn_width;
-    append_csv_str_field(out, fn, u32_trim(fn, fn_width));
-    out += ',';
-    const uint32_t* id = id_data + i * id_width;
-    append_csv_str_field(out, id, u32_trim(id, id_width));
-    out += ',';
-    if (charge[i] != null_charge) append_int64(out, charge[i]);
-    out += ',';
-    if (mz_f32)
-      append_np_f32_repr(out, static_cast<const float*>(mz)[i]);
-    else
-      append_py_float_repr(out, static_cast<const double*>(mz)[i]);
-    out += ',';
-    if (rt_f32)
-      append_np_f32_repr(out, static_cast<const float*>(rt)[i]);
-    else
-      append_py_float_repr(out, static_cast<const double*>(rt)[i]);
-    out += ',';
-    append_int64(out, cluster[i]);
-    out += '\n';
+                               int64_t n, char** out_buf, int threads) {
+  auto format_rows = [&](int64_t lo, int64_t hi, std::string& out) {
+    out.reserve(static_cast<size_t>(hi - lo) * 64);
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint32_t* fn = fn_data + i * fn_width;
+      append_csv_str_field(out, fn, u32_trim(fn, fn_width));
+      out += ',';
+      const uint32_t* id = id_data + i * id_width;
+      append_csv_str_field(out, id, u32_trim(id, id_width));
+      out += ',';
+      if (charge[i] != null_charge) append_int64(out, charge[i]);
+      out += ',';
+      if (mz_f32)
+        append_np_f32_repr(out, static_cast<const float*>(mz)[i]);
+      else
+        append_py_float_repr(out, static_cast<const double*>(mz)[i]);
+      out += ',';
+      if (rt_f32)
+        append_np_f32_repr(out, static_cast<const float*>(rt)[i]);
+      else
+        append_py_float_repr(out, static_cast<const double*>(rt)[i]);
+      out += ',';
+      append_int64(out, cluster[i]);
+      out += '\n';
+    }
+  };
+  // Rows are independent: format contiguous chunks on worker threads
+  // and concatenate in order (byte-identical to the serial pass; the
+  // speedup is for multicore TPU-VM hosts).
+  int t = (threads <= 1 || n < (1 << 16))
+              ? 1 : static_cast<int>(std::min<int64_t>(threads, n));
+  std::vector<std::string> parts(t);
+  if (t == 1) {
+    format_rows(0, n, parts[0]);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(t);
+    for (int i = 0; i < t; ++i) {
+      pool.emplace_back([&, i] {
+        format_rows(n * i / t, n * (i + 1) / t, parts[i]);
+      });
+    }
+    for (auto& th : pool) th.join();
   }
-  char* buf = static_cast<char*>(std::malloc(out.size() ? out.size() : 1));
+  size_t total = 0;
+  for (const auto& p : parts) total += p.size();
+  char* buf = static_cast<char*>(std::malloc(total ? total : 1));
   if (buf == nullptr) return -1;
-  std::memcpy(buf, out.data(), out.size());
+  size_t off = 0;
+  for (const auto& p : parts) {
+    std::memcpy(buf + off, p.data(), p.size());
+    off += p.size();
+  }
   *out_buf = buf;
-  return static_cast<int64_t>(out.size());
+  return static_cast<int64_t>(total);
 }
 
 void fc_buffer_free(char* p) { std::free(p); }

@@ -187,3 +187,34 @@ def test_export_null_charge_empty_field(tmp_path):
     by_id = {l.split(",")[1]: l.split(",")[2] for l in body}
     assert by_id["s1"] == ""      # None charge -> empty field
     assert by_id["s2"] == "3"
+
+
+def test_export_kernels_threaded_identical(monkeypatch):
+    """FALCON_TPU_EXPORT_THREADS > 1 must produce byte/ordering-identical
+    results: chunks are stably merged (natsort) and concatenated in row
+    order (CSV).  Corpus exceeds the native 2^16-row serial-fallback
+    threshold so the threaded code path genuinely runs."""
+    from falcon_tpu import native
+
+    if native.get_lib() is None:
+        return
+    rng = np.random.default_rng(13)
+    n = 70_000
+    ids = np.asarray(["scan=%d" % i
+                      for i in rng.integers(1, 10_000_000, n)])
+    fns = np.asarray(["f_%02d.mzML" % (i % 9) for i in range(n)])
+    ch = rng.integers(2, 4, n).astype(np.int64)
+    ch[::13] = -(2 ** 15)
+    mz = rng.uniform(101, 1500, n).astype(np.float32)
+    rt = rng.uniform(0, 5400, n).astype(np.float32)
+    cl = rng.integers(-1, 10 ** 6, n).astype(np.int64)
+    empty = np.zeros(n, dtype="U1")
+
+    monkeypatch.setenv("FALCON_TPU_EXPORT_THREADS", "5")
+    buf_t = native.csv_rows(fns, ids, ch, -(2 ** 15), mz, rt, cl)
+    order_t = native.natsort_pairs(ids, empty)
+    monkeypatch.setenv("FALCON_TPU_EXPORT_THREADS", "1")
+    buf_s = native.csv_rows(fns, ids, ch, -(2 ** 15), mz, rt, cl)
+    order_s = native.natsort_pairs(ids, empty)
+    assert buf_t == buf_s
+    assert np.array_equal(order_t, order_s)

@@ -193,6 +193,12 @@ def linkage(condensed: np.ndarray, method: str) -> np.ndarray:
         _as_double_ptr(work), ctypes.c_int64(n),
         ctypes.c_int(_METHODS[method]), _as_double_ptr(z),
     )
+    if rc == 2:
+        # Same contract as scipy: a non-finite distance has no defined
+        # merge order (and would corrupt the NN-chain walk in C++).
+        raise ValueError(
+            "linkage requires a finite condensed distance matrix "
+            "(found NaN or infinity)")
     if rc != 0:
         raise RuntimeError(f"fc_linkage failed with code {rc}")
     return z

@@ -89,9 +89,16 @@ extern "C" {
 //      distance; columns (cluster_a, cluster_b, distance, size) with
 //      original observations 0..n-1 and merged cluster t labeled n+t.
 //
-// Returns 0 on success.
+// Returns 0 on success, 1 on bad arguments, 2 if the distances are not
+// all finite (NaN/inf break the nearest-neighbor comparisons below —
+// the chain walk would index out of bounds, so they are rejected up
+// front, matching scipy's finiteness contract for linkage inputs).
 int fc_linkage(double* d, int64_t n, int method, double* z_out) {
   if (n < 2 || method < 0 || method > 2) return 1;
+  const int64_t n_dists = n * (n - 1) / 2;
+  for (int64_t i = 0; i < n_dists; ++i) {
+    if (!std::isfinite(d[i])) return 2;
+  }
 
   std::vector<int64_t> size(n, 1);
   std::vector<uint8_t> active(n, 1);
@@ -133,6 +140,7 @@ int fc_linkage(double* d, int64_t n, int method, double* z_out) {
         }
       }
       if (chain.size() > 1 && b == chain[chain.size() - 2]) break;
+      if (b < 0) return 3;  // unreachable with finite d; never index by it
       chain.push_back(b);
     }
     // Merge a and b (reciprocal nearest neighbors).

@@ -138,3 +138,35 @@ def test_generate_clusters_min_matches(dataset_fixture):
     )
     assert len(np.unique(labels)) == len(labels)
     assert len(medoids) == len(labels)
+
+
+def test_native_linkage_rejects_non_finite_distances():
+    """NaN/inf distances must raise, never corrupt memory.
+
+    The NN-chain walk picks neighbors with ``dist < best``; a NaN (or an
+    all-inf row) makes every comparison false, leaving the sentinel
+    ``b = -1`` to be used as an index — found as a real segfault by an
+    adversarial-input probe.  scipy's ``linkage`` enforces the same
+    finiteness contract.
+    """
+    from falcon_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    n = 6
+    base = np.linspace(0.1, 0.9, n * (n - 1) // 2)
+    rng = np.random.default_rng(7)
+    cases = []
+    for bad in (np.nan, np.inf, -np.inf):
+        one = base.copy()
+        one[int(rng.integers(len(one)))] = bad
+        cases.append(one)
+        cases.append(np.full_like(base, bad))
+    for method in ("single", "complete", "average"):
+        for d in cases:
+            with pytest.raises(ValueError, match="finite"):
+                native.linkage(d, method)
+        # Finite inputs still work after the guard.
+        z = native.linkage(base.copy(), method)
+        assert z.shape == (n - 1, 4)
+        assert np.isfinite(z).all()

@@ -226,7 +226,9 @@ def fcluster(z: np.ndarray, t: float, n: Optional[int] = None) -> np.ndarray:
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if k < 0:
-        raise RuntimeError("fc_fcluster failed")
+        raise ValueError(
+            "fcluster got an invalid linkage matrix (non-finite or "
+            "out-of-range cluster ids)")
     return labels
 
 
@@ -629,5 +631,7 @@ def connected_components(
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if k < 0:
-        raise RuntimeError("fc_connected_components failed")
+        raise ValueError(
+            "connected_components got an edge endpoint outside "
+            f"[0, {n_nodes})")
     return labels, int(k)

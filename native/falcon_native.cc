@@ -236,9 +236,17 @@ int64_t fc_fcluster(const double* z, int64_t n, double t,
   for (int64_t row = 0; row < n - 1; ++row) {
     double dist = z[4 * row + 2];
     if (dist > t) break;  // rows sorted ascending
-    int64_t a = static_cast<int64_t>(z[4 * row + 0]);
-    int64_t b = static_cast<int64_t>(z[4 * row + 1]);
     int64_t node = n + row;
+    // Bounds-check the cluster ids BEFORE casting/indexing: a corrupt
+    // Z (NaN or out-of-range id) must error, not index out of bounds.
+    // NaN fails both comparisons, so it is rejected here too.
+    double fa = z[4 * row + 0], fb = z[4 * row + 1];
+    if (!(fa >= 0 && fa < static_cast<double>(node)) ||
+        !(fb >= 0 && fb < static_cast<double>(node))) {
+      return -1;
+    }
+    int64_t a = static_cast<int64_t>(fa);
+    int64_t b = static_cast<int64_t>(fb);
     parent[find(a)] = node;
     parent[find(b)] = node;
   }
@@ -457,6 +465,14 @@ int fc_natsort_pairs_u32(const uint32_t* data_a, int64_t width_a,
 int64_t fc_connected_components(const int64_t* u, const int64_t* v,
                                 int64_t n_edges, int64_t n_nodes,
                                 int32_t* labels_out) {
+  if (n_nodes < 0 || n_edges < 0) return -1;
+  for (int64_t e = 0; e < n_edges; ++e) {
+    // An out-of-range endpoint would index the parent table out of
+    // bounds; reject the edge list instead.
+    if (u[e] < 0 || u[e] >= n_nodes || v[e] < 0 || v[e] >= n_nodes) {
+      return -1;
+    }
+  }
   std::vector<int64_t> parent(n_nodes);
   std::iota(parent.begin(), parent.end(), 0);
   std::function<int64_t(int64_t)> find = [&](int64_t x) {

@@ -170,3 +170,38 @@ def test_native_linkage_rejects_non_finite_distances():
         z = native.linkage(base.copy(), method)
         assert z.shape == (n - 1, 4)
         assert np.isfinite(z).all()
+
+
+def test_native_fcluster_rejects_corrupt_linkage():
+    """Out-of-range or NaN cluster ids in Z must raise, not index OOB."""
+    from falcon_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    n = 5
+    good = native.linkage(
+        np.linspace(0.1, 0.9, n * (n - 1) // 2), "single")
+    for bad_id in (np.nan, -1.0, 1e18, float(2 * n)):
+        z = good.copy()
+        z[0, 0] = bad_id
+        with pytest.raises(ValueError, match="invalid linkage"):
+            native.fcluster(z, 0.5)
+    # The untouched linkage still cuts fine.
+    labels = native.fcluster(good, 0.5)
+    assert len(labels) == n
+
+
+def test_native_connected_components_rejects_bad_endpoints():
+    from falcon_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    u = np.array([0, 1, 2], np.int64)
+    v = np.array([1, 2, 3], np.int64)
+    labels, k = native.connected_components(u, v, 5)
+    assert k == 2 and len(labels) == 5
+    for bad_u, bad_v in (([0, 7], [1, 2]), ([0, -1], [1, 2]),
+                         ([0, 1], [1, 5])):
+        with pytest.raises(ValueError, match="endpoint"):
+            native.connected_components(
+                np.array(bad_u, np.int64), np.array(bad_v, np.int64), 5)

@@ -155,6 +155,22 @@ def process_spectrum(
     mz = np.asarray(spectrum.mz, np.float32)
     intensity = np.asarray(spectrum.intensity, np.float32)
 
+    # 0. Non-finite gate (documented divergence, SURVEY.md §3.5): a
+    # NaN/inf precursor m/z silently DISABLES precursor-peak removal
+    # (every NaN comparison is false) and breaks the sorted-precursor
+    # invariants that charge bucketing and the banded kNN rely on; a
+    # non-finite RT would poison the RT-refinement sort the same way
+    # (missing RT is always the finite -1.0).  Non-finite peak entries
+    # are dropped pairwise before any filter sees them.  The native
+    # ingest chain applies the same gates (falcon_ingest.cc preprocess
+    # step 0 + the per-format RT checks).
+    if not (math.isfinite(spectrum.precursor_mz)
+            and math.isfinite(spectrum.retention_time)):
+        return None
+    finite = np.isfinite(mz) & np.isfinite(intensity)
+    if not finite.all():
+        mz, intensity = mz[finite], intensity[finite]
+
     # 1. m/z range restriction (inclusive bounds).
     if mz_min is not None or mz_max is not None:
         lo = -np.inf if mz_min is None else mz_min
@@ -195,7 +211,12 @@ def process_spectrum(
         intensity, scaling,
         max_rank=len(intensity) if max_peaks_used is None else max_peaks_used,
     )
-    intensity = (intensity / np.linalg.norm(intensity)).astype(np.float32)
+    norm = float(np.linalg.norm(intensity))
+    if norm == 0.0:
+        # All-zero intensities (reachable when the intensity filter is
+        # disabled) would normalize to a NaN vector — reject instead.
+        return None
+    intensity = (intensity / norm).astype(np.float32)
 
     return {
         "identifier": spectrum.identifier,

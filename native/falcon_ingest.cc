@@ -170,6 +170,25 @@ bool spectrum_valid(const std::vector<float>& mz, const Params& p) {
 // the Python path also assumes sorted input).  Returns false if rejected.
 bool preprocess(std::vector<float>& mz, std::vector<float>& inten,
                 double precursor_mz, int32_t charge, const Params& p) {
+  // 0. Non-finite gate (documented divergence, SURVEY.md §3.5): a
+  // NaN/inf precursor m/z silently DISABLES the precursor-peak removal
+  // below (every NaN comparison is false) and breaks the
+  // sorted-precursor invariants that charge bucketing and the banded
+  // kNN rely on, so the spectrum is rejected; non-finite peak entries
+  // are dropped pairwise before any filter sees them.  Mirrors
+  // preprocess/spectrum.py step 0.
+  if (!std::isfinite(precursor_mz)) return false;
+  size_t n_finite = 0;
+  for (size_t i = 0; i < mz.size(); ++i) {
+    if (std::isfinite(mz[i]) && std::isfinite(inten[i])) {
+      mz[n_finite] = mz[i];
+      inten[n_finite] = inten[i];
+      ++n_finite;
+    }
+  }
+  mz.resize(n_finite);
+  inten.resize(n_finite);
+
   // 1. m/z range restriction (inclusive bounds).
   if (!std::isnan(p.mz_min) || !std::isnan(p.mz_max)) {
     double lo = std::isnan(p.mz_min)
@@ -318,10 +337,13 @@ bool preprocess(std::vector<float>& mz, std::vector<float>& inten,
       break;
   }
 
-  // 6. L2 normalization.
+  // 6. L2 normalization.  All-zero intensities (reachable when the
+  // intensity filter is disabled) would normalize to NaN vectors —
+  // reject instead (preprocess/spectrum.py does the same).
   double sq = 0.0;
   for (float v : inten) sq += static_cast<double>(v) * v;
   double norm = std::sqrt(sq);
+  if (norm == 0.0) return false;
   for (auto& v : inten) v = static_cast<float>(v / norm);
   return true;
 }
@@ -375,7 +397,9 @@ void finish_spectrum(IngestResult* res, const Params& p,
   int32_t charge = kNullCharge;
   if (have_charge && !parse_charge(charge_raw, &charge)) return;
   res->n_read += 1;
-  if (!preprocess(mz, inten, pepmass, charge, p)) {
+  // Non-finite RT ("RTINSECONDS=nan") would poison the RT-refinement
+  // sort; missing RT is always the finite -1.0 (SURVEY.md §3.5).
+  if (!std::isfinite(rt) || !preprocess(mz, inten, pepmass, charge, p)) {
     res->n_low_quality += 1;
     return;
   }
@@ -614,7 +638,8 @@ void msp_finish(IngestResult* res, const Params& p, MspEntry* e) {
     e->mz = std::move(m2);
     e->inten = std::move(i2);
   }
-  if (!preprocess(e->mz, e->inten, precursor_mz, charge, p)) {
+  if (!std::isfinite(rt) ||
+      !preprocess(e->mz, e->inten, precursor_mz, charge, p)) {
     res->n_low_quality += 1;
     return;
   }

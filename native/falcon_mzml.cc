@@ -509,7 +509,10 @@ void parse_spectrum_block(std::string_view block, const Params& p,
 
   res->n_read += 1;
   int64_t n = static_cast<int64_t>(n_peaks);
-  if (!fc_preprocess_spectrum(mz_arr.data(), int_arr.data(), &n,
+  // Non-finite RT would poison the RT-refinement sort; missing RT is
+  // always the finite -1.0 (SURVEY.md §3.5).
+  if (!std::isfinite(rt) ||
+      !fc_preprocess_spectrum(mz_arr.data(), int_arr.data(), &n,
                               precursor_mz, charge, p.min_peaks,
                               p.min_mz_range, p.mz_min, p.mz_max,
                               p.remove_precursor_tol, p.min_intensity,
@@ -765,7 +768,10 @@ void parse_scan_block(std::string_view block, const Params& p,
 
   res->n_read += 1;
   int64_t n = static_cast<int64_t>(n_peaks);
-  if (!fc_preprocess_spectrum(mz_arr.data(), int_arr.data(), &n,
+  // Non-finite RT would poison the RT-refinement sort; missing RT is
+  // always the finite -1.0 (SURVEY.md §3.5).
+  if (!std::isfinite(rt) ||
+      !fc_preprocess_spectrum(mz_arr.data(), int_arr.data(), &n,
                               precursor_mz, charge, p.min_peaks,
                               p.min_mz_range, p.mz_min, p.mz_max,
                               p.remove_precursor_tol, p.min_intensity,

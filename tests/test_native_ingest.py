@@ -1283,3 +1283,39 @@ def test_scanner_window_boundary_on_multi_megabyte_file(tmp_path):
         np.asarray([r["precursor_mz"] for r in ref]))
     np.testing.assert_array_equal(
         batch["mz"], np.concatenate([r["mz"] for r in ref]))
+
+
+def test_native_matches_python_non_finite_values(tmp_path):
+    """NaN/inf precursor m/z, RT, and peak values: both paths drop the
+    poisoned spectra/peaks identically (SURVEY.md §3.5 divergence —
+    non-finite data never enters the pipeline)."""
+    peaks = "".join(f"{m}.5 {i + 1}.0\n"
+                    for i, m in enumerate(range(150, 950, 80)))
+    path = str(tmp_path / "nonfinite.mgf")
+    with open(path, "w") as f:
+        f.write(
+            "BEGIN IONS\nTITLE=good\nPEPMASS=500.25\nCHARGE=2+\n"
+            f"RTINSECONDS=12.5\n{peaks}END IONS\n"
+            "BEGIN IONS\nTITLE=nan precursor\nPEPMASS=nan\nCHARGE=2+\n"
+            f"{peaks}END IONS\n"
+            "BEGIN IONS\nTITLE=inf precursor\nPEPMASS=inf\nCHARGE=2+\n"
+            f"{peaks}END IONS\n"
+            "BEGIN IONS\nTITLE=nan rt\nPEPMASS=510.0\nCHARGE=2+\n"
+            f"RTINSECONDS=nan\n{peaks}END IONS\n"
+            "BEGIN IONS\nTITLE=nan peaks\nPEPMASS=520.0\nCHARGE=2+\n"
+            "RTINSECONDS=5.0\n"
+            "150.5 nan\n160.5 inf\nnan 3.0\n"
+            f"{peaks}END IONS\n"
+        )
+    kwargs = dict(DEFAULTS, min_peaks=5)
+    expected, lqc = python_reference(path, kwargs)
+    batch = native.mgf_ingest(path, **kwargs)
+    assert_batch_matches(batch, expected, lqc)
+    kept = list(batch["identifier"])
+    assert "good" in kept and "nan peaks" in kept
+    assert "nan precursor" not in kept
+    assert "inf precursor" not in kept
+    assert "nan rt" not in kept
+    assert batch["n_low_quality"] == 3
+    assert np.isfinite(batch["mz"]).all()
+    assert np.isfinite(batch["intensity"]).all()

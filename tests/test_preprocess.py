@@ -167,3 +167,53 @@ def test_binning_dims_delegates_to_get_dim():
     for bounds in ((101.0, 1500.0, 0.05), (100.1, 1499.9, 0.3),
                    (50.05, 2500.07, 1.0005)):
         assert binning_dims(*bounds) == prep.get_dim(*bounds)
+
+
+def test_non_finite_metadata_rejected():
+    """NaN/inf precursor m/z or RT must not enter the pipeline.
+
+    A NaN precursor silently disables precursor-peak removal (every NaN
+    comparison is false) and breaks the sorted-precursor invariants the
+    charge bucketing and banded kNN rely on (SURVEY.md §3.5 divergence).
+    """
+    mz = [150, 300, 450, 600, 750]
+    inten = [1, 2, 3, 4, 5]
+    for bad in (np.nan, np.inf, -np.inf):
+        assert prep.process_spectrum(
+            _spec(mz, inten, precursor_mz=bad),
+            min_peaks=3, min_mz_range=250) is None
+        spec = _spec(mz, inten)
+        spec = Spectrum("s", 500.0, 2,
+                        np.asarray(mz, np.float32),
+                        np.asarray(inten, np.float32), float(bad))
+        assert prep.process_spectrum(
+            spec, min_peaks=3, min_mz_range=250) is None
+    # Missing RT (-1.0) is of course fine.
+    spec = Spectrum("s", 500.0, 2, np.asarray(mz, np.float32),
+                    np.asarray(inten, np.float32), -1.0)
+    assert prep.process_spectrum(
+        spec, min_peaks=3, min_mz_range=250) is not None
+
+
+def test_non_finite_peaks_dropped_pairwise():
+    out = prep.process_spectrum(
+        _spec([150, 200, 300, 450, 600, 750],
+              [1.0, np.nan, 2.0, np.inf, 4.0, 5.0]),
+        min_peaks=3, min_mz_range=250)
+    np.testing.assert_allclose(out["mz"], [150, 300, 600, 750])
+    spec = _spec([150, np.nan, 300, 450, 600, 750],
+                 [1.0, 1.0, 2.0, 3.0, 4.0, 5.0])
+    out = prep.process_spectrum(spec, min_peaks=3, min_mz_range=250)
+    np.testing.assert_allclose(out["mz"], [150, 300, 450, 600, 750])
+    # Dropping non-finite peaks can fail the min_peaks gate.
+    assert prep.process_spectrum(
+        _spec([150, 300, 450], [np.nan, 1.0, 2.0]),
+        min_peaks=3, min_mz_range=100) is None
+
+
+def test_all_zero_intensity_rejected_not_nan():
+    # With the intensity filter disabled, all-zero intensities used to
+    # normalize to a NaN vector.
+    assert prep.process_spectrum(
+        _spec([150, 300, 450, 600, 750], [0.0] * 5),
+        min_peaks=3, min_mz_range=250) is None

@@ -15,6 +15,7 @@ command line overrides.
 """
 
 import argparse
+import math
 import os
 import shlex
 import textwrap
@@ -441,6 +442,65 @@ class Config:
                 "argument --precursor_tol: invalid numeric value "
                 f"{self._namespace['precursor_tol'][0]!r}"
             )
+        self._check_bounds()
+
+    # Options whose value must be strictly positive: zero/negative is
+    # mathematically undefined downstream (fragment_tol=0 divides by
+    # zero in bin sizing; low_dim=0 hashes into an empty space) or
+    # silently degenerate (max_peaks_used=0 drops every peak).
+    _POSITIVE_OPTIONS = (
+        "fragment_tol", "eps", "batch_size", "min_peaks",
+        "max_peaks_used", "low_dim", "n_neighbors", "n_neighbors_ann",
+        "n_probe", "min_samples", "devices", "consensus_min_fraction",
+    )
+    # Options where zero is meaningful (e.g. an exact-match tolerance)
+    # but a negative value never is.
+    _NON_NEGATIVE_OPTIONS = (
+        "rt_tol", "distance_threshold", "min_mz_range",
+        "remove_precursor_tol", "min_intensity", "min_matched_peaks",
+    )
+    # Float options that only need to be finite (NaN disables every
+    # comparison it reaches; the m/z window handles any finite bounds).
+    _FINITE_OPTIONS = ("min_mz", "max_mz")
+
+    def _check_bounds(self):
+        """Reject numeric option values the pipeline cannot mean.
+
+        The reference performs no such validation — a zero fragment
+        tolerance crashes deep inside its vectorization and a NaN
+        tolerance silently declares nothing similar; reporting at the
+        CLI boundary is a deliberate robustness divergence
+        (SURVEY.md §5f).
+        """
+        def _bad(opt, value, requirement):
+            self._parser.error(
+                f"argument --{opt}: {requirement}, got {value!r}")
+
+        for opt in self._POSITIVE_OPTIONS:
+            v = self._namespace.get(opt)
+            if v is None:
+                continue
+            if isinstance(v, float) and not math.isfinite(v):
+                _bad(opt, v, "value must be finite")
+            if v <= 0:
+                _bad(opt, v, "value must be positive")
+        for opt in self._NON_NEGATIVE_OPTIONS:
+            v = self._namespace.get(opt)
+            if v is None:
+                continue
+            if isinstance(v, float) and not math.isfinite(v):
+                _bad(opt, v, "value must be finite")
+            if v < 0:
+                _bad(opt, v, "value must not be negative")
+        for opt in self._FINITE_OPTIONS:
+            v = self._namespace.get(opt)
+            if v is not None and not math.isfinite(v):
+                _bad(opt, v, "value must be finite")
+        tol = self._namespace.get("precursor_tol")
+        if tol is not None and (
+                not math.isfinite(tol[0]) or tol[0] < 0):
+            _bad("precursor_tol", tol[0],
+                 "tolerance must be finite and not negative")
 
     def __getattr__(self, option):
         if option.startswith("_"):

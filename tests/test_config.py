@@ -121,3 +121,46 @@ def test_cli_non_numeric_precursor_tol_is_clean(capsys):
         cfg.parse(["--precursor_tol", "abc", "ppm", "in.mgf", "out"])
     assert exc.value.code == 2
     assert "invalid numeric value" in capsys.readouterr().err
+
+
+@pytest.mark.parametrize("argv, fragment", [
+    (["--fragment_tol", "0"], "--fragment_tol"),
+    (["--fragment_tol", "-1"], "--fragment_tol"),
+    (["--fragment_tol", "nan"], "--fragment_tol"),
+    (["--eps", "0"], "--eps"),
+    (["--eps", "-0.5"], "--eps"),
+    (["--eps", "nan"], "--eps"),
+    (["--low_dim", "0"], "--low_dim"),
+    (["--max_peaks_used", "0"], "--max_peaks_used"),
+    (["--min_peaks", "-3"], "--min_peaks"),
+    (["--n_neighbors", "0"], "--n_neighbors"),
+    (["--n_probe", "-1"], "--n_probe"),
+    (["--devices", "0"], "--devices"),
+    (["--rt_tol", "-5"], "--rt_tol"),
+    (["--rt_tol", "inf"], "--rt_tol"),
+    (["--min_intensity", "-0.1"], "--min_intensity"),
+    (["--min_matched_peaks", "-1"], "--min_matched_peaks"),
+    (["--max_mz", "nan"], "--max_mz"),
+    (["--precursor_tol", "-5", "ppm"], "--precursor_tol"),
+    (["--precursor_tol", "nan", "Da"], "--precursor_tol"),
+])
+def test_nonsensical_numeric_values_rejected_cleanly(
+        capsys, argv, fragment):
+    """Zero/negative/NaN values the pipeline cannot mean exit with a
+    clean parser error naming the option (SystemExit 2), never a
+    traceback or a silently-degenerate run (e.g. fragment_tol=0 used to
+    die on a modulo-by-zero deep in bin sizing)."""
+    cfg = Config()
+    with pytest.raises(SystemExit) as exc:
+        cfg.parse(argv + ["in.mgf", "out"])
+    assert exc.value.code == 2
+    assert fragment in capsys.readouterr().err
+
+
+def test_boundary_values_still_accepted():
+    cfg = Config()
+    cfg.parse(["--precursor_tol", "0", "Da", "--rt_tol", "0",
+               "--min_intensity", "0", "--min_peaks", "1",
+               "in.mgf", "out"])
+    assert cfg.precursor_tol == [0.0, "Da"]
+    assert cfg.rt_tol == 0.0

@@ -291,6 +291,31 @@ def main() -> int:
                 agreement["precision"], 4)
             quality["ann_vs_exact_pair_recall"] = round(
                 agreement["recall"], 4)
+            # Single-linkage agreement: with min_samples=2 the ann
+            # backend's DBSCAN is exactly the connected components of
+            # the eps-distance graph, which is what a single-linkage
+            # dendrogram cut at eps produces — so THIS pairing is the
+            # apples-to-apples label-comparability check (the
+            # complete-linkage comparison above structurally disagrees
+            # on eps-connected chains whose direct distance exceeds
+            # eps).  Expected near 1.0; recorded, not asserted.
+            rc = cli.main([
+                input_path, os.path.join(out_dir, "out_single"),
+                "--work_dir", work_dir,
+                "--backend", "exact", "--linkage", "single",
+                "--distance_threshold", "0.10",
+            ])
+            if rc == 0:
+                agreement = _label_agreement(
+                    os.path.join(out_dir, "out.csv"),
+                    os.path.join(out_dir, "out_single.csv"),
+                )
+                quality["ann_vs_single_linkage_pair_f1"] = round(
+                    agreement["f1"], 4)
+                quality["ann_vs_single_linkage_pair_precision"] = round(
+                    agreement["precision"], 4)
+                quality["ann_vs_single_linkage_pair_recall"] = round(
+                    agreement["recall"], 4)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -23,3 +23,17 @@ framework is developed in-tree.
 """
 
 __version__ = "0.1.0"
+
+
+def cluster_files(*args, **kwargs):
+    """Public API entry point — see :func:`falcon_tpu.api.cluster`.
+
+    Named ``cluster_files`` at package level because ``falcon_tpu.cluster``
+    is the clustering subpackage; ``falcon_tpu.api.cluster`` is the same
+    function.  Imported lazily so ``import falcon_tpu`` stays light
+    (ingest worker processes import the package without pulling the
+    pipeline driver).
+    """
+    from .api import cluster as _cluster
+
+    return _cluster(*args, **kwargs)

@@ -29,19 +29,27 @@ logger = logging.getLogger("falcon_tpu")
 seed.set_seeds()
 
 
-def main(args: Union[str, List[str], None] = None) -> int:
+def main(args: Union[str, List[str], None] = None,
+         _collect: Union[dict, None] = None) -> int:
     """CLI entry point.  Wraps the pipeline so an auto-created temp
     work_dir (no --work_dir given) is removed on EVERY exit path —
-    early aborts and exceptions included, not just success."""
+    early aborts and exceptions included, not just success.
+
+    ``_collect`` is the library-API hook (``falcon_tpu.api``): a dict the
+    pipeline fills with in-memory results (``assignments``,
+    ``representatives``).  In collect mode user-input errors RAISE
+    instead of returning an exit code, and the CSV/MGF export only runs
+    when ``_collect["write_outputs"]`` is true."""
     cleanup: list = []
     try:
-        return _run(args, cleanup)
+        return _run(args, cleanup, _collect)
     finally:
         for path in cleanup:
             shutil.rmtree(path, ignore_errors=True)
 
 
-def _run(args: Union[str, List[str], None], cleanup: list) -> int:
+def _run(args: Union[str, List[str], None], cleanup: list,
+         collect: Union[dict, None] = None) -> int:
     # Persistent XLA compilation cache: compiled kernels (whose shapes are
     # deliberately bucketed to powers of two throughout ops/) are reused
     # across runs, so only the first-ever run on a machine pays compile
@@ -106,25 +114,34 @@ def _run(args: Union[str, List[str], None], cleanup: list) -> int:
     os.makedirs(os.path.join(config.work_dir, "spectra"), exist_ok=True)
 
     # Output-exists / overwrite gate (reference falcon.py:89-122).
+    # Skipped when the library API runs without file outputs — nothing
+    # would be written, so an existing file cannot be clobbered.
+    write_outputs = collect is None or bool(collect.get("write_outputs"))
     exit_exists = False
-    for ext, desc in ((".csv", "cluster assignments"),
-                      (".mgf", "cluster representatives")):
-        path = f"{config.output_filename}{ext}"
-        if os.path.isfile(path):
-            if config.overwrite:
-                logger.warning(
-                    "Output file %s (%s) already exists and will be "
-                    "overwritten", path, desc,
-                )
-                os.remove(path)
-            else:
-                logger.error(
-                    "Output file %s (%s) already exists, aborting...",
-                    path, desc,
-                )
-                exit_exists = True
+    if write_outputs:
+        for ext, desc in ((".csv", "cluster assignments"),
+                          (".mgf", "cluster representatives")):
+            path = f"{config.output_filename}{ext}"
+            if os.path.isfile(path):
+                if config.overwrite:
+                    logger.warning(
+                        "Output file %s (%s) already exists and will be "
+                        "overwritten", path, desc,
+                    )
+                    os.remove(path)
+                else:
+                    logger.error(
+                        "Output file %s (%s) already exists, aborting...",
+                        path, desc,
+                    )
+                    exit_exists = True
     if exit_exists:
         logging.shutdown()
+        if collect is not None:
+            raise FileExistsError(
+                f"Output file(s) for {config.output_filename!r} already "
+                "exist; pass overwrite=True to replace them"
+            )
         return 1
 
     from .preprocess import get_dim
@@ -180,6 +197,8 @@ def _run(args: Union[str, List[str], None], cleanup: list) -> int:
                 # raise for API callers, tests/test_ms_io.py).
                 logger.error(str(e))
                 logging.shutdown()
+                if collect is not None:
+                    raise
                 return 1
 
     # Import the engine lazily: it pulls in JAX (and on TPU hosts the
@@ -288,7 +307,36 @@ def _run(args: Union[str, List[str], None], cleanup: list) -> int:
     if not labels_by_charge:
         logger.error("No spectra found to cluster")
         logging.shutdown()
+        if collect is not None:
+            raise ValueError("No spectra found to cluster")
         return 1
+
+    if collect is not None:
+        # Library API: in-memory results, one row per clustered spectrum
+        # in charge-major store order (the CSV's natural-sorted order is
+        # an export-time concern; API callers sort as they see fit).
+        cols = {c: [] for c in ("filename", "identifier",
+                                "precursor_charge", "precursor_mz",
+                                "retention_time")}
+        labs = []
+        for ds, labels in labels_by_charge:
+            meta = ds.read_metadata()
+            for c in cols:
+                cols[c].append(meta[c])
+            labs.append(labels)
+        assignments = {c: np.concatenate(v) for c, v in cols.items()}
+        assignments["cluster"] = np.concatenate(labs)
+        collect["assignments"] = assignments
+        collect["representatives"] = (
+            _rep_spectra(representatives)
+            if config.export_representatives else []
+        )
+
+    if not write_outputs:
+        profiler.stop_trace()
+        profiler.log_summary()
+        logging.shutdown()
+        return 0
 
     logger.info(
         "Export cluster assignments of %d spectra to %d unique clusters "
@@ -325,16 +373,8 @@ def _run(args: Union[str, List[str], None], cleanup: list) -> int:
             # mgf_io directly: the extension dispatch in ms_io would
             # reject the ".partial" temp name (the real name is .mgf).
             from .ms_io import mgf_io
-            from .ms_io.containers import Spectrum
 
-            spectra = [
-                Spectrum(
-                    r["identifier"], r["precursor_mz"],
-                    r["precursor_charge"], r["mz"], r["intensity"],
-                    r["retention_time"], r["filename"],
-                )
-                for r in representatives
-            ]
+            spectra = _rep_spectra(representatives)
             logger.info(
                 "Export %d cluster representative spectra to output "
                 "file %s", len(spectra), mgf_path,
@@ -354,6 +394,22 @@ def _run(args: Union[str, List[str], None], cleanup: list) -> int:
 
     logging.shutdown()
     return 0
+
+
+def _rep_spectra(representatives: List[dict]) -> List:
+    """Representative rows (medoid ``dataset.take`` rows or consensus
+    rows) as :class:`Spectrum` objects, shared by the MGF export and the
+    library API."""
+    from .ms_io.containers import Spectrum
+
+    return [
+        Spectrum(
+            r["identifier"], r["precursor_mz"],
+            r["precursor_charge"], r["mz"], r["intensity"],
+            r["retention_time"], r["filename"],
+        )
+        for r in representatives
+    ]
 
 
 def _generate_for_charge(dataset, mz_min, mz_max):

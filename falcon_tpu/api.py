@@ -7,7 +7,8 @@ as a first-class function instead::
 
     import falcon_tpu
 
-    result = falcon_tpu.cluster(["peaks/*.mgf"], backend="ann", eps=0.10)
+    result = falcon_tpu.cluster_files(
+        ["peaks/*.mgf"], backend="ann", eps=0.10)
     result.cluster            # np.int64 label per spectrum
     result.spectrum_id        # identifiers aligned with the labels
     result.n_clusters         # number of distinct clusters
@@ -164,14 +165,34 @@ def cluster(
         else:
             args.extend([f"--{name}", str(value)])
 
+    # argparse reports errors on stderr and exits; pre-parse the options
+    # here under a scoped stderr redirect so programmatic callers get
+    # the actual reason in the exception instead of a pointer to a
+    # stream they may not surface.  cli.main re-parses the same args
+    # into the process-wide config singleton (cheap and idempotent),
+    # with the pipeline's live logging untouched.
+    import contextlib
+    import io
+
+    from .config import config as _config
+
+    err = io.StringIO()
+    try:
+        with contextlib.redirect_stderr(err):
+            _config.parse(args)
+    except SystemExit as exc:
+        detail = err.getvalue().strip()
+        raise ValueError(
+            detail or f"Invalid options (parser exited {exc.code})"
+        ) from None
+
     collect: dict = {"write_outputs": output is not None}
     try:
         try:
             rc = cli.main(args, _collect=collect)
-        except SystemExit as exc:  # argparse errors exit; API raises
+        except SystemExit as exc:  # belt-and-braces: never exit the host
             raise ValueError(
-                f"Invalid options (parser exited {exc.code}); see the "
-                "message above"
+                f"Invalid options (parser exited {exc.code})"
             ) from None
         if rc != 0:
             raise RuntimeError(f"Clustering pipeline exited {rc}")

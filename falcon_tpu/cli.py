@@ -311,10 +311,13 @@ def _run(args: Union[str, List[str], None], cleanup: list,
             raise ValueError("No spectra found to cluster")
         return 1
 
-    if collect is not None:
+    def _collect_results() -> None:
         # Library API: in-memory results, one row per clustered spectrum
         # in charge-major store order (the CSV's natural-sorted order is
         # an export-time concern; API callers sort as they see fit).
+        # Runs AFTER any file export so the full-corpus metadata copy
+        # never coexists with the export's working set (export streams
+        # at O(largest file) RSS, falcon_tpu/export.py).
         cols = {c: [] for c in ("filename", "identifier",
                                 "precursor_charge", "precursor_mz",
                                 "retention_time")}
@@ -333,6 +336,7 @@ def _run(args: Union[str, List[str], None], cleanup: list,
         )
 
     if not write_outputs:
+        _collect_results()
         profiler.stop_trace()
         profiler.log_summary()
         logging.shutdown()
@@ -388,6 +392,9 @@ def _run(args: Union[str, List[str], None], cleanup: list,
         if config.export_representatives:
             os.replace(mgf_tmp, mgf_path)
     export_phase.__exit__(None, None, None)
+
+    if collect is not None:
+        _collect_results()
 
     profiler.stop_trace()
     profiler.log_summary()

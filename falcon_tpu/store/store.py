@@ -279,22 +279,37 @@ class ChargeDataset:
         a lazy load.
         """
         for shard in self.shards:
-            offsets = np.asarray(self._load(shard, "peak_offsets"))
-            n = len(offsets) - 1
-            if n < 0 or offsets[0] != 0 or (np.diff(offsets) < 0).any():
+            try:
+                self._validate_shard(shard)
+            except (ValueError, OSError):
+                raise
+            except Exception as exc:
+                # Garbage content can fail in arbitrary ways before the
+                # structural checks run (0-d arrays break len(),
+                # string dtypes break np.diff, non-numeric offsets
+                # break int(), ...); fold every such failure into the
+                # documented ValueError contract so the caller's
+                # drop-the-charge net catches it.
                 raise ValueError(
-                    f"Corrupt peak offsets in store shard {shard}")
-            for col in _COLUMNS:
-                if len(self._load(shard, col)) != n:
-                    raise ValueError(
-                        f"Column {col} row count mismatch in store "
-                        f"shard {shard}")
-            n_peaks = int(offsets[-1])
-            for col in ("mz", "intensity"):
-                if len(self._load(shard, col)) != n_peaks:
-                    raise ValueError(
-                        f"Peak array {col} length mismatch in store "
-                        f"shard {shard}")
+                    f"Corrupt store shard {shard}: {exc}") from exc
+
+    def _validate_shard(self, shard: str) -> None:
+        offsets = np.asarray(self._load(shard, "peak_offsets"))
+        n = len(offsets) - 1
+        if n < 0 or offsets[0] != 0 or (np.diff(offsets) < 0).any():
+            raise ValueError(
+                f"Corrupt peak offsets in store shard {shard}")
+        for col in _COLUMNS:
+            if len(self._load(shard, col)) != n:
+                raise ValueError(
+                    f"Column {col} row count mismatch in store "
+                    f"shard {shard}")
+        n_peaks = int(offsets[-1])
+        for col in ("mz", "intensity"):
+            if len(self._load(shard, col)) != n_peaks:
+                raise ValueError(
+                    f"Peak array {col} length mismatch in store "
+                    f"shard {shard}")
 
     def _load(self, shard: str, column: str, mmap: bool = True) -> np.ndarray:
         return np.load(
@@ -425,7 +440,10 @@ class SpectrumStore:
             with open(self.charges_path) as f:
                 return [None if c is None else int(c)
                         for c in json.load(f)]
-        except (ValueError, UnicodeDecodeError, OSError) as exc:
+        except (ValueError, TypeError, UnicodeDecodeError, OSError) as exc:
+            # TypeError covers a cache that is valid JSON but not a
+            # list of charges (e.g. a bare scalar) — same distrust as
+            # undecodable bytes.
             logger.warning(
                 "Unreadable charge cache %s (%s); treating the work "
                 "directory as an incomplete ingest",

@@ -389,6 +389,27 @@ int nat_compare_u32(const uint32_t* a, const uint32_t* a_end,
   }
 }
 
+// Run task(0..t-1) on worker threads.  Thread construction can throw
+// std::system_error (EAGAIN near the process thread limit); an
+// exception escaping the extern "C"/ctypes boundary would
+// std::terminate() the embedding Python process, so any tasks whose
+// thread failed to start run serially on this thread instead.  Tasks
+// operate on disjoint chunks, so serial-after-parallel is safe.
+inline void run_chunked(int t, const std::function<void(int)>& task) {
+  std::vector<std::thread> pool;
+  int started = 0;
+  try {
+    pool.reserve(t);
+    for (; started < t; ++started) {
+      int idx = started;
+      pool.emplace_back([&task, idx] { task(idx); });
+    }
+  } catch (...) {
+  }
+  for (int i = started; i < t; ++i) task(i);
+  for (auto& th : pool) th.join();
+}
+
 }  // namespace
 
 // Stable natural-order argsort over numpy U-dtype (fixed-width UTF-32,
@@ -424,33 +445,24 @@ int fc_natsort_pairs_u32(const uint32_t* data_a, int64_t width_a,
     int t = std::min<int64_t>(threads, n);
     std::vector<int64_t> bounds(t + 1);
     for (int i = 0; i <= t; ++i) bounds[i] = n * i / t;
-    {
-      std::vector<std::thread> pool;
-      pool.reserve(t);
-      for (int i = 0; i < t; ++i) {
-        pool.emplace_back([&, i] {
-          std::stable_sort(order.begin() + bounds[i],
-                           order.begin() + bounds[i + 1], less);
-        });
-      }
-      for (auto& th : pool) th.join();
-    }
+    run_chunked(t, [&](int i) {
+      std::stable_sort(order.begin() + bounds[i],
+                       order.begin() + bounds[i + 1], less);
+    });
     // Pairwise stable merges until one run remains.
     while (bounds.size() > 2) {
       std::vector<int64_t> next;
       next.push_back(bounds[0]);
-      std::vector<std::thread> pool;
-      for (size_t i = 0; i + 2 < bounds.size(); i += 2) {
-        pool.emplace_back([&, i] {
-          std::inplace_merge(order.begin() + bounds[i],
-                             order.begin() + bounds[i + 1],
-                             order.begin() + bounds[i + 2], less);
-        });
-        next.push_back(bounds[i + 2]);
-      }
+      int n_merges = static_cast<int>((bounds.size() - 1) / 2);
+      for (int m = 0; m < n_merges; ++m) next.push_back(bounds[2 * m + 2]);
+      run_chunked(n_merges, [&](int m) {
+        size_t i = static_cast<size_t>(2 * m);
+        std::inplace_merge(order.begin() + bounds[i],
+                           order.begin() + bounds[i + 1],
+                           order.begin() + bounds[i + 2], less);
+      });
       if (bounds.size() % 2 == 0)  // odd run count: last carries over
         next.push_back(bounds.back());
-      for (auto& th : pool) th.join();
       bounds = std::move(next);
     }
   }
@@ -730,14 +742,9 @@ int64_t fc_csv_format_rows_u32(const uint32_t* fn_data, int64_t fn_width,
   if (t == 1) {
     format_rows(0, n, parts[0]);
   } else {
-    std::vector<std::thread> pool;
-    pool.reserve(t);
-    for (int i = 0; i < t; ++i) {
-      pool.emplace_back([&, i] {
-        format_rows(n * i / t, n * (i + 1) / t, parts[i]);
-      });
-    }
-    for (auto& th : pool) th.join();
+    run_chunked(t, [&](int i) {
+      format_rows(n * i / t, n * (i + 1) / t, parts[i]);
+    });
   }
   size_t total = 0;
   for (const auto& p : parts) total += p.size();

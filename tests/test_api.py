@@ -118,6 +118,16 @@ def test_api_invalid_value_raises_valueerror(mgf_input, tmp_path):
                            work_dir=str(tmp_path / "work"))
 
 
+def test_api_invalid_value_error_names_the_option(mgf_input, tmp_path):
+    # The exception carries argparse's actual report (option name and
+    # reason), not a pointer to stderr — programmatic callers and
+    # exception logs must be able to recover WHICH option was invalid.
+    tmp_path, path, _ = mgf_input
+    with pytest.raises(ValueError, match="eps"):
+        falcon_tpu.cluster_files(path, eps=0,
+                           work_dir=str(tmp_path / "work"))
+
+
 def test_api_missing_input_raises(tmp_path):
     with pytest.raises(ValueError):
         falcon_tpu.cluster_files(str(tmp_path / "nope.mgf"))

@@ -124,3 +124,34 @@ def test_take_out_of_range_raises_index_error(tmp_path):
     assert len(ds.take([3])) == 1
     with pytest.raises(IndexError, match="out of range"):
         ds.take([ds.count_rows()])
+
+
+def test_load_charges_non_list_json_is_unreadable(tmp_path):
+    # A cache that is valid JSON but not a list (e.g. a bare scalar
+    # from a torn write) is the same situation as undecodable bytes:
+    # the commit record cannot be trusted -> None, never a TypeError.
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    with open(store.charges_path, "w") as f:
+        f.write("42")
+    assert store.load_charges() is None
+
+
+def test_validate_garbage_shard_raises_value_error(tmp_path):
+    # Arbitrary garbage content must surface as the documented
+    # ValueError (the CLI's drop-the-charge net), not leak a TypeError:
+    # a 0-d offsets array breaks len(), a string dtype breaks np.diff.
+    import os
+
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    writer = store.writer(batch_size=100)
+    writer.add_many(_rows(5))
+    writer.close()
+    ds = store.dataset(2)
+    ds.validate()  # healthy store passes
+    offsets_path = os.path.join(ds.shards[0], "peak_offsets.npy")
+    np.save(offsets_path, np.float64(3.0))  # 0-d scalar array
+    with pytest.raises(ValueError):
+        ds.validate()
+    np.save(offsets_path, np.array(["a", "b"]))  # non-numeric dtype
+    with pytest.raises(ValueError):
+        ds.validate()

@@ -93,7 +93,7 @@ extern "C" {
 // all finite (NaN/inf break the nearest-neighbor comparisons below —
 // the chain walk would index out of bounds, so they are rejected up
 // front, matching scipy's finiteness contract for linkage inputs).
-int fc_linkage(double* d, int64_t n, int method, double* z_out) {
+int fc_linkage_impl(double* d, int64_t n, int method, double* z_out) {
   if (n < 2 || method < 0 || method > 2) return 1;
   const int64_t n_dists = n * (n - 1) / 2;
   for (int64_t i = 0; i < n_dists; ++i) {
@@ -212,7 +212,7 @@ int fc_linkage(double* d, int64_t n, int method, double* z_out) {
 //   z: (n-1) x 4 linkage, rows sorted ascending by distance.
 //   labels_out: n int32 labels.
 // Returns the number of flat clusters, or -1 on error.
-int64_t fc_fcluster(const double* z, int64_t n, double t,
+int64_t fc_fcluster_impl(const double* z, int64_t n, double t,
                     int32_t* labels_out) {
   if (n < 1) return -1;
   if (n == 1) {
@@ -323,7 +323,7 @@ int nat_compare(const char* a, const char* a_end,
 //   bytes_a/offs_a: concatenated primary strings + n+1 offsets; same for
 //   the secondary column.  order_out: n int64 indices.
 // Returns 0 on success.
-int fc_natsort_pairs(const char* bytes_a, const int64_t* offs_a,
+int fc_natsort_pairs_impl(const char* bytes_a, const int64_t* offs_a,
                      const char* bytes_b, const int64_t* offs_b,
                      int64_t n, int64_t* order_out) {
   std::vector<int64_t> order(n);
@@ -422,7 +422,7 @@ inline void run_chunked(int t, const std::function<void(int)>& task) {
 // tests/test_utils.py with a forced thread count); the 1-CPU dev box
 // can only verify correctness, the speedup is for multicore TPU-VM
 // hosts.  Returns 0 on success.
-int fc_natsort_pairs_u32(const uint32_t* data_a, int64_t width_a,
+int fc_natsort_pairs_u32_impl(const uint32_t* data_a, int64_t width_a,
                          const uint32_t* data_b, int64_t width_b,
                          int64_t n, int64_t* order_out, int threads) {
   std::vector<const uint32_t*> end_a(n), end_b(n);
@@ -474,7 +474,7 @@ int fc_natsort_pairs_u32(const uint32_t* data_a, int64_t width_a,
 //   u, v: edge endpoints (n_edges), nodes in [0, n_nodes).
 //   labels_out: n_nodes int32 component ids, numbered by first occurrence.
 // Returns the number of components.
-int64_t fc_connected_components(const int64_t* u, const int64_t* v,
+int64_t fc_connected_components_impl(const int64_t* u, const int64_t* v,
                                 int64_t n_edges, int64_t n_nodes,
                                 int32_t* labels_out) {
   if (n_nodes < 0 || n_edges < 0) return -1;
@@ -702,7 +702,7 @@ extern "C" {
 // exact-size UTF-8 output into *out_buf (caller frees with
 // fc_buffer_free) and returns its byte length, or -1 on allocation
 // failure.
-int64_t fc_csv_format_rows_u32(const uint32_t* fn_data, int64_t fn_width,
+int64_t fc_csv_format_rows_u32_impl(const uint32_t* fn_data, int64_t fn_width,
                                const uint32_t* id_data, int64_t id_width,
                                const int64_t* charge, int64_t null_charge,
                                const void* mz, int mz_f32, const void* rt,

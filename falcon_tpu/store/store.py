@@ -281,7 +281,11 @@ class ChargeDataset:
         for shard in self.shards:
             try:
                 self._validate_shard(shard)
-            except (ValueError, OSError):
+            except (ValueError, OSError, MemoryError):
+                # MemoryError is host pressure, not shard corruption —
+                # folding it into the ValueError below would make the
+                # caller's drop-the-charge net silently discard a
+                # healthy charge.
                 raise
             except Exception as exc:
                 # Garbage content can fail in arbitrary ways before the

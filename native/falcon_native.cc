@@ -77,7 +77,7 @@ class LabeledUnionFind {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
 // Agglomerative clustering of a condensed distance matrix.
 //
@@ -406,7 +406,15 @@ inline void run_chunked(int t, const std::function<void(int)>& task) {
     }
   } catch (...) {
   }
-  for (int i = started; i < t; ++i) task(i);
+  try {
+    for (int i = started; i < t; ++i) task(i);
+  } catch (...) {
+    // Join the already-started pool threads before rethrowing: letting
+    // the exception unwind past joinable std::thread destructors would
+    // std::terminate() the process.
+    for (auto& th : pool) th.join();
+    throw;
+  }
   for (auto& th : pool) th.join();
 }
 
@@ -511,7 +519,7 @@ int64_t fc_connected_components_impl(const int64_t* u, const int64_t* v,
   return next;
 }
 
-}  // extern "C"
+}  // namespace
 
 namespace {
 
@@ -688,7 +696,7 @@ void append_int64(std::string& out, int64_t v) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
 // Format cluster-assignment CSV rows
 // (filename,spectrum_id,precursor_charge,precursor_mz,retention_time,
@@ -759,6 +767,85 @@ int64_t fc_csv_format_rows_u32_impl(const uint32_t* fn_data, int64_t fn_width,
   return static_cast<int64_t>(total);
 }
 
-void fc_buffer_free(char* p) { std::free(p); }
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Public C ABI.  Each exported entry point is a noexcept exception barrier
+// around its _impl: a C++ exception (std::bad_alloc from a vector/string,
+// std::system_error from thread spawn) escaping a ctypes call would
+// std::terminate() the embedding Python process, so the wrappers translate
+// any throw into the function's error-return convention instead
+// (falcon_tpu/native.py raises RuntimeError on these codes).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int fc_linkage(double* d, int64_t n, int method, double* z_out) noexcept {
+  try {
+    return fc_linkage_impl(d, n, method, z_out);
+  } catch (...) {
+    return 4;  // internal error (e.g. allocation failure)
+  }
+}
+
+int64_t fc_fcluster(const double* z, int64_t n, double t,
+                    int32_t* labels_out) noexcept {
+  try {
+    return fc_fcluster_impl(z, n, t, labels_out);
+  } catch (...) {
+    return -1;
+  }
+}
+
+int fc_natsort_pairs(const char* bytes_a, const int64_t* offs_a,
+                     const char* bytes_b, const int64_t* offs_b,
+                     int64_t n, int64_t* order_out) noexcept {
+  try {
+    return fc_natsort_pairs_impl(bytes_a, offs_a, bytes_b, offs_b, n,
+                                 order_out);
+  } catch (...) {
+    return 4;
+  }
+}
+
+int fc_natsort_pairs_u32(const uint32_t* data_a, int64_t width_a,
+                         const uint32_t* data_b, int64_t width_b,
+                         int64_t n, int64_t* order_out,
+                         int threads) noexcept {
+  try {
+    return fc_natsort_pairs_u32_impl(data_a, width_a, data_b, width_b, n,
+                                     order_out, threads);
+  } catch (...) {
+    return 4;
+  }
+}
+
+int64_t fc_connected_components(const int64_t* u, const int64_t* v,
+                                int64_t n_edges, int64_t n_nodes,
+                                int32_t* labels_out) noexcept {
+  try {
+    return fc_connected_components_impl(u, v, n_edges, n_nodes, labels_out);
+  } catch (...) {
+    return -1;
+  }
+}
+
+int64_t fc_csv_format_rows_u32(const uint32_t* fn_data, int64_t fn_width,
+                               const uint32_t* id_data, int64_t id_width,
+                               const int64_t* charge, int64_t null_charge,
+                               const void* mz, int mz_f32, const void* rt,
+                               int rt_f32, const int64_t* cluster,
+                               int64_t n, char** out_buf,
+                               int threads) noexcept {
+  try {
+    return fc_csv_format_rows_u32_impl(fn_data, fn_width, id_data, id_width,
+                                       charge, null_charge, mz, mz_f32, rt,
+                                       rt_f32, cluster, n, out_buf, threads);
+  } catch (...) {
+    return -1;
+  }
+}
+
+void fc_buffer_free(char* p) noexcept { std::free(p); }
 
 }  // extern "C"

@@ -95,9 +95,10 @@ def _run(args: Union[str, List[str], None], cleanup: list,
         "rt_tol", "fragment_tol", "linkage", "distance_threshold",
         "min_matched_peaks", "batch_size", "min_peaks", "min_mz_range",
         "min_mz", "max_mz", "remove_precursor_tol", "min_intensity",
-        "max_peaks_used", "scaling", "backend", "eps", "low_dim",
-        "n_neighbors", "n_neighbors_ann", "n_probe", "min_samples",
-        "ann_index", "hash_seed", "rerank", "representative_method",
+        "max_peaks_used", "scaling", "backend", "cluster_method", "eps",
+        "low_dim", "n_neighbors", "n_neighbors_ann", "n_probe",
+        "min_samples", "ann_index", "hash_seed", "rerank",
+        "representative_method",
         "consensus_min_fraction", "devices", "profile",
     ):
         logger.debug("%s = %s", key, config[key])
@@ -428,6 +429,8 @@ def _generate_for_charge(dataset, mz_min, mz_max):
         dataset,
         eps=config.eps,
         min_samples=config.min_samples,
+        cluster_method=config.cluster_method,
+        linkage=config.linkage,
         min_matches=config.min_matched_peaks,
         precursor_tol_mass=config.precursor_tol[0],
         precursor_tol_mode=config.precursor_tol[1],
@@ -544,6 +547,7 @@ def _write_manifest(f_out) -> None:
                 f"{config.consensus_min_fraction}\n"
             )
     if config.backend == "ann":
+        f_out.write(f"# cluster_method = {config.cluster_method}\n")
         f_out.write(f"# eps = {config.eps}\n")
         f_out.write(f"# low_dim = {config.low_dim}\n")
         f_out.write(f"# n_neighbors = {config.n_neighbors}\n")

@@ -9,10 +9,22 @@ contains it, cf. SURVEY.md §0):
    precursor order makes candidates a contiguous band, so k-NN is banded
    blocked matmuls with fused top-k (``ops/knn.py``), or the from-scratch
    TPU IVF index for very large bands (``ops/ivf.py``);
-3. the sparse pairwise distance matrix (1 - inner product, tolerance-
-   masked) feeds DBSCAN density clustering: with ``min_samples`` core
-   points, eps-reachable core components, and border attachment — via
-   device label propagation (ops/density.py);
+3. cluster formation from the sparse distance matrix
+   (1 - inner product, tolerance-masked), two methods:
+
+   - ``cluster_method="linkage"`` (default): eps-connected components
+     via device label propagation, then the REFERENCE's hierarchical
+     clustering (``--linkage`` criterion, ``fcluster`` cut at eps,
+     reference ``falcon/cluster/cluster.py:280-290``) on exact
+     peak-matching distances inside each component.  Cutting a
+     reducible linkage (single/complete/average) at ``t`` never merges
+     across single-linkage-at-``t`` components, so per-component
+     linkage reproduces the full-matrix flat clusters exactly — the
+     scalable backend produces reference-default labels
+     (tests/test_ann.py parity vs the exact engine).
+   - ``cluster_method="dbscan"``: the published algorithm's density
+     clustering with ``min_samples`` core points, eps-reachable core
+     components, and border attachment (ops/density.py);
 4. the same cluster refinement as the exact engine (precursor m/z / RT
    splitting, noise -> singletons, medoid representatives), so both
    backends share output semantics.
@@ -28,7 +40,11 @@ from ..ops.knn import knn_banded, NEG
 from ..ops.vectorize import SpectrumHasher
 from ..store.store import ChargeDataset, padded_peaks
 from ..utils.profiling import StageTimer
-from .postprocess import cluster_group_slices, postprocess_cluster
+from .postprocess import (
+    cluster_group_slices,
+    cluster_medoids,
+    postprocess_cluster,
+)
 
 logger = logging.getLogger("falcon_tpu")
 
@@ -149,6 +165,92 @@ def _medoid_scores(vectors_dev, seg: np.ndarray, n_seg: int) -> np.ndarray:
     return np.asarray(out[:n])
 
 
+_sparse_medoid_jit = None
+
+
+def _sparse_exact_medoid_scores(sims, neigh, seg: np.ndarray,
+                                n_seg: int) -> np.ndarray:
+    """Per-row medoid scores from the sparse EXACT neighbor lists.
+
+    The reference picks each cluster's medoid by the minimum row-sum of
+    the CLUSTERING distances (``falcon/cluster/cluster.py:512-553``).
+    With distance = 1 - sim, row_sum_i = (|C|-1) - sum_j sim(i, j), so
+    argmin row-sum == argmax of the within-cluster similarity sum.  This
+    computes that sum over the reranked exact neighbor lists on device:
+    each unordered within-cluster pair is counted ONCE (a directed edge
+    a->b is counted iff a < b or the edge is not mutual) and its exact
+    similarity added to both endpoints.  Pairs absent from both rows'
+    top-k lists contribute 0 — i.e. missing distances are taken as the
+    maximum 1 — so the selection is EXACT whenever every within-cluster
+    pair is listed (clusters of size <= k_final + 1 at full recall;
+    tests/test_ann.py::test_dbscan_medoids_match_exact_distances), and a
+    most-connected-core tie-down otherwise.  Replaces the hashed-vector
+    approximation for the rerank paths (round-3 verdict #4).
+
+    ``seg``: per-row cluster id with noise in the spill segment
+    ``n_seg - 1`` (the `_refine_and_medoids` convention).
+    """
+    global _sparse_medoid_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _sparse_medoid_jit is None:
+        @jax.jit
+        def fn(sims, neigh, seg, spill_id):
+            n_pad, k = sims.shape
+            neigh_safe = jnp.clip(neigh, 0, n_pad - 1)
+            valid = (
+                (neigh >= 0)
+                & (seg[:, None] != spill_id)
+                & (seg[neigh_safe] == seg[:, None])
+            )
+            w_all = jnp.where(valid, jnp.maximum(sims, 0.0), 0.0)
+
+            # n_pad is a power of two, so chunks tile it exactly (an
+            # oversized chunk would clamp-index and double-count rows).
+            chunk = min(1024, n_pad)
+
+            def body(scores, i0):
+                i = i0 + jnp.arange(chunk, dtype=jnp.int32)
+                nb = neigh_safe[i]                      # (c, k)
+                # Mutual edge: i appears in its neighbor's own list.
+                mutual = (neigh[nb] == i[:, None, None]).any(-1)
+                counted = valid[i] & ((i[:, None] < nb) | ~mutual)
+                w = jnp.where(counted, w_all[i], 0.0)
+                scores = scores.at[i].add(w.sum(axis=1))
+                tgt = jnp.where(counted, nb, n_pad)
+                scores = scores.at[tgt.reshape(-1)].add(w.reshape(-1))
+                return scores, None
+
+            starts = jnp.arange(0, n_pad, chunk, dtype=jnp.int32)
+            scores0 = jnp.zeros(n_pad + 1, jnp.float32)
+            scores, _ = jax.lax.scan(body, scores0, starts)
+            return scores[:n_pad]
+
+        _sparse_medoid_jit = fn
+
+    n = len(seg)
+    n_pad = 512
+    while n_pad < sims.shape[0]:
+        n_pad *= 2
+    if sims.shape[0] != n_pad:
+        # Host (e.g. IVF-path) arrays arrive unpadded; device arrays are
+        # already power-of-two bucketed upstream.
+        s = np.full((n_pad, sims.shape[1]), -2.0, np.float32)
+        s[: sims.shape[0]] = np.asarray(sims)
+        g = np.full((n_pad, neigh.shape[1]), -1, np.int32)
+        g[: neigh.shape[0]] = np.asarray(neigh)
+        sims, neigh = s, g
+    # Pad seg to match, parking padded rows in the spill segment.
+    seg_pad = np.full(n_pad, n_seg - 1, np.int32)
+    seg_pad[:n] = seg
+    out = _sparse_medoid_jit(
+        jnp.asarray(sims), jnp.asarray(neigh, jnp.int32),
+        jnp.asarray(seg_pad), jnp.int32(n_seg - 1),
+    )
+    return np.asarray(out[:n])
+
+
 def generate_clusters(
     dataset: ChargeDataset,
     eps: float,
@@ -171,6 +273,8 @@ def generate_clusters(
     rerank: str = "exact",
     devices: Optional[int] = None,
     ann_index: Optional[str] = None,
+    cluster_method: str = "linkage",
+    linkage: str = "complete",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Cluster one charge bucket with the vectorized ANN pipeline.
 
@@ -183,6 +287,14 @@ def generate_clusters(
     'exact' replaces hash + search + rerank with the hash-free banded
     exact-cosine top-k (``ops/exact_knn.py``) — recall@k = 1.0 vs exact
     cosine by construction, the oracle path PARITY.md advertises.
+
+    ``cluster_method="linkage"`` (default) forms clusters with the
+    reference's hierarchical clustering (``linkage`` criterion, cut at
+    ``eps``) on exact peak-matching distances inside each eps-connected
+    component of the neighbor graph; ``min_samples`` is ignored (the
+    reference's fixed minimum cluster size of 2 applies).
+    ``cluster_method="dbscan"`` keeps the published algorithm's density
+    clustering.
     """
     import jax.numpy as jnp  # deferred: keep module import light
 
@@ -331,6 +443,7 @@ def generate_clusters(
                     # within-block sharded pipeline.
                     None if block_devices is not None else devices,
                     exact_index,
+                    cluster_method, linkage,
                 )
         finally:
             block_timer.finish()
@@ -384,12 +497,19 @@ def _cluster_range(
     hasher, pad_to, eps, min_samples, min_matches, precursor_tol_mass,
     precursor_tol_mode, rt_tol, fragment_tol, n_neighbors,
     n_neighbors_ann, n_probe, use_ivf, rerank, devices,
-    exact_index=False,
+    exact_index=False, cluster_method="linkage", linkage="complete",
 ):
     """Cluster one device block (a sorted precursor-m/z range).
 
     Returns (labels in sorted-range order, -1 = noise, numbered from 0;
     medoid dataset-row ids, noise singletons first)."""
+    # Linkage mode: the device graph stage only has to find the
+    # eps-connected COMPONENTS (min_samples=1 makes every point core, so
+    # DBSCAN degenerates to the transitive closure of the eps graph);
+    # hierarchical clustering inside each component happens on host with
+    # exact distances (_linkage_refine_and_medoids).
+    if cluster_method == "linkage":
+        min_samples = 1
     k_final = min(n_neighbors, max(n - 1, 1))
     # The exact index produces exact scores directly — no rerank stage.
     do_rerank = rerank == "exact" and not exact_index
@@ -451,6 +571,12 @@ def _cluster_range(
         )
         labels, medoid_scores_fn = labels
 
+    if cluster_method == "linkage":
+        return _linkage_refine_and_medoids(
+            timer, labels, order, mz_sorted, rt_sorted, n, offsets,
+            mz_flat, int_flat, pad_to, linkage, eps, min_matches,
+            fragment_tol, precursor_tol_mass, precursor_tol_mode, rt_tol,
+        )
     return _refine_and_medoids(
         timer, labels, order, mz_sorted, rt_sorted, n,
         precursor_tol_mass, precursor_tol_mode, rt_tol, min_samples,
@@ -733,10 +859,135 @@ def _single_device_chain(
 
     labels = dbscan(sims, neigh, eps, n, min_samples)
 
-    def medoid_scores_fn(seg, n_seg):
-        return _medoid_scores(vectors_dev, seg, n_seg)
+    if do_rerank or exact_index:
+        # The lists hold EXACT peak-matching similarities — medoids come
+        # from the same distances the clustering ran on (reference
+        # min-row-sum rule; round-3 verdict #4).
+        def medoid_scores_fn(seg, n_seg, _s=sims, _g=neigh):
+            return _sparse_exact_medoid_scores(_s, _g, seg, n_seg)
+    else:
+        # rerank="off": clustering itself ran on hashed-vector cosine,
+        # so hashed-vector medoids are the consistent choice (PARITY.md
+        # divergence note).
+        def medoid_scores_fn(seg, n_seg):
+            return _medoid_scores(vectors_dev, seg, n_seg)
 
     return labels, medoid_scores_fn
+
+
+def _linkage_refine_and_medoids(
+    timer, comp, order, mz_sorted, rt_sorted, n, offsets, mz_flat,
+    int_flat, pad_to, linkage, eps, min_matches, fragment_tol,
+    precursor_tol_mass, precursor_tol_mode, rt_tol,
+):
+    """Reference-semantics hierarchical clustering inside eps-components.
+
+    ``comp`` labels each row of the block with its eps-connected
+    component (-1 = not in any >=2-member component).  Each component
+    plays the role of one exact-engine interval: condensed exact
+    peak-matching distances (``ops/pairwise.py``), the native NN-chain
+    linkage + fcluster cut at ``eps`` (``native/falcon_native.cc``;
+    reference ``falcon/cluster/cluster.py:280-290``), the same
+    precursor-m/z / RT refinement, and medoids from the EXACT distance
+    matrix (reference min-row-sum rule, ``cluster.py:512-553``).
+
+    Correctness of the decomposition: every flat cluster of a reducible
+    linkage (single/complete/average) cut at ``t`` lies inside one
+    single-linkage component at ``t`` (all cross-component distances
+    exceed ``t``), and its merges at distance <= ``t`` are unaffected by
+    rows outside the component, so per-component linkage + cut
+    reproduces the full-matrix flat clusters exactly
+    (tests/test_ann.py parity vs the exact engine).  The only
+    approximation left is component DISCOVERY via the k-NN graph — the
+    same recall envelope as the dbscan method.
+
+    Returns (labels, medoids) with the same contract as
+    ``_refine_and_medoids``.
+    """
+    from .. import native
+    from ..ops import pairwise
+
+    timer.stage("linkage")
+    final = np.full(n, -1, np.int32)
+
+    comp = np.asarray(comp, np.int64)
+    order2 = np.argsort(comp, kind="stable")
+    sorted_comp = comp[order2].astype(np.int32)
+    slices = [
+        (s, e) for s, e in cluster_group_slices(sorted_comp)
+        if sorted_comp[s] >= 0
+    ]
+    positions = [order2[s:e] for s, e in slices]
+    noise_pos = order2[sorted_comp == -1]
+
+    def comp_peaks(i):
+        mz_pad, int_pad, _ = padded_peaks(
+            offsets, mz_flat, int_flat, pad_to, order[positions[i]]
+        )
+        return mz_pad, int_pad
+
+    per_comp = {}
+
+    def process(i, pdist):
+        """One component == one exact-engine interval (same flow as
+        engine._cluster_interval, minus the shared-memmap plumbing)."""
+        pos = positions[i]
+        size = len(pos)
+        z = native.linkage(pdist, linkage)
+        flat = native.fcluster(z, eps, n=size)
+        order1 = np.argsort(flat, kind="stable")
+        sorted_labels = flat[order1].astype(np.int32)
+        mzs_c = mz_sorted[pos[order1]]
+        rts_c = rt_sorted[pos[order1]]
+        current = 0
+        for s_i, e_i in list(cluster_group_slices(sorted_labels)):
+            current += postprocess_cluster(
+                sorted_labels[s_i:e_i], mzs_c[s_i:e_i], rts_c[s_i:e_i],
+                precursor_tol_mass, precursor_tol_mode, rt_tol, 2,
+                current,
+            )
+        order2b = np.argsort(sorted_labels, kind="stable")
+        med = cluster_medoids(
+            order[pos[order1][order2b]].astype(np.int64),
+            sorted_labels[order2b], pdist, order1[order2b],
+        )
+        per_comp[i] = (pos[order1], sorted_labels, current, med)
+
+    # Components are small (a handful of spectra up to a few thousand):
+    # small ones are scored in batched size-class panels (a handful of
+    # device dispatches for ALL of them), large ones stream row panels.
+    GROUP_MAX = 1024
+    small = [i for i in range(len(slices))
+             if len(positions[i]) <= GROUP_MAX]
+    large = [i for i in range(len(slices))
+             if len(positions[i]) > GROUP_MAX]
+    if small:
+        for local_i, pdist in pairwise.grouped_condensed_distances(
+            [comp_peaks(i) for i in small], fragment_tol, min_matches,
+        ):
+            process(small[local_i], pdist)
+    for i in large:
+        mz_pad, int_pad = comp_peaks(i)
+        process(i, pairwise.condensed_distances(
+            mz_pad, int_pad, fragment_tol, min_matches,
+        ))
+
+    timer.stage("refine")
+    # Assemble in component order so labels are deterministic regardless
+    # of the batched scoring order above.
+    med_parts = [order[noise_pos].astype(np.int64)]
+    current = 0
+    for i in range(len(slices)):
+        pos_lab, lab, n_cl, med = per_comp[i]
+        mask = lab >= 0
+        lab = lab.astype(np.int32)
+        lab[mask] += current
+        final[pos_lab] = lab
+        current += n_cl
+        med_parts.append(med)
+    medoids = (np.concatenate(med_parts) if med_parts
+               else np.zeros(0, np.int64))
+    return final, medoids
 
 
 def _refine_and_medoids(

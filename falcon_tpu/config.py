@@ -283,7 +283,20 @@ class Config:
             type=int,
             help="[ann backend] Minimum number of samples in a density "
             "neighborhood for a spectrum to be a core point "
-            "(default: %(default)s).",
+            "(default: %(default)s; used by --cluster_method dbscan).",
+        )
+        p.add_argument(
+            "--cluster_method",
+            default="linkage",
+            type=str,
+            choices=["linkage", "dbscan"],
+            help="[ann backend] Cluster formation from the sparse "
+            "neighbor graph: 'linkage' (default) runs the reference's "
+            "hierarchical clustering (--linkage criterion, cut at --eps) "
+            "on exact peak-matching distances inside each eps-connected "
+            "component, so labels match the exact backend; 'dbscan' is "
+            "the published algorithm's density clustering "
+            "(--min_samples).",
         )
         p.add_argument(
             "--ann_index",

@@ -186,7 +186,7 @@ def test_engine_prefilter_matches_exhaustive_dbscan(processed_rows,
     labels_engine, _ = ann_engine.generate_clusters(
         ds, eps=eps, min_samples=min_samples, min_matches=0,
         precursor_tol_mass=20.0, precursor_tol_mode="ppm", rt_tol=None,
-        fragment_tol=0.05, batch_size=2**15,
+        fragment_tol=0.05, batch_size=2**15, cluster_method="dbscan",
     )
 
     # Oracle: exhaustive exact scores within the band -> DBSCAN with the
@@ -572,3 +572,110 @@ def test_band_bounds_cover_f32_kernel_acceptance():
             f"{(~inside).sum()} f32-accepted pairs outside the band "
             f"window (tol_is_da={tol_is_da})"
         )
+
+
+@pytest.mark.parametrize("linkage", ["complete", "average", "single"])
+def test_ann_linkage_matches_exact_engine(processed_rows, tmp_path,
+                                          linkage):
+    """cluster_method='linkage' (the default) reproduces the EXACT
+    backend's labels AND medoids: eps-components from the ANN graph,
+    then the reference's hierarchical clustering on exact distances
+    inside each component (round-3 verdict #1/#4)."""
+    from falcon_tpu import metrics
+    from falcon_tpu.cluster import engine
+
+    rows, _ = processed_rows
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    w = store.writer()
+    w.add_many(rows)
+    w.close()
+    store.save_charges([2])
+    ds = store.dataset(2)
+    labels_ann, med_ann = ann_engine.generate_clusters(
+        ds, eps=0.1, min_samples=2, min_matches=0,
+        precursor_tol_mass=20.0, precursor_tol_mode="ppm", rt_tol=None,
+        fragment_tol=0.05, batch_size=2**15,
+        cluster_method="linkage", linkage=linkage,
+    )
+    labels_ex, med_ex = engine.generate_clusters(
+        ds, linkage, 0.1, 0, 20.0, "ppm", None, 0.05, 2**15,
+    )
+    agree = metrics.pairwise_agreement(labels_ann, labels_ex)
+    assert agree["f1"] == 1.0, agree
+    assert sorted(med_ann.tolist()) == sorted(med_ex.tolist())
+
+
+def test_ann_linkage_rt_tol_matches_exact_engine(processed_rows,
+                                                 tmp_path):
+    """The mz/RT refinement inside linkage mode matches the exact
+    engine when --rt_tol is set."""
+    from falcon_tpu import metrics
+    from falcon_tpu.cluster import engine
+
+    rows, _ = processed_rows
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    w = store.writer()
+    w.add_many(rows)
+    w.close()
+    store.save_charges([2])
+    ds = store.dataset(2)
+    labels_ann, med_ann = ann_engine.generate_clusters(
+        ds, eps=0.1, min_samples=2, min_matches=0,
+        precursor_tol_mass=20.0, precursor_tol_mode="ppm", rt_tol=60.0,
+        fragment_tol=0.05, batch_size=2**15,
+        cluster_method="linkage", linkage="complete",
+    )
+    labels_ex, med_ex = engine.generate_clusters(
+        ds, "complete", 0.1, 0, 20.0, "ppm", 60.0, 0.05, 2**15,
+    )
+    agree = metrics.pairwise_agreement(labels_ann, labels_ex)
+    assert agree["f1"] == 1.0, agree
+    assert sorted(med_ann.tolist()) == sorted(med_ex.tolist())
+
+
+def test_dbscan_medoids_match_exact_distances(processed_rows, tmp_path):
+    """DBSCAN-mode medoids come from the reranked EXACT distances:
+    every cluster's medoid equals the brute-force min-row-sum of exact
+    peak-matching distances over its members (clusters here are smaller
+    than k_final, so every within-cluster pair is listed)."""
+    from falcon_tpu.cluster.oracle import cosine_exact
+
+    rows, _ = processed_rows
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    w = store.writer()
+    w.add_many(rows)
+    w.close()
+    store.save_charges([2])
+    ds = store.dataset(2)
+    labels, medoids = ann_engine.generate_clusters(
+        ds, eps=0.1, min_samples=2, min_matches=0,
+        precursor_tol_mass=20.0, precursor_tol_mode="ppm", rt_tol=None,
+        fragment_tol=0.05, batch_size=2**15, cluster_method="dbscan",
+    )
+    mz, intensity, lengths = _padded(rows)
+
+    def exact_dist(i, j):
+        s, _ = cosine_exact(
+            mz[i][: lengths[i]], intensity[i][: lengths[i]],
+            mz[j][: lengths[j]], intensity[j][: lengths[j]], 0.05,
+        )
+        return 1.0 - s
+
+    med_set = set(medoids.tolist())
+    n_multi = 0
+    for lab in np.unique(labels):
+        members = np.flatnonzero(labels == lab)
+        if len(members) < 2:
+            assert members[0] in med_set
+            continue
+        n_multi += 1
+        sums = np.array([
+            sum(exact_dist(i, j) for j in members if j != i)
+            for i in members
+        ])
+        # Allow ties within f32 kernel tolerance.
+        best = sums <= sums.min() + 1e-4
+        assert any(members[k] in med_set for k in np.flatnonzero(best)), (
+            lab, members, sums,
+        )
+    assert n_multi >= 10  # the fixture must actually exercise clusters

@@ -604,6 +604,46 @@ def _single_device_chain(
         hi_vals = mz_sorted / (1 - precursor_tol_mass / 1e6)
     spans = (np.searchsorted(mz_sorted, hi_vals, side="right")
              - np.searchsorted(mz_sorted, lo_vals, side="left"))
+    # Adaptive neighbor budget for dense bands (round-3 verdict #6):
+    # when precursor bands hold more candidates than the retrieval
+    # width, the k-NN stage silently truncates above-eps-capable
+    # neighbors and retrieval quality degrades with no signal.  Widen
+    # the candidate width in power-of-two steps (compiled shapes stay
+    # cached) up to FALCON_TPU_MAX_NEIGHBORS; if bands exceed even
+    # that, warn with the affected row fraction.
+    span_max = int(spans.max(initial=1)) - 1  # candidates excl. self
+    if not exact_index and span_max > k_ann:
+        budget = int(_os.environ.get("FALCON_TPU_MAX_NEIGHBORS", "1024"))
+        # The (rows, k) sims+neigh arrays must stay inside the ~2 GB
+        # per-stage HBM envelope (CLAUDE.md): cap the widened width so
+        # they total <= 1 GiB at this block's padded row count.
+        n_bucket_est = 512
+        while n_bucket_est < n:
+            n_bucket_est *= 2
+        budget = min(budget, 2**30 // (8 * n_bucket_est))
+        budget = max(budget, k_ann)
+        new_k = k_ann
+        while new_k < min(span_max, budget, max(n - 1, 1)):
+            new_k *= 2
+        new_k = min(new_k, max(n - 1, 1))
+        frac_over = float((spans - 1 > k_ann).mean())
+        if new_k > k_ann:
+            logger.info(
+                "Dense precursor bands (max %d candidates, %.1f%% of "
+                "rows exceed n_neighbors_ann=%d): widening the "
+                "retrieval width to %d (budget %d)",
+                span_max, 100.0 * frac_over, k_ann, new_k, budget,
+            )
+            k_ann = new_k
+        if span_max > k_ann:
+            logger.warning(
+                "%.1f%% of rows have more in-band candidates (max %d) "
+                "than the neighbor budget %d; retrieval may truncate "
+                "true neighbors in those bands (raise "
+                "FALCON_TPU_MAX_NEIGHBORS or --n_neighbors_ann)",
+                100.0 * float((spans - 1 > k_ann).mean()), span_max,
+                k_ann,
+            )
     if exact_index:
         use_ivf = False
     if use_ivf is None:

@@ -319,6 +319,15 @@ def main() -> int:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
+    # Untimed adversarial-quality pass (round-3 verdict #7): a corpus
+    # with shared fragment backbones, chimeras, charge errors, and
+    # near-duplicate twin classes, so purity CAN fail and the metric
+    # carries signal (the easy corpus measures 1.00 purity in every
+    # configuration).  Skipped alongside the agreement pass.
+    if (not _FORCED_CPU
+            and os.environ.get("FALCON_TPU_BENCH_AGREEMENT", "1") != "0"):
+        quality.update(_adversarial_quality(cli))
+
     best = min(run_times)
     value = n_spectra / best
     baseline_rate = n_spectra / baseline_seconds
@@ -352,6 +361,51 @@ def main() -> int:
         **quality,
     }))
     return 0
+
+
+def _adversarial_quality(cli) -> dict:
+    """Purity/completeness on the adversarial corpus (simulate.
+    make_adversarial_spectra): near-duplicate twin classes guarantee
+    purity < 1.00 is attainable, so this number measures over-merge
+    behavior instead of always reading 1.00."""
+    import csv as csv_mod
+
+    from falcon_tpu import metrics
+    from falcon_tpu.simulate import make_adversarial_spectra, write_mgf
+
+    path = os.path.join(CACHE_DIR, "bench_adversarial.mgf")
+    if not os.path.isfile(path):
+        spectra, _ = make_adversarial_spectra(
+            n_clusters=700, cluster_size=10, n_noise=3000, seed=42,
+        )
+        write_mgf(path, spectra)
+    out_dir = tempfile.mkdtemp()
+    try:
+        rc = cli.main([
+            path, os.path.join(out_dir, "adv"),
+            "--work_dir", os.path.join(out_dir, "work"),
+            "--backend", "ann", "--eps", "0.10", "--overwrite",
+        ])
+        if rc != 0:
+            return {"adversarial_error": f"cli exited {rc}"}
+        with open(os.path.join(out_dir, "adv.csv")) as f:
+            rows = [r for r in csv_mod.reader(f)
+                    if not r[0].startswith("#")][1:]
+        idents = [r[1] for r in rows]
+        got = np.asarray([int(r[5]) for r in rows])
+        truth_keys = [i.split("_scan")[0].split("_member")[0]
+                      for i in idents]
+        tmap = {t: i for i, t in enumerate(sorted(set(truth_keys)))}
+        truth = np.asarray([tmap[t] for t in truth_keys])
+        return {
+            "adversarial_purity": round(
+                metrics.cluster_purity(got, truth), 4),
+            "adversarial_completeness": round(
+                metrics.cluster_completeness(got, truth), 4),
+            "adversarial_n": len(got),
+        }
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def _label_agreement(csv_a: str, csv_b: str) -> dict:

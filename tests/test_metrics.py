@@ -81,3 +81,47 @@ def test_pairwise_agreement():
     # all singletons on both sides
     r3 = pairwise_agreement(np.arange(4), np.arange(4) + 10)
     assert r3["f1"] == 1.0
+
+
+def test_adversarial_corpus_stresses_purity():
+    """The adversarial generator's near-duplicate twins put cross-class
+    pairs above 1 - eps, so purity < 1.00 is structurally attainable
+    (round-3 verdict #7: 'a quality corpus that can fail')."""
+    import numpy as np
+
+    from falcon_tpu.cluster.oracle import cosine_exact
+    from falcon_tpu.preprocess import process_spectrum
+    from falcon_tpu.simulate import make_adversarial_spectra
+
+    spectra, labels = make_adversarial_spectra(
+        n_clusters=40, cluster_size=4, n_noise=0, seed=3,
+    )
+    rows, kept = [], []
+    for s, t in zip(spectra, labels):
+        out = process_spectrum(s, 5, 250.0, 101.0, 1500.0, 1.5, 0.01,
+                               50, None)
+        if out is not None:
+            rows.append(out)
+            kept.append(t)
+    kept = np.asarray(kept)
+    # Find a cross-class pair within precursor tolerance whose exact
+    # cosine distance is under eps=0.1 — the oracle-level proof that NO
+    # eps-0.1 clustering can reach purity 1.0 on this corpus.
+    pmz = np.asarray([r["precursor_mz"] for r in rows])
+    chg = np.asarray([r["precursor_charge"] for r in rows])
+    found = False
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if kept[i] == kept[j] or chg[i] != chg[j]:
+                continue
+            if abs(pmz[i] - pmz[j]) / pmz[j] * 1e6 > 20.0:
+                continue
+            s, _ = cosine_exact(rows[i]["mz"], rows[i]["intensity"],
+                                rows[j]["mz"], rows[j]["intensity"],
+                                0.05)
+            if s >= 0.9:
+                found = True
+                break
+        if found:
+            break
+    assert found, "no cross-class pair above 1 - eps; corpus too easy"

@@ -300,33 +300,50 @@ def main() -> int:
             # on eps-connected chains whose direct distance exceeds
             # eps).  Expected near 1.0; recorded, not asserted.
             rc = cli.main([
+                input_path, os.path.join(out_dir, "out_dbscan"),
+                "--work_dir", work_dir,
+                "--backend", "ann", "--eps", "0.10",
+                "--cluster_method", "dbscan", "--overwrite",
+            ])
+            rc2 = cli.main([
                 input_path, os.path.join(out_dir, "out_single"),
                 "--work_dir", work_dir,
                 "--backend", "exact", "--linkage", "single",
                 "--distance_threshold", "0.10",
             ])
-            if rc == 0:
+            if rc == 0 and rc2 == 0:
                 agreement = _label_agreement(
-                    os.path.join(out_dir, "out.csv"),
+                    os.path.join(out_dir, "out_dbscan.csv"),
                     os.path.join(out_dir, "out_single.csv"),
                 )
-                quality["ann_vs_single_linkage_pair_f1"] = round(
+                quality["dbscan_vs_single_linkage_pair_f1"] = round(
                     agreement["f1"], 4)
-                quality["ann_vs_single_linkage_pair_precision"] = round(
-                    agreement["precision"], 4)
-                quality["ann_vs_single_linkage_pair_recall"] = round(
+                quality["dbscan_vs_single_linkage_pair_precision"] = (
+                    round(agreement["precision"], 4))
+                quality["dbscan_vs_single_linkage_pair_recall"] = round(
                     agreement["recall"], 4)
+
+        # Untimed adversarial-quality pass (round-3 verdict #7): a
+        # corpus with shared fragment backbones, chimeras, charge
+        # errors, and near-duplicate twin classes, so purity CAN fail
+        # and the metric carries signal (the easy corpus measures 1.00
+        # purity in every configuration).  Skipped alongside the
+        # agreement pass.
+        if (not _FORCED_CPU
+                and os.environ.get(
+                    "FALCON_TPU_BENCH_AGREEMENT", "1") != "0"):
+            quality.update(_adversarial_quality(cli))
+
+        # Untimed kernel roofline pass (MFU vs the measured envelope).
+        if (not _FORCED_CPU
+                and os.environ.get(
+                    "FALCON_TPU_BENCH_ROOFLINE", "1") != "0"):
+            try:
+                quality.update(_roofline_metrics(work_dir))
+            except Exception as exc:  # diagnostics must not kill it
+                quality["roofline_error"] = str(exc)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-
-    # Untimed adversarial-quality pass (round-3 verdict #7): a corpus
-    # with shared fragment backbones, chimeras, charge errors, and
-    # near-duplicate twin classes, so purity CAN fail and the metric
-    # carries signal (the easy corpus measures 1.00 purity in every
-    # configuration).  Skipped alongside the agreement pass.
-    if (not _FORCED_CPU
-            and os.environ.get("FALCON_TPU_BENCH_AGREEMENT", "1") != "0"):
-        quality.update(_adversarial_quality(cli))
 
     best = min(run_times)
     value = n_spectra / best
@@ -361,6 +378,124 @@ def main() -> int:
         **quality,
     }))
     return 0
+
+
+def _roofline_metrics(work_dir: str) -> dict:
+    """Per-kernel throughput + MFU vs the measured backend envelope
+    (round-3 verdict #5).
+
+    Each hot kernel is timed standalone in its FLOP-dominated regime
+    (real bench spectra tiled up to size; execution forced by an
+    on-device scalar reduction — the tunneled backend's
+    block_until_ready returns early, and fetching the full output would
+    bill ~1 s of D2H transfer to the kernel).  FLOP models:
+
+    - ``knn_scan`` (MXU matmul): 2 * n_pad * window * D — the banded
+      matmul only; top-k excluded.  This is the MXU number the MFU
+      field reports.
+    - ``rerank`` / ``pairwise_panel`` (VPU, locally-dominant matching):
+      effective ops = pairs * P^2 * (2 + 4 * rounds) — the weights
+      build touches P*P cells ~2x and each matching round ~4x.  A
+      MODEL, not a counter: the kernel's early exit does less work on
+      tolerance-sparse real pairs, so the true rate is >= the reported
+      one.
+
+    ``mfu_vs_measured_peak`` divides the knn-scan rate by the measured
+    ~1.2 PFLOP/s pool envelope (big parallel matmul scans through this
+    tunnel, CLAUDE.md 2026-08-17) — the honest speed-of-light for this
+    backend, not a datasheet number.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from falcon_tpu.ops import pairwise
+    from falcon_tpu.ops.knn import band_bounds, _pow2_at_least
+    from falcon_tpu.ops.rerank import rerank_exact
+    from falcon_tpu.ops.vectorize import SpectrumHasher
+    from falcon_tpu.preprocess import get_dim
+    from falcon_tpu.store.store import SpectrumStore, padded_peaks
+
+    store = SpectrumStore(os.path.join(work_dir, "spectra"))
+    charges = store.load_charges() or []
+    if not charges:
+        return {}
+    largest = max(charges, key=lambda z: store.dataset(z).count_rows())
+    ds = store.dataset(largest)
+    offsets, mz_flat, int_flat = ds.read_peaks()
+    n_real = len(offsets) - 1
+    take = np.arange(min(n_real, 65536))
+    mz_p, int_p, _ = padded_peaks(offsets, mz_flat, int_flat, 64, take)
+
+    n = 65536
+    reps = -(-n // len(take))
+    mz_rows = np.tile(mz_p, (reps, 1))[:n].astype(np.float32)
+    int_rows = np.tile(int_p, (reps, 1))[:n].astype(np.float32)
+    # Synthetic precursor spread sized so the tolerance band spans
+    # ~8192 rows: the scan's FLOP-dominated regime.
+    rng = np.random.default_rng(0)
+    mzs = np.sort(rng.uniform(700.0, 700.224, n))
+
+    def timed(fn, runs: int = 3) -> float:
+        ts = []
+        for _ in range(runs):  # first run absorbs compiles
+            t0 = time.time()
+            out = fn()
+            # Scalar reduction forces execution; 4 bytes cross the
+            # tunnel instead of the full output.
+            float(jnp.sum(out.astype(jnp.float32)))
+            ts.append(time.time() - t0)
+        return min(ts[1:])
+
+    out = {}
+    _, mz_min, mz_max = get_dim(101.0, 1500.0, 0.05)
+    hasher = SpectrumHasher(mz_min, mz_max, 0.05, 400, 0)
+    mz_dev, int_dev = jnp.asarray(mz_rows), jnp.asarray(int_rows)
+    vectors = hasher.vectorize(mz_dev, int_dev)
+
+    from falcon_tpu.ops.knn import knn_banded
+
+    # Reproduce the scan's window geometry for the FLOP count.
+    band_lo, band_hi = band_bounds(mzs, 20.0, False)
+    block_rows = 1024
+    max_span = max(
+        int(band_hi[min(b0 + block_rows, n) - 1] - band_lo[b0])
+        for b0 in range(0, n, block_rows)
+    )
+    window = min(_pow2_at_least(max_span, block_rows), n)
+    d_pad = int(vectors.shape[1])
+    knn_flops = 2.0 * n * window * d_pad
+    t_knn = timed(lambda: knn_banded(
+        vectors, mzs, 20.0, "ppm", k=64, as_device=True)[0])
+    out["knn_scan"] = round(knn_flops / t_knn / 1e12, 1)
+
+    sims, neigh = knn_banded(vectors, mzs, 20.0, "ppm", k=64,
+                             as_device=True)
+    k_r = 64
+    neigh64 = neigh[:, :k_r]
+    n_pairs = float(jnp.sum((neigh64 >= 0).astype(jnp.int32)))
+    rounds = 4
+    rerank_ops = n_pairs * 64 * 64 * (2 + 4 * rounds)
+    t_rerank = timed(lambda: rerank_exact(
+        mz_dev, int_dev, neigh64, 0.05, k_r, as_device=True)[0])
+    out["rerank"] = round(rerank_ops / t_rerank / 1e12, 1)
+
+    if pairwise.use_pallas():
+        m_q, m_c = 2048, 4096
+        panel_ops = float(m_q * m_c) * 64 * 64 * (2 + 4 * rounds)
+        t_panel = timed(lambda: pairwise.panel_scores_pallas(
+            mz_dev[:m_q], int_dev[:m_q], mz_dev[:m_c], int_dev[:m_c],
+            jnp.int32(0), 0.05, upper_only=False, with_matches=False,
+        )[0])
+        out["pairwise_panel"] = round(panel_ops / t_panel / 1e12, 1)
+
+    peak = 1200.0  # measured pool envelope, TFLOP/s (CLAUDE.md)
+    return {
+        "stage_tflops": out,
+        "stage_flop_model": "knn=matmul flops; rerank/panel=effective "
+                            "ops model pairs*P^2*(2+4*rounds)",
+        "peak_ref_tflops": peak,
+        "mfu_vs_measured_peak": round(out["knn_scan"] / peak, 4),
+    }
 
 
 def _adversarial_quality(cli) -> dict:

@@ -745,17 +745,42 @@ def _single_device_chain(
         # falcon/cluster/cluster.py:620-626).
         from ..ops.exact_knn import exact_banded_topk
 
+        sims = None
         if devices is not None and devices > 1:
-            logger.warning(
-                "--ann_index exact runs single-device; ignoring "
-                "--devices %d for the k-NN stage", devices,
+            import jax
+
+            if len(jax.devices()) >= devices:
+                from ..parallel.mesh import make_mesh
+                from ..parallel.sharded_exact_index import (
+                    exact_banded_topk_sharded)
+
+                result = exact_banded_topk_sharded(
+                    np.asarray(mz_pad_dev), np.asarray(int_pad_dev),
+                    mz_sorted, precursor_tol_mass, precursor_tol_mode,
+                    k_final, fragment_tol, make_mesh(devices),
+                    rts=rt_sorted if rt_tol is not None else None,
+                    rt_tol=rt_tol, min_matches=min_matches,
+                )
+                if result is None:
+                    logger.warning(
+                        "Precursor band wider than one shard halo; "
+                        "falling back to the single-device exact index"
+                    )
+                else:
+                    sims, neigh = result
+            else:
+                logger.warning(
+                    "Requested %d devices but only %d visible; using "
+                    "the single-device exact index", devices,
+                    len(jax.devices()),
+                )
+        if sims is None:
+            sims, neigh = exact_banded_topk(
+                mz_pad_dev, int_pad_dev, mz_sorted, precursor_tol_mass,
+                precursor_tol_mode, k_final, fragment_tol,
+                rts=rt_sorted if rt_tol is not None else None,
+                rt_tol=rt_tol, min_matches=min_matches,
             )
-        sims, neigh = exact_banded_topk(
-            mz_pad_dev, int_pad_dev, mz_sorted, precursor_tol_mass,
-            precursor_tol_mode, k_final, fragment_tol,
-            rts=rt_sorted if rt_tol is not None else None,
-            rt_tol=rt_tol, min_matches=min_matches,
-        )
     elif use_ivf:
         from ..ops.ivf import IVFIndex
 
@@ -763,16 +788,46 @@ def _single_device_chain(
         # nothing large crosses the host boundary.
         index = IVFIndex(vectors_dev, mz_sorted, n_lists=None, seed=42,
                          precise=not do_rerank)
-        sims, neigh = index.search(
-            vectors_dev, mz_sorted, np.arange(n, dtype=np.int32),
-            min(max(n_neighbors_ann, k_ann), max(n - 1, 1)),
-            n_probe=n_probe, tol_mass=precursor_tol_mass,
-            tol_mode=precursor_tol_mode,
-            # Without an exact rerank the scan similarities feed the eps
-            # threshold directly — keep them float32 (bfloat16 would
-            # shift membership near the threshold).
-            precise=not do_rerank,
-        )
+        k_ivf = min(max(n_neighbors_ann, k_ann), max(n - 1, 1))
+        sims = None
+        if devices is not None and devices > 1:
+            # Multi-chip IVF: corpus slab sharded on the list axis and
+            # ring-rotated over the mesh (parallel/sharded_ivf.py).
+            import jax
+
+            if len(jax.devices()) >= devices:
+                from ..parallel.mesh import make_mesh
+                from ..parallel.sharded_ivf import ivf_search_sharded
+
+                result = ivf_search_sharded(
+                    index, k_ivf, n_probe, precursor_tol_mass,
+                    precursor_tol_mode, make_mesh(devices),
+                    precise=not do_rerank,
+                )
+                if result is None:
+                    logger.warning(
+                        "Mesh size does not divide the IVF list count; "
+                        "falling back to the single-device list scan"
+                    )
+                else:
+                    sims, neigh = result
+            else:
+                logger.warning(
+                    "Requested %d devices but only %d visible; using "
+                    "the single-device IVF scan", devices,
+                    len(jax.devices()),
+                )
+        if sims is None:
+            sims, neigh = index.search(
+                vectors_dev, mz_sorted, np.arange(n, dtype=np.int32),
+                k_ivf,
+                n_probe=n_probe, tol_mass=precursor_tol_mass,
+                tol_mode=precursor_tol_mode,
+                # Without an exact rerank the scan similarities feed the
+                # eps threshold directly — keep them float32 (bfloat16
+                # would shift membership near the threshold).
+                precise=not do_rerank,
+            )
         sims, neigh = sims[:, :k_ann], neigh[:, :k_ann]
         if rt_tol is not None:
             neigh_rt = np.where(

@@ -289,3 +289,127 @@ def test_ann_engine_devices_flag_rt_and_min_matches(tmp_path):
         )
         np.testing.assert_array_equal(labels_1, labels_8)
         np.testing.assert_array_equal(med_1, med_8)
+
+
+def test_ivf_search_sharded_matches_single_device(tmp_path):
+    """The ring-rotated corpus-sharded IVF scan returns the same
+    neighbors as the single-device list scan (round-3 verdict #3)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from falcon_tpu.ops.ivf import IVFIndex
+    from falcon_tpu.ops.vectorize import SpectrumHasher
+    from falcon_tpu.parallel.mesh import make_mesh
+    from falcon_tpu.parallel.sharded_ivf import ivf_search_sharded
+    from falcon_tpu.preprocess import process_spectrum
+    from falcon_tpu.simulate import make_clustered_spectra
+    from falcon_tpu.store.store import padded_peaks
+
+    spectra, _ = make_clustered_spectra(
+        n_clusters=30, cluster_size=6, n_noise=60, seed=9, charges=(2,),
+        precursor_classes=1,
+    )
+    rows = [
+        p for s in spectra
+        if (p := process_spectrum(s, 5, 250, 101.0, 1500.0, 1.5, 0.01,
+                                  50, None)) is not None
+    ]
+    offsets = np.zeros(len(rows) + 1, np.int64)
+    offsets[1:] = np.cumsum([len(r["mz"]) for r in rows])
+    mz_flat = np.concatenate([r["mz"] for r in rows])
+    int_flat = np.concatenate([r["intensity"] for r in rows])
+    pmz = np.asarray([r["precursor_mz"] for r in rows], np.float64)
+    order = np.argsort(pmz, kind="stable")
+    mzs = pmz[order]
+    mz_p, int_p, _ = padded_peaks(offsets, mz_flat, int_flat, 64, order)
+    hasher = SpectrumHasher(101.0, 1500.0, 0.05, 400, 0)
+    vectors = hasher.vectorize(jnp.asarray(mz_p), jnp.asarray(int_p))
+    n = len(rows)
+    k, n_probe = 16, 8
+
+    index = IVFIndex(vectors, mzs, n_lists=16, seed=42, precise=True)
+    s1, i1 = index.search(
+        vectors, mzs, np.arange(n, dtype=np.int32), k,
+        n_probe=n_probe, tol_mass=0.5, tol_mode="Da", precise=True,
+    )
+    for n_dev in (2, 8):
+        s8, i8 = ivf_search_sharded(
+            index, k, n_probe, 0.5, "Da", make_mesh(n_dev),
+            precise=True,
+        )
+        # Same similarity multisets per row (top-k ties may reorder).
+        np.testing.assert_allclose(
+            np.sort(s8, axis=1), np.sort(s1[:, : s8.shape[1]], axis=1),
+            atol=1e-5,
+        )
+        assert ((i8 >= 0) == (i1[:, : i8.shape[1]] >= 0)).all()
+
+
+def test_exact_index_sharded_matches_single_device(tmp_path):
+    """--ann_index exact with --devices N: sharded halo scoring equals
+    the single-device exact index (warning lifted, verdict #3)."""
+    import numpy as np
+
+    from falcon_tpu.cluster import ann_engine
+    from falcon_tpu.ingest import prepare_spectra
+    from falcon_tpu.simulate import make_clustered_spectra, write_mgf
+    from falcon_tpu.store.store import SpectrumStore
+
+    spectra, _ = make_clustered_spectra(
+        n_clusters=15, cluster_size=5, n_noise=20, seed=29
+    )
+    path = write_mgf(str(tmp_path / "in.mgf"), spectra)
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    kwargs = dict(min_peaks=5, min_mz_range=250.0, mz_min=101.0,
+                  mz_max=1500.0, remove_precursor_tolerance=1.5,
+                  min_intensity=0.01, max_peaks_used=50, scaling=None)
+    charges = prepare_spectra(store, [path], kwargs)
+    for charge in charges:
+        ds = store.dataset(charge)
+        if ds.count_rows() < 2:
+            continue
+        common = dict(
+            eps=0.1, min_samples=2, min_matches=0,
+            precursor_tol_mass=20.0, precursor_tol_mode="ppm",
+            rt_tol=None, fragment_tol=0.05, batch_size=2**15,
+            ann_index="exact",
+        )
+        labels_1, med_1 = ann_engine.generate_clusters(ds, **common)
+        labels_8, med_8 = ann_engine.generate_clusters(
+            ds, devices=8, **common
+        )
+        np.testing.assert_array_equal(labels_1, labels_8)
+        np.testing.assert_array_equal(med_1, med_8)
+
+
+def test_ivf_engine_devices_flag(tmp_path):
+    """--ann_index ivf with --devices N routes through the sharded list
+    scan with labels matching the single-device IVF run."""
+    import numpy as np
+
+    from falcon_tpu import metrics
+    from falcon_tpu.cluster import ann_engine
+    from falcon_tpu.ingest import prepare_spectra
+    from falcon_tpu.simulate import make_clustered_spectra, write_mgf
+    from falcon_tpu.store.store import SpectrumStore
+
+    spectra, _ = make_clustered_spectra(
+        n_clusters=20, cluster_size=6, n_noise=30, seed=31, charges=(2,),
+    )
+    path = write_mgf(str(tmp_path / "in.mgf"), spectra)
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    kwargs = dict(min_peaks=5, min_mz_range=250.0, mz_min=101.0,
+                  mz_max=1500.0, remove_precursor_tolerance=1.5,
+                  min_intensity=0.01, max_peaks_used=50, scaling=None)
+    prepare_spectra(store, [path], kwargs)
+    ds = store.dataset(2)
+    common = dict(
+        eps=0.1, min_samples=2, min_matches=0,
+        precursor_tol_mass=20.0, precursor_tol_mode="ppm",
+        rt_tol=None, fragment_tol=0.05, batch_size=2**15,
+        ann_index="ivf", n_neighbors=16, n_neighbors_ann=32, n_probe=8,
+    )
+    labels_1, _ = ann_engine.generate_clusters(ds, **common)
+    labels_8, _ = ann_engine.generate_clusters(ds, devices=8, **common)
+    agree = metrics.pairwise_agreement(labels_1, labels_8)
+    assert agree["f1"] == 1.0, agree

@@ -82,9 +82,9 @@ def main() -> int:
 
     # Exact-cosine oracle on a query sample: column chunks with a
     # device top-k per chunk, merged on host (the full panel OOMs HBM).
-    # The wideband corpus is ONE 20 ppm band, so tolerance masking
-    # reduces to self-exclusion (asserted below).
-    assert (np.abs((mzs[0] - mzs[-1]) / mzs[-1]) * 1e6) <= 20.0
+    # The wideband corpus is (almost) ONE 20 ppm band; the few
+    # out-of-tolerance tail pairs are masked on the host merge, with
+    # per-chunk over-retrieval absorbing the masked slots.
     rng = np.random.default_rng(0)
     n_sample = 2048
     sample = np.sort(rng.choice(n, size=n_sample, replace=False))
@@ -111,12 +111,15 @@ def main() -> int:
                 jnp.asarray(q_mz), jnp.asarray(q_int),
                 mz_dev[c0:c0 + col_chunk], int_dev[c0:c0 + col_chunk],
                 0.05)
-        ts, tp = jax.lax.top_k(sc[:, :width], min(k + 2, width))
+        ts, tp = jax.lax.top_k(sc[:, :width], min(k + 16, width))
         part_sc.append(np.asarray(ts))
         part_id.append(np.asarray(tp) + c0)
     cat_sc = np.concatenate(part_sc, axis=1)
     cat_id = np.concatenate(part_id, axis=1)
     cat_sc[cat_id == sample[:, None]] = -1.0  # self-exclusion
+    ppm = np.abs(
+        (mzs[sample][:, None] - mzs[cat_id]) / mzs[cat_id] * 1e6)
+    cat_sc[ppm > 20.0] = -1.0
     order2 = np.argsort(-cat_sc, axis=1, kind="stable")[:, :k]
     top_sc = np.take_along_axis(cat_sc, order2, axis=1)
     top = np.take_along_axis(cat_id, order2, axis=1)

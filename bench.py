@@ -418,8 +418,8 @@ def main() -> int:
         commit = ""
     print(json.dumps({
         "metric": (
-            "spectra/sec clustered end-to-end "
-            "(50k synthetic MGF, ann backend, eps=0.10, low_dim=400)"
+            "spectra/sec clustered end-to-end (50k synthetic MGF, ann "
+            "backend, cluster_method=linkage, eps=0.10, low_dim=400)"
         ),
         "value": round(value, 2),
         "unit": "spectra/sec",

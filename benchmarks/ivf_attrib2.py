@@ -79,6 +79,7 @@ def main() -> int:
         for c0 in range(0, n_pad, 65536)
     ]
     vectors = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+    del chunks
 
     # Exact-cosine oracle on a query sample: column chunks with a
     # device top-k per chunk, merged on host (the full panel OOMs HBM).
@@ -86,13 +87,13 @@ def main() -> int:
     # out-of-tolerance tail pairs are masked on the host merge, with
     # per-chunk over-retrieval absorbing the masked slots.
     rng = np.random.default_rng(0)
-    n_sample = 2048
+    n_sample = 1024
     sample = np.sort(rng.choice(n, size=n_sample, replace=False))
     t0 = time.time()
     k = 50
     q_mz = np.asarray(mz_dev[sample])
     q_int = np.asarray(int_dev[sample])
-    col_chunk = 16384
+    col_chunk = 8192
     part_sc, part_id = [], []
     for c0 in range(0, n, col_chunk):
         c1 = min(c0 + col_chunk, n)
@@ -112,8 +113,11 @@ def main() -> int:
                 mz_dev[c0:c0 + col_chunk], int_dev[c0:c0 + col_chunk],
                 0.05)
         ts, tp = jax.lax.top_k(sc[:, :width], min(k + 16, width))
+        # Fetch per chunk (serializes the loop): unbounded async
+        # dispatch piles every chunk's panel temporaries into HBM.
         part_sc.append(np.asarray(ts))
         part_id.append(np.asarray(tp) + c0)
+        del sc, ts, tp
     cat_sc = np.concatenate(part_sc, axis=1)
     cat_id = np.concatenate(part_id, axis=1)
     cat_sc[cat_id == sample[:, None]] = -1.0  # self-exclusion

@@ -650,22 +650,14 @@ def _single_device_chain(
         # Auto selection, calibrated by measurement on the target
         # hardware (README "Index selection"): the banded MXU scan
         # sustains ~PFLOP/s effective on this backend and beat the IVF
-        # index at EVERY tested band width (including 50k-row bands at
-        # 250k spectra), because IVF's FLOP savings are outweighed by
-        # its layout overheads (block gathers, per-list dispatch).  The
-        # banded path is therefore preferred until its column window
-        # would dominate HBM; IVF remains available via
-        # ``--ann_index ivf``.
-        window = 512
-        while window < int(spans.max(initial=1)):
-            window *= 2
-        window = min(window, n)
-        use_ivf = window * hasher.dim_padded * 4 > 2**30
-        if use_ivf:
-            logger.info(
-                "Auto-selected IVF index (band window %d rows would "
-                "exceed the banded scan's HBM budget)", window,
-            )
+        # index at EVERY tested band width, and since round 4 it
+        # STREAMS column chunks with a running top-k (ops/knn.py), so
+        # no band width exceeds HBM — the former IVF switch-over, which
+        # traded eps-neighbor recall for memory (measured 0.71 vs the
+        # scan's 1.00 on the wideband corpus, probe-miss dominated:
+        # benchmarks/ivf_attrib3.py, README "Index selection"), is
+        # gone.  IVF remains available via ``--ann_index ivf``.
+        use_ivf = False
     # Tolerance-spread upper-bound prefilter (see ops/vectorize.py
     # docstring): spread_a . plain_b with UNNORMALIZED vectors is a
     # STRICT upper bound on the exact matched-peak score, so candidates

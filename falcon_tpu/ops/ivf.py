@@ -235,6 +235,21 @@ class IVFIndex:
         cap = _bucket(2 * max(1, -(-n // self.n_lists)), 128)
         self.order, counts = _balanced_placement(
             choices, self.n_lists, cap)
+        # Probe-ordering note (round-4 measurement,
+        # benchmarks/ivf_attrib3.py): on the wideband corpus ~97% of
+        # the index's eps-relevant recall misses are PROBE misses, with
+        # the true neighbor's list at median rank ~117/256 in this
+        # centroid-similarity probe order — i.e. near-random.  A
+        # member-aware ordering (rank lists by how many of a list's
+        # members name them among their own top-8 centroid choices) was
+        # implemented and MEASURED NO BETTER (eps recall 0.713 vs
+        # 0.721 at n_probe=32), because the hashed embedding itself
+        # scatters eps-similar spectra across unrelated centroids
+        # (fragment-bin splits under m/z jitter).  The production
+        # answer to that regime is the column-streamed banded scan
+        # (ops/knn.py), which is exact within the band; this index
+        # stays available via --ann_index ivf with its measured recall
+        # documented in README "Index selection".
         self.mzs = np.asarray(precursor_mzs, np.float64)[self.order]
         self.rows = self.order.astype(np.int32)
         self.offsets = np.zeros(self.n_lists + 1, np.int64)

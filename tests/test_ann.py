@@ -738,3 +738,34 @@ def test_dense_band_adaptive_neighbor_budget(tmp_path, caplog):
         del _os.environ["FALCON_TPU_MAX_NEIGHBORS"]
     assert any("than the neighbor budget" in r.message
                for r in caplog.records)
+
+
+def test_knn_banded_column_streaming_parity(monkeypatch):
+    """Column-streamed banded scan (running top-k over window chunks)
+    returns exactly the single-window results — the wideband regime now
+    runs the same exact scan with bounded HBM (round-3 verdict #2)."""
+    rng = np.random.default_rng(8)
+    n, d = 1500, 128
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    # One wide band: every row within tolerance of every other.
+    mzs = np.sort(rng.uniform(700.0, 700.005, n))
+    k = 16
+    s_ref, i_ref = knn_banded(vectors, mzs, 20.0, "ppm", k,
+                              exact_topk=True)
+    monkeypatch.setenv("FALCON_TPU_KNN_COL_CHUNK", "512")
+    s_str, i_str = knn_banded(vectors, mzs, 20.0, "ppm", k,
+                              exact_topk=True)
+    np.testing.assert_allclose(np.sort(s_str, axis=1),
+                               np.sort(s_ref, axis=1), atol=1e-6)
+    assert ((i_str >= 0) == (i_ref >= 0)).all()
+    # Asymmetric (prefilter-style) queries stream identically.
+    q = rng.normal(size=(n, d)).astype(np.float32)
+    s_ref2, _ = knn_banded(vectors, mzs, 20.0, "ppm", k,
+                           exact_topk=True, q_vectors=q)
+    monkeypatch.delenv("FALCON_TPU_KNN_COL_CHUNK")
+    monkeypatch.setenv("FALCON_TPU_KNN_COL_CHUNK", "256")
+    s_str2, _ = knn_banded(vectors, mzs, 20.0, "ppm", k,
+                           exact_topk=True, q_vectors=q)
+    np.testing.assert_allclose(np.sort(s_str2, axis=1),
+                               np.sort(s_ref2, axis=1), atol=1e-5)

@@ -13,13 +13,16 @@ Usage::
     python benchmarks/scale_bench.py run-config4   (config #4, 50k)
 
 ``gen-wideband`` puts EVERY precursor inside one 20 ppm window, so the
-whole corpus is a single precursor band — the regime the IVF index
-exists for (the banded scan's column window would exceed its HBM
-budget, ``ann_engine`` auto-selects IVF).  ``run-wideband`` compares
-index choices there; pass ``--ann_index brute`` to force the banded
-scan.  The sampled-recall quality pass is skipped for this corpus (the
-exact oracle over a 1M-row band is the quadratic work the index
-avoids); CSV purity/completeness are still reported.
+whole corpus is a single precursor band — the beyond-HBM band regime.
+Since round 4 the default (auto) path handles it with the
+column-STREAMED exact banded scan (``ops/knn.py``; the former IVF
+switch-over traded eps-neighbor recall for memory, measured in
+``benchmarks/ivf_attrib3.py``).  ``run-wideband`` compares index
+choices there (``--ann_index ivf`` forces the index).  The
+sampled-recall quality pass is skipped for this corpus (the exact
+oracle over a full-corpus band is quadratic; the dedicated
+``ivf_attrib*.py`` scripts measure recall in this regime on a sampled
+oracle); CSV purity/completeness are still reported.
 
 Corpora are cached under ``.bench_cache/`` (gitignored); ``run-*`` prints
 one JSON line with wall-clock, spectra/sec, and peak RSS, and logs the

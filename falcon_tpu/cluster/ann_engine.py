@@ -7,8 +7,10 @@ contains it, cf. SURVEY.md §0):
    vectors (``ops/vectorize.py``) — MXU-friendly scatter + matmuls;
 2. k-nearest neighbors within the precursor m/z tolerance: the sorted
    precursor order makes candidates a contiguous band, so k-NN is banded
-   blocked matmuls with fused top-k (``ops/knn.py``), or the from-scratch
-   TPU IVF index for very large bands (``ops/ivf.py``);
+   blocked matmuls with fused top-k, column-STREAMED for bands beyond
+   HBM (``ops/knn.py``); the from-scratch TPU IVF index stays available
+   via ``--ann_index ivf`` (``ops/ivf.py``; measured recall in that
+   regime documented in README "Index selection");
 3. cluster formation from the sparse distance matrix
    (1 - inner product, tolerance-masked), two methods:
 
@@ -572,6 +574,10 @@ def _cluster_range(
         labels, medoid_scores_fn = labels
 
     if cluster_method == "linkage":
+        # Drop the chain's medoid closure: it pins the (rows, k) sims/
+        # neigh (or vector) device arrays, and linkage mode computes
+        # medoids from per-component exact distances instead.
+        medoid_scores_fn = None
         return _linkage_refine_and_medoids(
             timer, labels, order, mz_sorted, rt_sorted, n, offsets,
             mz_flat, int_flat, pad_to, linkage, eps, min_matches,
@@ -717,11 +723,21 @@ def _single_device_chain(
         return (spread_chunks[0] if len(spread_chunks) == 1
                 else jnp.concatenate(spread_chunks))
     del chunks
-    # Normalized vectors serve cosine search (hashed/IVF paths) and the
-    # medoid reduction; the unnormalized pair feeds the prefilter bound.
-    vectors_dev = _normalize_rows(plain_unnorm)
+    # Normalized vectors serve the hashed/IVF cosine search, the
+    # non-prefilter banded search, and the hashed-medoid fallback; the
+    # unnormalized pair feeds the prefilter bound.  Built LAZILY: on
+    # the prefilter + exact-rerank default path (where medoids come
+    # from the sparse exact lists) they are never needed, and at a
+    # 2^19-row wideband block the (rows, D) f32 slab is 1 GB of HBM
+    # that tipped the worker over (measured crash, 500k one-band run).
+    _vectors_cache = []
 
-    _sync(vectors_dev)
+    def get_vectors_dev():
+        if not _vectors_cache:
+            _vectors_cache.append(_normalize_rows(plain_unnorm))
+        return _vectors_cache[0]
+
+    _sync(plain_unnorm)
     timer.stage("knn")
     # 2. k-NN within the precursor band: banded brute force (exact within
     # the band) by default, or the from-scratch TPU IVF index for very
@@ -778,6 +794,7 @@ def _single_device_chain(
 
         # The device-resident hashed vectors go straight into the index;
         # nothing large crosses the host boundary.
+        vectors_dev = get_vectors_dev()
         index = IVFIndex(vectors_dev, mz_sorted, n_lists=None, seed=42,
                          precise=not do_rerank)
         k_ivf = min(max(n_neighbors_ann, k_ann), max(n - 1, 1))
@@ -841,7 +858,7 @@ def _single_device_chain(
             if len(jax.devices()) >= devices:
                 mesh = make_mesh(devices)
                 result = knn_banded_sharded(
-                    np.asarray(vectors_dev[:n]), mz_sorted,
+                    np.asarray(get_vectors_dev()[:n]), mz_sorted,
                     precursor_tol_mass, precursor_tol_mode, k_ann, mesh,
                 )
                 if result is None:
@@ -875,11 +892,18 @@ def _single_device_chain(
                 rt_tol=rt_tol, as_device=True, exact_topk=True,
                 q_vectors=make_spread(),
             )
+            # Release the UB slabs: at a 2^19-row wideband block the
+            # plain + spread (rows, D) arrays are 2 GB of HBM and
+            # nothing downstream reads them (the exact rerank gathers
+            # peaks; medoids read the sparse exact lists — prefilter
+            # implies do_rerank, so get_vectors_dev is never called).
+            plain_unnorm = None
+            _vectors_cache.clear()
         elif sims is None:
             # Results stay on device (padded) — the density stage
             # consumes them in place; nothing large is fetched.
             sims, neigh = knn_banded(
-                vectors_dev, mz_sorted, precursor_tol_mass,
+                get_vectors_dev(), mz_sorted, precursor_tol_mass,
                 precursor_tol_mode, k=k_ann, rts=rt_sorted, rt_tol=rt_tol,
                 as_device=True, exact_topk=not do_rerank,
             )
@@ -957,7 +981,7 @@ def _single_device_chain(
         # so hashed-vector medoids are the consistent choice (PARITY.md
         # divergence note).
         def medoid_scores_fn(seg, n_seg):
-            return _medoid_scores(vectors_dev, seg, n_seg)
+            return _medoid_scores(get_vectors_dev(), seg, n_seg)
 
     return labels, medoid_scores_fn
 

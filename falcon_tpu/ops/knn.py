@@ -5,9 +5,9 @@ among spectra within the precursor m/z tolerance (reference
 ``README.md:132-142``; per-bucket Faiss IVF indexes).  TPU-native design:
 spectra are already sorted by precursor m/z, so the tolerance constraint
 makes the candidate set a contiguous *band* around the diagonal — k-NN
-becomes banded blocked matmuls on the MXU with a fused top-k, no inverted
-index needed until bands outgrow HBM (see ``ops/ivf.py`` for that
-regime).
+becomes banded blocked matmuls on the MXU with a fused top-k; bands
+beyond HBM stream their column windows in chunks with a running top-k
+merge (no inverted-index switch-over — ``ops/ivf.py`` documents why).
 
 The whole search is ONE jitted ``lax.scan`` over row blocks: each step
 dynamic-slices a fixed-width column window out of the device-resident
@@ -227,10 +227,10 @@ def knn_banded(
     already masked) — fetch nothing, chain into the rerank / density
     stages.  The RT filter is applied on device in that case.
 
-    Requires the widest precursor band to fit in one column window
-    (which holds whenever n <= the IVF switch-over threshold); the
-    window is the power-of-two envelope of the widest band plus a row
-    block, capped at n_pad.
+    The column window is the power-of-two envelope of the widest band
+    plus a row block, capped at n_pad, and is STREAMED through HBM in
+    fixed-size chunks with a running top-k merge — any band width runs
+    in bounded memory (no index switch-over).
     """
     n = len(precursor_mzs)
     mzs = np.asarray(precursor_mzs, np.float64)

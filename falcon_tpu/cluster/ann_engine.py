@@ -620,13 +620,16 @@ def _single_device_chain(
     span_max = int(spans.max(initial=1)) - 1  # candidates excl. self
     if not exact_index and span_max > k_ann:
         budget = int(_os.environ.get("FALCON_TPU_MAX_NEIGHBORS", "1024"))
-        # The (rows, k) sims+neigh arrays must stay inside the ~2 GB
-        # per-stage HBM envelope (CLAUDE.md): cap the widened width so
-        # they total <= 1 GiB at this block's padded row count.
+        # Measured-safe widening envelope (2026-08-19, standalone
+        # repro on the real chip): the scan with widened k=256 at a
+        # 262144-row padded block crashed the TPU worker at every
+        # dispatch/chunk granularity, while k=256 at 131072 rows and
+        # k=128 at 262144 rows both pass — so cap the widened (rows, k)
+        # neighbor arrays at 2^28 bytes (k * rows * 8).
         n_bucket_est = 512
         while n_bucket_est < n:
             n_bucket_est *= 2
-        budget = min(budget, 2**30 // (8 * n_bucket_est))
+        budget = min(budget, 2**28 // (8 * n_bucket_est))
         budget = max(budget, k_ann)
         new_k = k_ann
         while new_k < min(span_max, budget, max(n - 1, 1)):

@@ -86,8 +86,10 @@ def _banded_topk(
     q_vectors: Optional[jnp.ndarray] = None,  # asymmetric query matrix
     q_mzs: Optional[jnp.ndarray] = None,      # query m/z when distinct
     exclude_diag: bool = True,
+    row_offset=0,  # traced: first query row this dispatch covers
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One-dispatch banded top-k: scan over row blocks on device.
+    """Banded top-k for ``len(col_starts)`` row blocks starting at
+    ``row_offset``: one scan over row blocks on device.
 
     ``col_chunk`` (0 = the full window) STREAMS each block's column
     window through HBM in fixed-size chunks with a running top-k merge,
@@ -95,6 +97,11 @@ def _banded_topk(
     band width — the wideband/beyond-HBM regime runs the same exact
     scan instead of switching indexes (round-3 verdict #2: the IVF
     switch-over traded recall for memory; streaming trades neither).
+
+    ``row_offset`` + the per-dispatch block count let the caller split
+    very large scans into several bounded dispatches (one 500k-row
+    one-band program ran for minutes and crashed the pooled worker;
+    ``knn_banded`` caps per-dispatch FLOPs instead).
 
     ``exclude_diag`` drops pairs whose query and column POSITIONS match
     (self-pairs when queries are the columns); disable it when query
@@ -105,14 +112,14 @@ def _banded_topk(
         q_vectors = vectors
     if q_mzs is None:
         q_mzs = mzs
-    n_blocks = q_vectors.shape[0] // block_rows
+    n_blocks = col_starts.shape[0]
     if col_chunk <= 0 or col_chunk > window:
         col_chunk = window
     n_cchunks = window // col_chunk
     k_c = min(k, col_chunk)
 
-    def step(_, b):
-        r0 = b * block_rows
+    def step(row_offset, b):
+        r0 = row_offset + b * block_rows
         c0 = col_starts[b]
         q = jax.lax.dynamic_slice_in_dim(q_vectors, r0, block_rows)
         q_mz = jax.lax.dynamic_slice_in_dim(q_mzs, r0, block_rows)
@@ -166,12 +173,13 @@ def _banded_topk(
         (top_scores, top_idx), _ = jax.lax.scan(
             cstep, init, jnp.arange(n_cchunks, dtype=jnp.int32)
         )
-        return 0, (top_scores, top_idx)
+        return row_offset, (top_scores, top_idx)
 
     _, (scores, idx) = jax.lax.scan(
-        step, 0, jnp.arange(n_blocks, dtype=jnp.int32)
+        step, jnp.asarray(row_offset, jnp.int32),
+        jnp.arange(n_blocks, dtype=jnp.int32),
     )
-    nq = q_vectors.shape[0]
+    nq = n_blocks * block_rows
     return (
         scores.reshape(nq, k_c),
         idx.reshape(nq, k_c),
@@ -304,13 +312,48 @@ def knn_banded(
     v_dev = to_dev(vectors)
     mz_pad = np.full(n_pad, np.inf, np.float32)
     mz_pad[:n] = mzs
-    scores, idx = _banded_topk(
-        v_dev, jnp.asarray(mz_pad), jnp.asarray(starts),
-        jnp.float32(tol_mass), int(min(k, window)), tol_is_da,
-        int(block_rows), int(window), col_chunk=int(col_chunk),
-        exact_topk=bool(exact_topk),
-        q_vectors=None if q_vectors is None else to_dev(q_vectors),
-    )
+    mz_dev = jnp.asarray(mz_pad)
+    q_dev = None if q_vectors is None else to_dev(q_vectors)
+    # Bound one dispatch's matmul work: a single program that runs for
+    # minutes gets its worker killed on the pooled backend (measured:
+    # the 500k one-band scan, ~280 PFLOP in one program, crashed the
+    # worker ~60 s into execution at every chunk size; split into
+    # ~5 PFLOP dispatches it completes).  Grouping row blocks into
+    # equal-sized dispatches keeps one compiled executable and adds
+    # ~41 ms per extra dispatch — noise next to seconds of matmul.
+    flops_per_block = 2.0 * block_rows * window * d
+    cap_pflops = float(_os.environ.get(
+        "FALCON_TPU_KNN_DISPATCH_PFLOPS", "5"))
+    per_dispatch = max(1, int(cap_pflops * 1e15 / max(flops_per_block,
+                                                      1.0)))
+    n_blocks_total = len(starts)
+    if per_dispatch >= n_blocks_total:
+        scores, idx = _banded_topk(
+            v_dev, mz_dev, jnp.asarray(starts),
+            jnp.float32(tol_mass), int(min(k, window)), tol_is_da,
+            int(block_rows), int(window), col_chunk=int(col_chunk),
+            exact_topk=bool(exact_topk), q_vectors=q_dev,
+        )
+    else:
+        pad_blocks = (-n_blocks_total) % per_dispatch
+        starts_pad = np.concatenate([
+            starts,
+            np.full(pad_blocks, max(n_pad - window, 0), np.int32),
+        ])
+        parts_s, parts_i = [], []
+        for g0 in range(0, len(starts_pad), per_dispatch):
+            s_g, i_g = _banded_topk(
+                v_dev, mz_dev,
+                jnp.asarray(starts_pad[g0:g0 + per_dispatch]),
+                jnp.float32(tol_mass), int(min(k, window)), tol_is_da,
+                int(block_rows), int(window), col_chunk=int(col_chunk),
+                exact_topk=bool(exact_topk), q_vectors=q_dev,
+                row_offset=g0 * block_rows,
+            )
+            parts_s.append(s_g)
+            parts_i.append(i_g)
+        scores = jnp.concatenate(parts_s)[:n_pad]
+        idx = jnp.concatenate(parts_i)[:n_pad]
     if as_device:
         # Mask out-of-range neighbor ids (padded rows of the column
         # windows) and optionally RT-filter, all on device.

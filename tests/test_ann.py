@@ -769,3 +769,24 @@ def test_knn_banded_column_streaming_parity(monkeypatch):
                            exact_topk=True, q_vectors=q)
     np.testing.assert_allclose(np.sort(s_str2, axis=1),
                                np.sort(s_ref2, axis=1), atol=1e-5)
+
+
+def test_knn_banded_dispatch_capping_parity(monkeypatch):
+    """Splitting the banded scan into several bounded dispatches
+    (FLOP-capped row-block groups) returns exactly the single-dispatch
+    results — the guard against minutes-long single programs that get
+    the pooled worker killed."""
+    rng = np.random.default_rng(12)
+    n, d = 3000, 64
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    mzs = np.sort(rng.uniform(400.0, 1200.0, n))
+    k = 8
+    s_ref, i_ref = knn_banded(vectors, mzs, 20.0, "ppm", k,
+                              exact_topk=True)
+    # Cap so low every dispatch holds one row block.
+    monkeypatch.setenv("FALCON_TPU_KNN_DISPATCH_PFLOPS", "1e-9")
+    s_split, i_split = knn_banded(vectors, mzs, 20.0, "ppm", k,
+                                  exact_topk=True)
+    np.testing.assert_array_equal(i_split, i_ref)
+    np.testing.assert_allclose(s_split, s_ref, atol=0)

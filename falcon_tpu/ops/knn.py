@@ -279,17 +279,34 @@ def knn_banded(
     # is bounded at ANY band width; the kernel merges a running top-k
     # across chunks.  Must cover k so the merged width is not narrower
     # than a window-wide top-k would be.
+    #
+    # MEASURED worker-fault envelope (2026-08-19, standalone bisection
+    # on the real chip — 8/8 configs fit): the streamed merge loop
+    # crashes the pooled TPU worker whenever
+    # (window / col_chunk) * k >= 1024, independent of dispatch
+    # granularity, total FLOPs, or resident inputs; every config with
+    # n_chunks * k <= 512 passes with identical checksums.  Halve the
+    # chunk only while the HALVED value still respects that bound.
     col_chunk = window
     d_vec = vectors.shape[1]
-    col_cap = max(block_rows,
-                  _pow2_at_least(min(k, window), 512),
-                  2**27 // (4 * max(d_vec, 1)))
+    k_eff = min(k, window)
+    col_floor = max(block_rows, _pow2_at_least(k_eff, 512))
+    col_cap = max(col_floor, 2**27 // (4 * max(d_vec, 1)))
+
+    def merge_safe(cc: int) -> bool:
+        return (window // cc) * min(k_eff, cc) <= 512
+
     while (col_chunk > col_cap
            or block_rows * col_chunk * 4 > 128 * 2**20):
-        if col_chunk <= max(block_rows, _pow2_at_least(min(k, window),
-                                                       512)):
+        if col_chunk // 2 < col_floor or not merge_safe(col_chunk // 2):
             break
         col_chunk //= 2
+    # A too-big similarity tile (block_rows x col_chunk) is paid with
+    # smaller row blocks instead of more chunks (the merge bound wins).
+    while (block_rows > 256
+           and block_rows * col_chunk * 4 > 256 * 2**20):
+        block_rows //= 2
+        starts, _ = block_windows(block_rows)
     import os as _os
 
     env_cc = _os.environ.get("FALCON_TPU_KNN_COL_CHUNK")

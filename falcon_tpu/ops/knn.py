@@ -70,7 +70,7 @@ def band_bounds(mzs: np.ndarray, tol_mass: float, tol_is_da: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tol_is_da", "block_rows", "window",
-                     "col_chunk", "exact_topk", "exclude_diag"),
+                     "exact_topk", "exclude_diag"),
 )
 def _banded_topk(
     vectors: jnp.ndarray,     # (n_pad, D) L2-normalized, row-padded with 0
@@ -81,7 +81,6 @@ def _banded_topk(
     tol_is_da: bool,
     block_rows: int,
     window: int,
-    col_chunk: int = 0,
     exact_topk: bool = False,
     q_vectors: Optional[jnp.ndarray] = None,  # asymmetric query matrix
     q_mzs: Optional[jnp.ndarray] = None,      # query m/z when distinct
@@ -91,32 +90,25 @@ def _banded_topk(
     """Banded top-k for ``len(col_starts)`` row blocks starting at
     ``row_offset``: one scan over row blocks on device.
 
-    ``col_chunk`` (0 = the full window) STREAMS each block's column
-    window through HBM in fixed-size chunks with a running top-k merge,
-    so the per-step working set is O(block_rows * col_chunk) at ANY
-    band width — the wideband/beyond-HBM regime runs the same exact
-    scan instead of switching indexes (round-3 verdict #2: the IVF
-    switch-over traded recall for memory; streaming trades neither).
-
     ``row_offset`` + the per-dispatch block count let the caller split
-    very large scans into several bounded dispatches (one 500k-row
-    one-band program ran for minutes and crashed the pooled worker;
-    ``knn_banded`` caps per-dispatch FLOPs instead).
+    very large scans into several bounded dispatches, and bands wider
+    than one window are covered with multiple column PASSES whose
+    results merge in a separate tiny dispatch (``knn_banded``).  An
+    in-scan running-top-k merge over column chunks was tried first and
+    crashed the pooled TPU worker at scale (measured envelope:
+    n_chunks * k >= 1024 always faulted); per-pass scans keep every
+    program in the shape class production has exercised for rounds.
 
     ``exclude_diag`` drops pairs whose query and column POSITIONS match
     (self-pairs when queries are the columns); disable it when query
     row i is unrelated to column row i (external queries, ops/ivf.py).
     """
-    n_pad = vectors.shape[0]
     if q_vectors is None:
         q_vectors = vectors
     if q_mzs is None:
         q_mzs = mzs
     n_blocks = col_starts.shape[0]
-    if col_chunk <= 0 or col_chunk > window:
-        col_chunk = window
-    n_cchunks = window // col_chunk
-    k_c = min(k, col_chunk)
+    k_c = min(k, window)
 
     def step(row_offset, b):
         r0 = row_offset + b * block_rows
@@ -124,54 +116,36 @@ def _banded_topk(
         q = jax.lax.dynamic_slice_in_dim(q_vectors, r0, block_rows)
         q_mz = jax.lax.dynamic_slice_in_dim(q_mzs, r0, block_rows)
         q_rows = r0 + jnp.arange(block_rows, dtype=jnp.int32)
-
-        def cstep(carry, cc):
-            best_s, best_i = carry
-            cstart = c0 + cc * col_chunk
-            c = jax.lax.dynamic_slice_in_dim(vectors, cstart, col_chunk)
-            c_mz = jax.lax.dynamic_slice_in_dim(mzs, cstart, col_chunk)
-            sims = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
-            diff = q_mz[:, None] - c_mz[None, :]
-            if tol_is_da:
-                mass_diff = jnp.abs(diff)
-            else:
-                mass_diff = jnp.abs(diff / c_mz[None, :] * 1e6)
-            c_rows = cstart + jnp.arange(col_chunk, dtype=jnp.int32)
-            valid = (
-                (mass_diff <= tol_mass)
-                & jnp.isfinite(c_mz)[None, :]  # candidate padding
-            )
-            if exclude_diag:
-                valid &= q_rows[:, None] != c_rows[None, :]
-            sims = jnp.where(valid, sims, NEG)
-            if exact_topk:
-                # No downstream rerank to absorb misses: exact top-k so
-                # the band search really is "exact within the band".
-                top_scores, top_pos = jax.lax.top_k(sims, k_c)
-            else:
-                # approx_max_k lowers to the TPU PartialReduce op — far
-                # cheaper than the sort-based exact top_k at chunk
-                # widths in the thousands.  recall_target=0.99; the
-                # exact rerank downstream re-ranks candidates anyway.
-                top_scores, top_pos = jax.lax.approx_max_k(
-                    sims, k_c, recall_target=0.99
-                )
-            top_idx = jnp.where(
-                top_scores > NEG, cstart + top_pos.astype(jnp.int32), -1
-            )
-            if n_cchunks == 1:
-                return (top_scores, top_idx), None
-            cat_s = jnp.concatenate([best_s, top_scores], axis=1)
-            cat_i = jnp.concatenate([best_i, top_idx], axis=1)
-            ms, mp = jax.lax.top_k(cat_s, k_c)
-            return (ms, jnp.take_along_axis(cat_i, mp, axis=1)), None
-
-        init = (
-            jnp.full((block_rows, k_c), NEG, jnp.float32),
-            jnp.full((block_rows, k_c), -1, jnp.int32),
+        c = jax.lax.dynamic_slice_in_dim(vectors, c0, window)
+        c_mz = jax.lax.dynamic_slice_in_dim(mzs, c0, window)
+        sims = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+        diff = q_mz[:, None] - c_mz[None, :]
+        if tol_is_da:
+            mass_diff = jnp.abs(diff)
+        else:
+            mass_diff = jnp.abs(diff / c_mz[None, :] * 1e6)
+        c_rows = c0 + jnp.arange(window, dtype=jnp.int32)
+        valid = (
+            (mass_diff <= tol_mass)
+            & jnp.isfinite(c_mz)[None, :]  # candidate padding
         )
-        (top_scores, top_idx), _ = jax.lax.scan(
-            cstep, init, jnp.arange(n_cchunks, dtype=jnp.int32)
+        if exclude_diag:
+            valid &= q_rows[:, None] != c_rows[None, :]
+        sims = jnp.where(valid, sims, NEG)
+        if exact_topk:
+            # No downstream rerank to absorb misses: exact top-k so the
+            # band search really is "exact within the band".
+            top_scores, top_pos = jax.lax.top_k(sims, k_c)
+        else:
+            # approx_max_k lowers to the TPU PartialReduce op — far
+            # cheaper than the sort-based exact top_k at window widths
+            # in the thousands.  recall_target=0.99; the exact rerank
+            # downstream re-ranks candidates anyway.
+            top_scores, top_pos = jax.lax.approx_max_k(
+                sims, k_c, recall_target=0.99
+            )
+        top_idx = jnp.where(
+            top_scores > NEG, c0 + top_pos.astype(jnp.int32), -1
         )
         return row_offset, (top_scores, top_idx)
 
@@ -184,6 +158,15 @@ def _banded_topk(
         scores.reshape(nq, k_c),
         idx.reshape(nq, k_c),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_topk(s1, i1, s2, i2, k: int):
+    """Merge two (rows, k') top-k result pairs into the best k."""
+    cat_s = jnp.concatenate([s1, s2], axis=1)
+    cat_i = jnp.concatenate([i1, i2], axis=1)
+    ms, mp = jax.lax.top_k(cat_s, k)
+    return ms, jnp.take_along_axis(cat_i, mp, axis=1)
 
 
 @jax.jit
@@ -274,45 +257,30 @@ def knn_banded(
         if block_rows <= 512 or block_rows * window * 4 <= 128 * 2**20:
             break
         block_rows //= 2
-    # Column streaming: cap the per-step column slab (col_chunk x D
-    # floats) and similarity tile (block_rows x col_chunk) so HBM use
-    # is bounded at ANY band width; the kernel merges a running top-k
-    # across chunks.  Must cover k so the merged width is not narrower
-    # than a window-wide top-k would be.
-    #
-    # MEASURED worker-fault envelope (2026-08-19, standalone bisection
-    # on the real chip — 8/8 configs fit): the streamed merge loop
-    # crashes the pooled TPU worker whenever
-    # (window / col_chunk) * k >= 1024, independent of dispatch
-    # granularity, total FLOPs, or resident inputs; every config with
-    # n_chunks * k <= 512 passes with identical checksums.  Halve the
-    # chunk only while the HALVED value still respects that bound.
-    col_chunk = window
-    d_vec = vectors.shape[1]
-    k_eff = min(k, window)
-    col_floor = max(block_rows, _pow2_at_least(k_eff, 512))
-    col_cap = max(col_floor, 2**27 // (4 * max(d_vec, 1)))
-
-    def merge_safe(cc: int) -> bool:
-        return (window // cc) * min(k_eff, cc) <= 512
-
-    while (col_chunk > col_cap
-           or block_rows * col_chunk * 4 > 128 * 2**20):
-        if col_chunk // 2 < col_floor or not merge_safe(col_chunk // 2):
-            break
-        col_chunk //= 2
-    # A too-big similarity tile (block_rows x col_chunk) is paid with
-    # smaller row blocks instead of more chunks (the merge bound wins).
-    while (block_rows > 256
-           and block_rows * col_chunk * 4 > 256 * 2**20):
-        block_rows //= 2
-        starts, _ = block_windows(block_rows)
+    # Column passes: a band wider than one sub-window is covered by
+    # several scans over adjacent column sub-windows, merged by a
+    # separate top-k dispatch (_merge_topk) — per-program memory is
+    # O(block_rows x sub_window) at ANY band width.  (An in-scan
+    # running merge was tried first and reproducibly crashed the
+    # pooled TPU worker once n_chunks * k reached 1024; separate
+    # ordinary-shaped programs do not.)
     import os as _os
 
+    d_vec = vectors.shape[1]
+    k_eff = min(k, window)
+    sub_window = window
+    sub_floor = max(block_rows, _pow2_at_least(k_eff, 512))
+    sub_cap = max(sub_floor, 2**27 // (4 * max(d_vec, 1)))
+    while ((sub_window > sub_cap
+            or block_rows * sub_window * 4 > 128 * 2**20)
+           and sub_window // 2 >= sub_floor):
+        sub_window //= 2
     env_cc = _os.environ.get("FALCON_TPU_KNN_COL_CHUNK")
-    if env_cc:  # test hook: force streaming at small scales
-        col_chunk = min(window, _pow2_at_least(int(env_cc), 128))
-    # Clamp starts so every window stays in bounds.
+    if env_cc:  # test hook: force multi-pass coverage at small scales
+        sub_window = min(window, _pow2_at_least(int(env_cc), 128))
+    n_passes = window // sub_window
+    # Clamp starts so every block's FULL window stays in bounds (then
+    # every pass start + sub_window <= n_pad as well).
     starts = np.minimum(starts, max(n_pad - window, 0))
 
     d = vectors.shape[1]
@@ -331,44 +299,45 @@ def knn_banded(
     mz_pad[:n] = mzs
     mz_dev = jnp.asarray(mz_pad)
     q_dev = None if q_vectors is None else to_dev(q_vectors)
-    # Bound one dispatch's matmul work: a single program that runs for
-    # minutes gets its worker killed on the pooled backend (measured:
-    # the 500k one-band scan, ~280 PFLOP in one program, crashed the
-    # worker ~60 s into execution at every chunk size; split into
-    # ~5 PFLOP dispatches it completes).  Grouping row blocks into
+    # Bound one dispatch's matmul work: grouping row blocks into
     # equal-sized dispatches keeps one compiled executable and adds
-    # ~41 ms per extra dispatch — noise next to seconds of matmul.
-    flops_per_block = 2.0 * block_rows * window * d
+    # ~41 ms per extra dispatch — noise next to seconds of matmul —
+    # and keeps every program's run time ordinary on the shared pool.
+    flops_per_block = 2.0 * block_rows * sub_window * d
     cap_pflops = float(_os.environ.get(
         "FALCON_TPU_KNN_DISPATCH_PFLOPS", "5"))
     per_dispatch = max(1, int(cap_pflops * 1e15 / max(flops_per_block,
                                                       1.0)))
     n_blocks_total = len(starts)
-    if per_dispatch >= n_blocks_total:
-        scores, idx = _banded_topk(
-            v_dev, mz_dev, jnp.asarray(starts),
-            jnp.float32(tol_mass), int(min(k, window)), tol_is_da,
-            int(block_rows), int(window), col_chunk=int(col_chunk),
-            exact_topk=bool(exact_topk), q_vectors=q_dev,
-        )
-    else:
-        pad_blocks = (-n_blocks_total) % per_dispatch
-        starts_pad = np.concatenate([
-            starts,
-            np.full(pad_blocks, max(n_pad - window, 0), np.int32),
-        ])
-        parts_s, parts_i = [], []
-        for g0 in range(0, len(starts_pad), per_dispatch):
+    per_dispatch = min(per_dispatch, n_blocks_total)
+    pad_blocks = (-n_blocks_total) % per_dispatch
+    starts_pad = np.concatenate([
+        starts,
+        np.full(pad_blocks, max(n_pad - window, 0), np.int32),
+    ]).astype(np.int32)
+    parts_s, parts_i = [], []
+    for g0 in range(0, len(starts_pad), per_dispatch):
+        group = starts_pad[g0:g0 + per_dispatch]
+        acc_s = acc_i = None
+        for p in range(n_passes):
             s_g, i_g = _banded_topk(
                 v_dev, mz_dev,
-                jnp.asarray(starts_pad[g0:g0 + per_dispatch]),
-                jnp.float32(tol_mass), int(min(k, window)), tol_is_da,
-                int(block_rows), int(window), col_chunk=int(col_chunk),
+                jnp.asarray(group + np.int32(p * sub_window)),
+                jnp.float32(tol_mass), int(k_eff), tol_is_da,
+                int(block_rows), int(sub_window),
                 exact_topk=bool(exact_topk), q_vectors=q_dev,
                 row_offset=g0 * block_rows,
             )
-            parts_s.append(s_g)
-            parts_i.append(i_g)
+            if acc_s is None:
+                acc_s, acc_i = s_g, i_g
+            else:
+                acc_s, acc_i = _merge_topk(acc_s, acc_i, s_g, i_g,
+                                           int(k_eff))
+        parts_s.append(acc_s)
+        parts_i.append(acc_i)
+    if len(parts_s) == 1:
+        scores, idx = parts_s[0][:n_pad], parts_i[0][:n_pad]
+    else:
         scores = jnp.concatenate(parts_s)[:n_pad]
         idx = jnp.concatenate(parts_i)[:n_pad]
     if as_device:

@@ -502,19 +502,28 @@ def _roofline_metrics(work_dir: str) -> dict:
     mz_rows = np.tile(mz_p, (reps, 1))[:n].astype(np.float32)
     int_rows = np.tile(int_p, (reps, 1))[:n].astype(np.float32)
     # Synthetic precursor spread sized so the tolerance band spans
-    # ~8192 rows: the scan's FLOP-dominated regime.
+    # ~half the rows (window 65536): the scan's FLOP-dominated regime
+    # (4.4 TFLOP per dispatch >> the ~20 ms amortized round trip).
     rng = np.random.default_rng(0)
-    mzs = np.sort(rng.uniform(700.0, 700.224, n))
+    mzs = np.sort(rng.uniform(700.0, 700.056, n))
 
-    def timed(fn, runs: int = 3) -> float:
+    def timed(fn, runs: int = 3, reps: int = 16) -> float:
+        """Per-invocation seconds, amortizing the ~0.3 s dispatch +
+        sync round trip over ``reps`` back-to-back dispatches (the
+        device executes them in order, so forcing the last result
+        forces them all); a single-dispatch timing at these sizes is
+        latency-dominated, not kernel-dominated (measured: the 1.1
+        TFLOP scan executes in ~15 ms behind ~0.35 s of round trip)."""
         ts = []
         for _ in range(runs):  # first run absorbs compiles
             t0 = time.time()
-            out = fn()
+            out = None
+            for _ in range(reps):
+                out = fn()
             # Scalar reduction forces execution; 4 bytes cross the
             # tunnel instead of the full output.
             float(jnp.sum(out.astype(jnp.float32)))
-            ts.append(time.time() - t0)
+            ts.append((time.time() - t0) / reps)
         return min(ts[1:])
 
     out = {}
@@ -547,7 +556,8 @@ def _roofline_metrics(work_dir: str) -> dict:
     rounds = 4
     rerank_ops = n_pairs * 64 * 64 * (2 + 4 * rounds)
     t_rerank = timed(lambda: rerank_exact(
-        mz_dev, int_dev, neigh64, 0.05, k_r, as_device=True)[0])
+        mz_dev, int_dev, neigh64, 0.05, k_r, as_device=True)[0],
+        reps=2)
     out["rerank"] = round(rerank_ops / t_rerank / 1e12, 1)
 
     if pairwise.use_pallas():
@@ -556,16 +566,23 @@ def _roofline_metrics(work_dir: str) -> dict:
         t_panel = timed(lambda: pairwise.panel_scores_pallas(
             mz_dev[:m_q], int_dev[:m_q], mz_dev[:m_c], int_dev[:m_c],
             jnp.int32(0), 0.05, upper_only=False, with_matches=False,
-        )[0])
+        )[0], reps=2)
         out["pairwise_panel"] = round(panel_ops / t_panel / 1e12, 1)
 
-    peak = 1200.0  # measured pool envelope, TFLOP/s (CLAUDE.md)
+    # Single-chip v5e bf16 datasheet peak; the scan computes in f32
+    # (the tolerance-spread bound must not round down), so its own
+    # ceiling is ~half this.  The ~1.2 PFLOP/s figure measured earlier
+    # on this tunnel is a POOL aggregate across overlapped dispatches,
+    # not a single-kernel ceiling — wrong denominator for MFU.
+    peak = 197.0
     return {
         "stage_tflops": out,
         "stage_flop_model": "knn=matmul flops; rerank/panel=effective "
                             "ops model pairs*P^2*(2+4*rounds)",
         "peak_ref_tflops": peak,
-        "mfu_vs_measured_peak": round(out["knn_scan"] / peak, 4),
+        "peak_ref": "v5e single-chip bf16 datasheet (knn scan runs "
+                    "f32: ceiling ~halved)",
+        "mfu_vs_chip_peak": round(out["knn_scan"] / peak, 4),
     }
 
 

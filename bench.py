@@ -534,14 +534,25 @@ def _roofline_metrics(work_dir: str) -> dict:
 
     from falcon_tpu.ops.knn import knn_banded
 
-    # Reproduce the scan's window geometry for the FLOP count.
+    # Reproduce the scan's window geometry for the FLOP count,
+    # INCLUDING the kernel's block-shrink rule (block_rows halves while
+    # the (block_rows, window) tile exceeds 128 MB) — a hardcoded
+    # block_rows diverges from the kernel and misstates the MFU.
     band_lo, band_hi = band_bounds(mzs, 20.0, False)
     block_rows = 1024
-    max_span = max(
-        int(band_hi[min(b0 + block_rows, n) - 1] - band_lo[b0])
-        for b0 in range(0, n, block_rows)
-    )
-    window = min(_pow2_at_least(max_span, block_rows), n)
+
+    def _window_for(br):
+        span = max(
+            int(band_hi[min(b0 + br, n) - 1] - band_lo[b0])
+            for b0 in range(0, n, br)
+        )
+        return min(_pow2_at_least(span, br), n)
+
+    while True:
+        window = _window_for(block_rows)
+        if block_rows <= 512 or block_rows * window * 4 <= 128 * 2**20:
+            break
+        block_rows //= 2
     d_pad = int(vectors.shape[1])
     knn_flops = 2.0 * n * window * d_pad
     t_knn = timed(lambda: knn_banded(
@@ -596,7 +607,15 @@ def _adversarial_quality(cli) -> dict:
     from falcon_tpu import metrics
     from falcon_tpu.simulate import make_adversarial_spectra, write_mgf
 
-    path = os.path.join(CACHE_DIR, "bench_adversarial.mgf")
+    # Cache key carries the generator version + parameters so an
+    # edited generator cannot silently keep measuring a stale corpus.
+    from falcon_tpu.simulate import ADVERSARIAL_GEN_VERSION
+
+    path = os.path.join(
+        CACHE_DIR,
+        f"bench_adversarial_g{ADVERSARIAL_GEN_VERSION}"
+        "_c700x10_n3000_s42.mgf",
+    )
     if not os.path.isfile(path):
         spectra, _ = make_adversarial_spectra(
             n_clusters=700, cluster_size=10, n_noise=3000, seed=42,

@@ -445,7 +445,7 @@ def generate_clusters(
                     # within-block sharded pipeline.
                     None if block_devices is not None else devices,
                     exact_index,
-                    cluster_method, linkage,
+                    cluster_method, linkage, batch_size,
                 )
         finally:
             block_timer.finish()
@@ -500,6 +500,7 @@ def _cluster_range(
     precursor_tol_mode, rt_tol, fragment_tol, n_neighbors,
     n_neighbors_ann, n_probe, use_ivf, rerank, devices,
     exact_index=False, cluster_method="linkage", linkage="complete",
+    batch_size=2**15,
 ):
     """Cluster one device block (a sorted precursor-m/z range).
 
@@ -582,6 +583,7 @@ def _cluster_range(
             timer, labels, order, mz_sorted, rt_sorted, n, offsets,
             mz_flat, int_flat, pad_to, linkage, eps, min_matches,
             fragment_tol, precursor_tol_mass, precursor_tol_mode, rt_tol,
+            batch_size,
         )
     return _refine_and_medoids(
         timer, labels, order, mz_sorted, rt_sorted, n,
@@ -618,7 +620,10 @@ def _single_device_chain(
     # cached) up to FALCON_TPU_MAX_NEIGHBORS; if bands exceed even
     # that, warn with the affected row fraction.
     span_max = int(spans.max(initial=1)) - 1  # candidates excl. self
-    if not exact_index and span_max > k_ann:
+    # Only the rerank paths benefit: without a rerank the banded
+    # scan's exact top-k is truncated back to k_final before DBSCAN,
+    # so widening would only inflate HBM for bit-identical labels.
+    if do_rerank and not exact_index and span_max > k_ann:
         budget = int(_os.environ.get("FALCON_TPU_MAX_NEIGHBORS", "1024"))
         # Measured-safe widening envelope (2026-08-19, standalone
         # repro on the real chip): the scan with widened k=256 at a
@@ -765,8 +770,14 @@ def _single_device_chain(
                 from ..parallel.sharded_exact_index import (
                     exact_banded_topk_sharded)
 
+                # Pad on HOST from the raw columns (a device
+                # fetch of the padded arrays would pay ~16 s of
+                # ~16 MB/s readback per 2^19-row block).
+                mz_host, int_host, _ = padded_peaks(
+                    offsets, mz_flat, int_flat, pad_to, order
+                )
                 result = exact_banded_topk_sharded(
-                    np.asarray(mz_pad_dev), np.asarray(int_pad_dev),
+                    mz_host, int_host,
                     mz_sorted, precursor_tol_mass, precursor_tol_mode,
                     k_final, fragment_tol, make_mesh(devices),
                     rts=rt_sorted if rt_tol is not None else None,
@@ -992,7 +1003,7 @@ def _single_device_chain(
 def _linkage_refine_and_medoids(
     timer, comp, order, mz_sorted, rt_sorted, n, offsets, mz_flat,
     int_flat, pad_to, linkage, eps, min_matches, fragment_tol,
-    precursor_tol_mass, precursor_tol_mode, rt_tol,
+    precursor_tol_mass, precursor_tol_mode, rt_tol, batch_size=2**15,
 ):
     """Reference-semantics hierarchical clustering inside eps-components.
 
@@ -1033,6 +1044,34 @@ def _linkage_refine_and_medoids(
     ]
     positions = [order2[s:e] for s, e in slices]
     noise_pos = order2[sorted_comp == -1]
+
+    # Cap per-component linkage at the reference's batch_size: an
+    # eps-component is processed like a reference interval, and the
+    # reference chunks oversized intervals evenly
+    # (falcon/cluster/cluster.py:198-207).  Without this cap one giant
+    # chained component (common at loose eps) would materialize an
+    # unbounded m*(m-1)/2 condensed matrix on the host.  Same
+    # accuracy-loss mode as the reference's own chunking (pairs across
+    # chunk boundaries are not compared), logged when it happens.
+    capped, n_chunked = [], 0
+    for pos in positions:
+        if len(pos) <= batch_size:
+            capped.append(pos)
+        else:
+            n_chunks = -(-len(pos) // batch_size)
+            bounds = np.linspace(0, len(pos), n_chunks + 1).astype(
+                np.int64)
+            capped.extend(
+                pos[a:b] for a, b in zip(bounds[:-1], bounds[1:]))
+            n_chunked += 1
+    if n_chunked:
+        logger.warning(
+            "%d eps-component(s) exceeded batch_size=%d and were "
+            "chunked for linkage (reference batch_size semantics: "
+            "within-tolerance pairs across chunk boundaries are not "
+            "compared)", n_chunked, batch_size,
+        )
+    positions = capped
 
     # Pad the block's peaks ONCE and slice per component: a
     # padded_peaks call per component is ~3500 python/numpy round
@@ -1107,9 +1146,9 @@ def _linkage_refine_and_medoids(
     # small ones are scored in batched size-class panels (a handful of
     # device dispatches for ALL of them), large ones stream row panels.
     GROUP_MAX = 1024
-    small = [i for i in range(len(slices))
+    small = [i for i in range(len(positions))
              if len(positions[i]) <= GROUP_MAX]
-    large = [i for i in range(len(slices))
+    large = [i for i in range(len(positions))
              if len(positions[i]) > GROUP_MAX]
     if small:
         for local_i, pdist in pairwise.grouped_condensed_distances(
@@ -1127,7 +1166,7 @@ def _linkage_refine_and_medoids(
     # of the batched scoring order above.
     med_parts = [order[noise_pos].astype(np.int64)]
     current = 0
-    for i in range(len(slices)):
+    for i in range(len(positions)):
         pos_lab, lab, n_cl, med = per_comp[i]
         mask = lab >= 0
         lab = lab.astype(np.int32)

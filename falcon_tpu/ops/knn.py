@@ -6,15 +6,16 @@ among spectra within the precursor m/z tolerance (reference
 spectra are already sorted by precursor m/z, so the tolerance constraint
 makes the candidate set a contiguous *band* around the diagonal — k-NN
 becomes banded blocked matmuls on the MXU with a fused top-k; bands
-beyond HBM stream their column windows in chunks with a running top-k
-merge (no inverted-index switch-over — ``ops/ivf.py`` documents why).
+beyond one window are covered with merged column passes (no
+inverted-index switch-over — ``ops/ivf.py`` documents why).
 
-The whole search is ONE jitted ``lax.scan`` over row blocks: each step
-dynamic-slices a fixed-width column window out of the device-resident
-vector matrix (the window start is a per-block host-computed offset), so
-a full search costs a single dispatch regardless of n — essential when
-the host↔device link has tens-of-ms per-call latency, and good for TPU
-throughput anyway (no host round-trips between blocks).
+The search runs as a FEW jitted ``lax.scan`` dispatches over row-block
+groups (per-dispatch FLOPs capped — a minutes-long single program gets
+its pooled worker killed, measured): each step dynamic-slices a
+fixed-width column window out of the device-resident vector matrix (the
+window start is a per-block host-computed offset), so dispatch count
+stays tiny at any n — essential when the host↔device link has
+tens-of-ms per-call latency, and good for TPU throughput anyway.
 
 All similarities are inner products of L2-normalized vectors; distance =
 1 - similarity.
@@ -277,7 +278,11 @@ def knn_banded(
         sub_window //= 2
     env_cc = _os.environ.get("FALCON_TPU_KNN_COL_CHUNK")
     if env_cc:  # test hook: force multi-pass coverage at small scales
-        sub_window = min(window, _pow2_at_least(int(env_cc), 128))
+        # Floor at k: a sub-window narrower than k would make the
+        # per-pass top-k width smaller than the merge's k (top_k
+        # rejects k > width).
+        sub_window = min(window,
+                         _pow2_at_least(max(int(env_cc), k_eff), 128))
     n_passes = window // sub_window
     # Clamp starts so every block's FULL window stays in bounds (then
     # every pass start + sub_window <= n_pad as well).

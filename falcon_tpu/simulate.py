@@ -18,6 +18,10 @@ from .ms_io import mgf_io
 
 PROTON = 1.0072766
 
+# Bump when make_adversarial_spectra's behavior changes: benchmark
+# corpus caches key on it (bench.py).
+ADVERSARIAL_GEN_VERSION = 1
+
 
 def make_clustered_spectra(
     n_clusters: int = 50,

@@ -22,6 +22,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <exception>
 #include <functional>
 #include <limits>
 #include <numeric>
@@ -395,14 +396,26 @@ int nat_compare_u32(const uint32_t* a, const uint32_t* a_end,
 // std::terminate() the embedding Python process, so any tasks whose
 // thread failed to start run serially on this thread instead.  Tasks
 // operate on disjoint chunks, so serial-after-parallel is safe.
+// Exceptions thrown INSIDE a pool thread (e.g. std::bad_alloc in a
+// sort buffer) are captured per-thread and the first one rethrown on
+// the calling thread after every thread has joined — an uncaught
+// exception in a std::thread would std::terminate() regardless of the
+// callers' noexcept barriers.
 inline void run_chunked(int t, const std::function<void(int)>& task) {
   std::vector<std::thread> pool;
+  std::vector<std::exception_ptr> errors(t);
   int started = 0;
   try {
     pool.reserve(t);
     for (; started < t; ++started) {
       int idx = started;
-      pool.emplace_back([&task, idx] { task(idx); });
+      pool.emplace_back([&task, &errors, idx] {
+        try {
+          task(idx);
+        } catch (...) {
+          errors[idx] = std::current_exception();
+        }
+      });
     }
   } catch (...) {
   }
@@ -416,6 +429,9 @@ inline void run_chunked(int t, const std::function<void(int)>& task) {
     throw;
   }
   for (auto& th : pool) th.join();
+  for (auto& e : errors) {
+    if (e) std::rethrow_exception(e);
+  }
 }
 
 }  // namespace

@@ -1,5 +1,11 @@
 """Multi-chip hash-free exact banded top-k (``--ann_index exact``).
 
+Distributes the oracle search the reference computes serially per pair
+(``falcon/cluster/similarity.py:17-80`` via one thread future per pair,
+``falcon/cluster/cluster.py:630-637``); halo coverage additionally
+fixes the reference's dropped cross-chunk pairs
+(``falcon/cluster/cluster.py:198-207``).
+
 Rows shard contiguously over the mesh (sorted precursor m/z, as in
 ``parallel/sharded_knn.py``); each device scores ITS rows' tolerance
 windows with the exact locally-dominant matching kernel against a

@@ -1,5 +1,9 @@
 """Multi-chip IVF list scan: corpus slab sharded, ring-rotated.
 
+The index this shards replaces the reference's per-bucket Faiss IVF
+(published algorithm, reference ``README.md:132-142``; the reference
+itself has no distribution story at all — SURVEY.md §2.4).
+
 The IVF index's 3-D slab layout (``ops/ivf.py``: ``(n_lists, lb, D)``,
 probing = whole-slab block gathers) shards naturally on the LIST axis.
 Self-search (the engine's case — queries == corpus) then runs as a ring:

@@ -62,6 +62,24 @@ def postprocess_cluster(
     if cluster_labels.shape[0] < min_samples:
         cluster_labels.fill(-1)
         return 0
+    # Fast path for the common tight cluster: when the precursor span
+    # (and RT span) is within tolerance, the 1-D linkage cut cannot
+    # split (its root merge distance IS the span), so the group
+    # machinery below is skipped entirely — the dominant host cost of
+    # refinement at scale (profiled: ~half the ann linkage stage).
+    mz_lo = float(cluster_mzs.min())
+    mz_span = float(cluster_mzs.max()) - mz_lo
+    if precursor_tol_mode == "ppm":
+        span_ok = (mz_span / max(mz_lo, 1e-12) * 1e6
+                   <= precursor_tol_mass)
+    else:
+        span_ok = mz_span <= precursor_tol_mass
+    if span_ok and rt_tol is not None:
+        span_ok = (float(cluster_rts.max()) - float(cluster_rts.min())
+                   <= rt_tol)
+    if span_ok:
+        cluster_labels.fill(start_label)
+        return 1
     assignments = cut_1d(
         cluster_mzs, precursor_tol_mass, precursor_tol_mode
     ).astype(np.int64)
@@ -103,6 +121,18 @@ def condensed_index(i: np.ndarray, j: np.ndarray, n: int) -> np.ndarray:
     return (n * i + j - ((i + 2) * (i + 1)) // 2).astype(np.int64)
 
 
+_TRIU_CACHE: dict = {}
+
+
+def _triu_cached(size: int):
+    """np.triu_indices(size, 1), memoized: rebuilding it per tiny group
+    dominated medoid selection at scale (profiled)."""
+    cached = _TRIU_CACHE.get(size)
+    if cached is None and size <= 512:
+        cached = _TRIU_CACHE[size] = np.triu_indices(size, k=1)
+    return cached if cached is not None else np.triu_indices(size, k=1)
+
+
 def cluster_medoids(
     idx_interval: np.ndarray,
     sorted_labels: np.ndarray,
@@ -119,9 +149,13 @@ def cluster_medoids(
     medoids = []
     for start_i, stop_i in cluster_group_slices(sorted_labels):
         size = stop_i - start_i
-        if size > 1:
+        if size == 2:
+            # Both members share the same row sum (the one pairwise
+            # distance): first minimum wins.
+            medoids.append(idx_interval[start_i])
+        elif size > 1:
             rows = order_map[start_i:stop_i].astype(np.int64)
-            ii, jj = np.triu_indices(size, k=1)
+            ii, jj = _triu_cached(size)
             a, b = rows[ii], rows[jj]
             swap = a > b
             a2 = np.where(swap, b, a)

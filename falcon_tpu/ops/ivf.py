@@ -36,9 +36,14 @@ MEASURED STATUS on the target backend: the banded MXU scan
 index at every tested configuration (up to 50k-row precursor bands at
 250k spectra), because the index's FLOP savings are outweighed by its
 layout overheads (block gathers, probe bookkeeping).  The engine
-therefore auto-selects the banded scan except when its column window
-would dominate HBM; the index stays available via ``--ann_index ivf``
-and is the intended path for corpora whose bands outgrow device memory.
+therefore ALWAYS auto-selects the banded scan — bands wider than one
+column window are covered by merged column passes
+(``ops/knn.py:261-342``) in bounded memory, so there is no regime left
+where auto-selection prefers this index.  It stays available via
+``--ann_index ivf`` as the published-algorithm compatibility surface
+(measured eps-neighbor recall@50 ~0.72 at n_probe=32 on wideband data,
+root-caused to hashed-embedding bin-split scatter;
+``benchmarks/ivf_attrib3.py`` and README "Index selection").
 
 """
 

@@ -321,6 +321,187 @@ def grouped_condensed_distances(
                 )
 
 
+@functools.partial(jax.jit, static_argnames=("thr", "panel"))
+def _ub_pass_counts(spread, plain, thr, panel):
+    """Per-row count of upper-triangle pairs whose tolerance-spread
+    upper bound ``spread_i . plain_j`` reaches ``thr``.  One dispatch:
+    a ``lax.scan`` over row panels of the (m, m) bound matrix."""
+    m = spread.shape[0]
+    plain_t = plain.T
+    cols = jnp.arange(m, dtype=jnp.int32)[None, :]
+
+    def body(_, i):
+        r0 = i * panel
+        s = jax.lax.dynamic_slice_in_dim(spread, r0, panel)
+        ub = s @ plain_t
+        rows = (r0 + jnp.arange(panel, dtype=jnp.int32))[:, None]
+        ok = (cols > rows) & (ub >= thr)
+        return 0, jnp.sum(ok, axis=1).astype(jnp.int32)
+
+    _, counts = jax.lax.scan(
+        body, 0, jnp.arange(m // panel, dtype=jnp.int32)
+    )
+    return counts.reshape(m)
+
+
+@functools.partial(jax.jit, static_argnames=("thr", "k", "panel"))
+def _ub_pass_topk(spread, plain, thr, k, panel):
+    """Column ids of the upper-triangle pairs passing the spread bound,
+    per row, -1 padded.  ``k`` must cover the max per-row pass count
+    (from ``_ub_pass_counts``).  Per-panel ``top_k`` with NO cross-step
+    running merge (the in-scan merged-carry shape class faults the
+    pooled TPU worker; see CLAUDE.md / ops/knn.py)."""
+    m = spread.shape[0]
+    plain_t = plain.T
+    cols = jnp.arange(m, dtype=jnp.int32)[None, :]
+
+    def body(_, i):
+        r0 = i * panel
+        s = jax.lax.dynamic_slice_in_dim(spread, r0, panel)
+        ub = s @ plain_t
+        rows = (r0 + jnp.arange(panel, dtype=jnp.int32))[:, None]
+        ok = (cols > rows) & (ub >= thr)
+        vals, pos = jax.lax.top_k(jnp.where(ok, ub, -1.0), k)
+        return 0, jnp.where(vals >= thr, pos.astype(jnp.int32), -1)
+
+    _, ids = jax.lax.scan(
+        body, 0, jnp.arange(m // panel, dtype=jnp.int32)
+    )
+    return ids.reshape(m, k)
+
+
+# Pool-variant rerank (queries and candidate pool are different arrays)
+# for row-chunked exact scoring of the pruned pair lists.
+def _rerank_pool():
+    from .rerank import rerank_scan_body
+
+    return functools.partial(
+        jax.jit,
+        static_argnames=("fragment_tol", "k_out", "rounds", "chunk_q",
+                         "chunk_c"),
+    )(rerank_scan_body)
+
+
+_RERANK_POOL = None
+
+
+def pruned_condensed_distances(
+    mz: np.ndarray,
+    intensity: np.ndarray,
+    hasher,
+    eps: float,
+    fragment_tol: float,
+    min_matches: int = 0,
+    rounds: int = 4,
+    panel_rows: int = 1024,
+) -> np.ndarray:
+    """Condensed distances with provably-unused pairs clamped to 1.0.
+
+    The linkage cut at ``eps`` (reference default semantics,
+    ``falcon/cluster/cluster.py:280-290``) never reads the exact value
+    of a distance > ``eps`` — for COMPLETE linkage every merge at
+    height <= eps involves only pairwise distances <= eps (cluster
+    diameter equals merge height), and for SINGLE linkage the flat
+    clusters at eps are the connected components of the <=eps graph;
+    reducible linkages are monotone, so all >eps merges happen above
+    the cut in both the true and the clamped matrix.  Exact
+    peak-matching scores are therefore computed ONLY for pairs whose
+    tolerance-spread upper bound (``ops/vectorize.py`` docstring: a
+    strict upper bound on the matched-peak score when bin width >=
+    fragment tolerance) can reach ``1 - eps``; every other pair's
+    distance is clamped to 1.0.  NOT valid for average linkage (merge
+    heights are means over >eps distances too) — callers must keep
+    full scoring there.
+
+    Medoids (min row-sum, reference ``cluster.py:512-553``) read only
+    intra-flat-cluster entries; under complete linkage those all have
+    true distance <= eps, hence exact scores, so medoids are invariant
+    too.  Under single linkage a chained flat cluster can span >eps
+    pairs whose clamped value shifts row sums — a documented
+    tie-break-level divergence (PARITY.md).
+
+    Flow (all device work, 4 dispatches + small fetches): hash the
+    block's peaks into spread/plain vectors, count passing pairs per
+    row (one scanned matmul pass), take the per-row top-k_max bound
+    ids (second pass), exact-score the surviving (row, col) pair lists
+    with the rerank kernel (``ops/rerank.py``), and fill the condensed
+    matrix on host with 1 - score (1.0 elsewhere).
+    """
+    from .knn import NEG, _pow2_at_least
+
+    n = mz.shape[0]
+    if n < 2:
+        return np.zeros(0, np.float32)
+    thr = 1.0 - float(eps) - 1e-3
+    if thr <= 0.0:
+        # eps ~ 1: nothing can be pruned.
+        return condensed_distances(mz, intensity, fragment_tol,
+                                   min_matches, rounds=DEFAULT_ROUNDS)
+    m_pad = _pow2_at_least(n, 512)
+    mz_d = jnp.asarray(_pad_rows(np.asarray(mz, np.float32), m_pad,
+                                 PAD_MZ))
+    int_d = jnp.asarray(_pad_rows(np.asarray(intensity, np.float32),
+                                  m_pad, 0.0))
+    # Padding rows hash to zero vectors (PAD_MZ is outside the binning
+    # range), so their bounds are 0 < thr and they can never pass.
+    spread = hasher.vectorize(mz_d, int_d, norm=False, spread=True)
+    plain = hasher.vectorize(mz_d, int_d, norm=False)
+    panel = min(panel_rows, m_pad)
+
+    counts = np.asarray(_ub_pass_counts(spread, plain, thr, panel))
+    kmax = int(counts.max(initial=0))
+    if kmax == 0:
+        return np.ones(n * (n - 1) // 2, np.float32)
+    k = _pow2_at_least(kmax, 16)
+    if k > m_pad // 4:
+        # Dense component: most pairs pass the bound, the panel kernel
+        # is cheaper than gather-based pair scoring.
+        return condensed_distances(mz, intensity, fragment_tol,
+                                   min_matches, rounds=DEFAULT_ROUNDS)
+    neigh = _ub_pass_topk(spread, plain, thr, k, panel)
+
+    # Exact-score the pair lists, row-chunked so the resident
+    # (rows, k) slabs stay far inside the measured HBM fault envelope
+    # (rows * k * 8 <= 2^28; CLAUDE.md).
+    row_chunk = m_pad
+    while row_chunk * k > 2**23 and row_chunk > 512:
+        row_chunk //= 2
+    global _RERANK_POOL
+    if _RERANK_POOL is None:
+        _RERANK_POOL = _rerank_pool()
+    scores = np.full((m_pad, k), float(NEG), np.float32)
+    ids = np.full((m_pad, k), -1, np.int32)
+    matches = np.zeros((m_pad, k), np.int32)
+    for r0 in range(0, m_pad, row_chunk):
+        s, i_, mt = _RERANK_POOL(
+            jax.lax.dynamic_slice_in_dim(mz_d, r0, row_chunk),
+            jax.lax.dynamic_slice_in_dim(int_d, r0, row_chunk),
+            mz_d, int_d,
+            jax.lax.dynamic_slice_in_dim(neigh, r0, row_chunk),
+            fragment_tol=float(fragment_tol), k_out=k,
+            rounds=int(rounds), chunk_q=min(512, row_chunk), chunk_c=16,
+        )
+        scores[r0:r0 + row_chunk] = np.asarray(s)
+        ids[r0:r0 + row_chunk] = np.asarray(i_)
+        matches[r0:r0 + row_chunk] = np.asarray(mt)
+
+    out = np.ones(n * (n - 1) // 2, np.float32)
+    scores, ids, matches = scores[:n], ids[:n], matches[:n]
+    valid = (ids >= 0) & (scores > float(NEG))
+    if min_matches > 0:
+        # Reference semantics: too few matched peaks forces similarity
+        # to 0, i.e. distance 1.0 — identical to the clamp
+        # (falcon/cluster/cluster.py:620-626).
+        valid &= matches >= min_matches
+    ii = np.broadcast_to(
+        np.arange(n, dtype=np.int64)[:, None], ids.shape
+    )[valid]
+    jj = ids[valid].astype(np.int64)
+    cond = ii * n - ii * (ii + 1) // 2 + (jj - ii - 1)
+    out[cond] = 1.0 - np.clip(scores[valid], 0.0, 1.0)
+    return out
+
+
 def _pad_rows(a: np.ndarray, target: int, fill: float) -> np.ndarray:
     n = a.shape[0]
     if n == target:

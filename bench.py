@@ -621,33 +621,123 @@ def _adversarial_quality(cli) -> dict:
             n_clusters=700, cluster_size=10, n_noise=3000, seed=42,
         )
         write_mgf(path, spectra)
-    out_dir = tempfile.mkdtemp()
+    out = {}
+    for backend in ("ann", "exact"):
+        if backend == "exact" and os.environ.get(
+                "FALCON_TPU_BENCH_ADV_EXACT", "1") == "0":
+            continue
+        out_dir = tempfile.mkdtemp()
+        try:
+            rc = cli.main([
+                path, os.path.join(out_dir, "adv"),
+                "--work_dir", os.path.join(out_dir, "work"),
+                "--backend", backend, "--eps", "0.10", "--overwrite",
+            ])
+            if rc != 0:
+                out[f"adversarial_error_{backend}"] = f"cli exited {rc}"
+                continue
+            with open(os.path.join(out_dir, "adv.csv")) as f:
+                rows = [r for r in csv_mod.reader(f)
+                        if not r[0].startswith("#")][1:]
+            idents = [r[1] for r in rows]
+            got = np.asarray([int(r[5]) for r in rows])
+            truth_keys = [i.split("_scan")[0].split("_member")[0]
+                          for i in idents]
+            tmap = {t: i for i, t in enumerate(sorted(set(truth_keys)))}
+            truth = np.asarray([tmap[t] for t in truth_keys])
+            suffix = "" if backend == "ann" else "_exact"
+            out[f"adversarial_purity{suffix}"] = round(
+                metrics.cluster_purity(got, truth), 4)
+            out[f"adversarial_completeness{suffix}"] = round(
+                metrics.cluster_completeness(got, truth), 4)
+            if backend == "ann":
+                out["adversarial_n"] = len(got)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
     try:
-        rc = cli.main([
-            path, os.path.join(out_dir, "adv"),
-            "--work_dir", os.path.join(out_dir, "work"),
-            "--backend", "ann", "--eps", "0.10", "--overwrite",
-        ])
-        if rc != 0:
-            return {"adversarial_error": f"cli exited {rc}"}
-        with open(os.path.join(out_dir, "adv.csv")) as f:
-            rows = [r for r in csv_mod.reader(f)
-                    if not r[0].startswith("#")][1:]
-        idents = [r[1] for r in rows]
-        got = np.asarray([int(r[5]) for r in rows])
-        truth_keys = [i.split("_scan")[0].split("_member")[0]
-                      for i in idents]
-        tmap = {t: i for i, t in enumerate(sorted(set(truth_keys)))}
-        truth = np.asarray([tmap[t] for t in truth_keys])
-        return {
-            "adversarial_purity": round(
-                metrics.cluster_purity(got, truth), 4),
-            "adversarial_completeness": round(
-                metrics.cluster_completeness(got, truth), 4),
-            "adversarial_n": len(got),
-        }
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        out["adversarial_completeness_ceiling"] = (
+            _adversarial_completeness_ceiling())
+    except Exception as exc:  # diagnostic metric: never fail the bench
+        out["adversarial_ceiling_error"] = str(exc)
+    return out
+
+
+def _adversarial_completeness_ceiling(eps: float = 0.10) -> float:
+    """Oracle completeness ceiling of the adversarial corpus.
+
+    Per truth class, connected components of the EXACT peak-matching
+    eps-graph over the class's own members (the best any eps-based
+    clustering can do without violating purity) — the adversarial
+    extension of ``benchmarks/completeness_ceiling.py`` (round-4
+    verdict item 6).  The per-class condensed matrices are scored with
+    the batched device panels, so this costs a handful of dispatches,
+    not 31.5k host Hungarian solves.
+    """
+    from falcon_tpu import metrics
+    from falcon_tpu.ops import pairwise
+    from falcon_tpu.preprocess import process_spectrum
+    from falcon_tpu.simulate import make_adversarial_spectra
+
+    spectra, _ = make_adversarial_spectra(
+        n_clusters=700, cluster_size=10, n_noise=3000, seed=42,
+    )
+    rows, kept_truth = [], []
+    for s in spectra:
+        p = process_spectrum(s, 5, 250.0, 101.0, 1500.0, 1.5, 0.01, 50,
+                             None)
+        if p is not None:
+            rows.append(p)
+            kept_truth.append(
+                s.identifier.split("_scan")[0].split("_member")[0])
+    by_class = {}
+    for i, t in enumerate(kept_truth):
+        by_class.setdefault(t, []).append(i)
+    multi = [m for m in by_class.values() if len(m) > 1]
+    pad = 64
+
+    def padded(members):
+        mz = np.full((len(members), pad), -1e6, np.float32)
+        it = np.zeros((len(members), pad), np.float32)
+        for j, i in enumerate(members):
+            k = min(len(rows[i]["mz"]), pad)
+            mz[j, :k] = rows[i]["mz"][:k]
+            it[j, :k] = rows[i]["intensity"][:k]
+        return mz, it
+
+    ideal = np.full(len(rows), -1, np.int64)
+    next_label = 0
+    for t, members in by_class.items():
+        if len(members) == 1:
+            ideal[members[0]] = next_label
+            next_label += 1
+    for local_i, pdist in pairwise.grouped_condensed_distances(
+        [padded(m) for m in multi], 0.05,
+    ):
+        members = multi[local_i]
+        k = len(members)
+        parent = list(range(k))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        iu_a, iu_b = np.triu_indices(k, k=1)
+        for a, b in zip(iu_a[pdist <= eps], iu_b[pdist <= eps]):
+            pa, pb = find(int(a)), find(int(b))
+            if pa != pb:
+                parent[pa] = pb
+        comp_label = {}
+        for a in range(k):
+            root = find(a)
+            if root not in comp_label:
+                comp_label[root] = next_label
+                next_label += 1
+            ideal[members[a]] = comp_label[root]
+    tmap = {t: i for i, t in enumerate(sorted(set(kept_truth)))}
+    truth = np.asarray([tmap[t] for t in kept_truth])
+    return round(metrics.cluster_completeness(ideal, truth), 4)
 
 
 def _label_agreement(csv_a: str, csv_b: str) -> dict:

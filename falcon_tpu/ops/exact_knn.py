@@ -71,14 +71,16 @@ def _topk_postlude():
     @functools.partial(jax.jit, static_argnames=("k", "tol_is_da",
                                                  "has_rt", "use_matches"))
     def fn(scores, matches, starts, mz_pad, rt_pad, tol_mass, rt_tol,
-           n, min_matches, k, tol_is_da, has_rt, use_matches):
-        n_pad, w = scores.shape
+           n, min_matches, row_offset, k, tol_is_da, has_rt,
+           use_matches):
+        n_rows, w = scores.shape
+        n_pad = mz_pad.shape[0]
         tile = COL_TILE
-        row = jnp.arange(n_pad, dtype=jnp.int32)
+        row = row_offset + jnp.arange(n_rows, dtype=jnp.int32)
         col_ids = starts[:, None] * tile + jnp.arange(w, dtype=jnp.int32)
         col_safe = jnp.clip(col_ids, 0, n_pad - 1)
         c_mz = mz_pad[col_safe]
-        diff = mz_pad[:, None] - c_mz
+        diff = mz_pad[row][:, None] - c_mz
         if tol_is_da:
             mass_diff = jnp.abs(diff)
         else:
@@ -90,7 +92,8 @@ def _topk_postlude():
             & (row[:, None] < n)
         )
         if has_rt:
-            valid &= jnp.abs(rt_pad[col_safe] - rt_pad[:, None]) <= rt_tol
+            valid &= (jnp.abs(rt_pad[col_safe] - rt_pad[row][:, None])
+                      <= rt_tol)
         if use_matches:
             scores = jnp.where(matches >= min_matches, scores, 0.0)
         sims = jnp.where(valid, scores, NEG)
@@ -129,10 +132,13 @@ def exact_banded_topk(
     with EXACT peak-matching cosine scores, so no rerank stage is
     needed downstream.
     """
+    import os as _os
+
     import jax
     import jax.numpy as jnp
 
     from . import pairwise
+    from .knn import _merge_topk
 
     global _POSTLUDE
     n = len(mzs)
@@ -144,42 +150,103 @@ def exact_banded_topk(
         backend = "pallas" if pairwise.use_pallas() else "xla"
     with_matches = min_matches > 0
 
-    if backend.startswith("pallas"):
-        scores, matches = _banded_panel_pallas(
-            mz_pad_dev, int_pad_dev, jnp.asarray(starts),
-            window, float(fragment_tol), int(rounds), with_matches,
-            interpret=backend == "pallas_interpret",
-        )
-    else:
-        scores, matches = _banded_panel_xla(
-            mz_pad_dev, int_pad_dev, jnp.asarray(starts),
-            window, float(fragment_tol), int(rounds), with_matches,
-        )
+    # Column-pass streaming (SURVEY §5-g; round-4 verdict item 5): a
+    # band wider than one sub-window is covered by PASSES over adjacent
+    # column sub-windows, each an ordinary-shaped panel + top-k
+    # dispatch, merged by a separate top-k dispatch (_merge_topk, the
+    # proven-safe shape class — an in-scan running merge faults the
+    # pooled worker, ops/knn.py:261-267).  Rows stream in blocks so the
+    # resident (block_rows, sub_window) score panel — NOT the widest
+    # band — bounds HBM: the oracle path now runs at ANY band width,
+    # including the 500k one-band corpus whose (n_pad, n_pad) panel
+    # was guaranteed OOM before.
+    sub_window = window
+    block_rows = min(n_pad, int(_os.environ.get(
+        "FALCON_TPU_EXACT_BLOCK_ROWS", "4096")))
+    sub_floor = _pow2_at_least(k, COL_TILE)
+    while (block_rows * sub_window * 4 > 128 * 2**20
+           and sub_window // 2 >= sub_floor):
+        sub_window //= 2
+    env_cc = _os.environ.get("FALCON_TPU_EXACT_COL_CHUNK")
+    if env_cc:  # test hook: force multi-pass coverage at small scales
+        sub_window = min(window,
+                         _pow2_at_least(max(int(env_cc), k), COL_TILE))
+    n_passes = window // sub_window
+    k_pass = int(min(k, sub_window))
 
     mz_host = np.full(n_pad, np.inf, np.float32)
     mz_host[:n] = mzs
     rt_host = np.full(n_pad, np.inf, np.float32)
     if rts is not None and rt_tol is not None:
         rt_host[:n] = rts
+    mz_meta_dev = jnp.asarray(mz_host)
+    rt_meta_dev = jnp.asarray(rt_host)
     if _POSTLUDE is None:
         _POSTLUDE = _topk_postlude()
-    return _POSTLUDE(
-        scores,
-        matches if with_matches else scores,
-        jnp.asarray(starts), jnp.asarray(mz_host), jnp.asarray(rt_host),
-        jnp.float32(tol_mass),
-        jnp.float32(np.inf if rt_tol is None else rt_tol),
-        jnp.int32(n), jnp.int32(min_matches),
-        k=k, tol_is_da=tol_is_da,
-        has_rt=rts is not None and rt_tol is not None,
-        use_matches=with_matches,
-    )
+
+    starts_dev = jnp.asarray(starts)
+    tile_shift = sub_window // COL_TILE
+    parts_s, parts_i = [], []
+    for r0 in range(0, n_pad, block_rows):
+        if r0 >= n and r0 > 0:
+            # Padded row blocks: emit masked fillers without scoring.
+            parts_s.append(jnp.full((block_rows, k_pass), float(NEG),
+                                    jnp.float32))
+            parts_i.append(jnp.full((block_rows, k_pass), -1,
+                                    jnp.int32))
+            continue
+        mz_rows = jax.lax.dynamic_slice_in_dim(mz_pad_dev, r0,
+                                               block_rows)
+        int_rows = jax.lax.dynamic_slice_in_dim(int_pad_dev, r0,
+                                                block_rows)
+        st_block = jax.lax.dynamic_slice_in_dim(starts_dev, r0,
+                                                block_rows)
+        acc_s = acc_i = None
+        for pss in range(n_passes):
+            st_pass = st_block + jnp.int32(pss * tile_shift)
+            if backend.startswith("pallas"):
+                scores, matches = _banded_panel_pallas(
+                    mz_rows, int_rows, mz_pad_dev, int_pad_dev,
+                    st_pass, sub_window, float(fragment_tol),
+                    int(rounds), with_matches,
+                    interpret=backend == "pallas_interpret",
+                )
+            else:
+                scores, matches = _banded_panel_xla(
+                    mz_rows, int_rows, mz_pad_dev, int_pad_dev,
+                    st_pass, sub_window, float(fragment_tol),
+                    int(rounds), with_matches,
+                )
+            s_g, i_g = _POSTLUDE(
+                scores,
+                matches if with_matches else scores,
+                st_pass, mz_meta_dev, rt_meta_dev,
+                jnp.float32(tol_mass),
+                jnp.float32(np.inf if rt_tol is None else rt_tol),
+                jnp.int32(n), jnp.int32(min_matches), jnp.int32(r0),
+                k=k_pass, tol_is_da=tol_is_da,
+                has_rt=rts is not None and rt_tol is not None,
+                use_matches=with_matches,
+            )
+            if acc_s is None:
+                acc_s, acc_i = s_g, i_g
+            else:
+                acc_s, acc_i = _merge_topk(acc_s, acc_i, s_g, i_g,
+                                           k_pass)
+        parts_s.append(acc_s)
+        parts_i.append(acc_i)
+    if len(parts_s) == 1:
+        return parts_s[0], parts_i[0]
+    return jnp.concatenate(parts_s), jnp.concatenate(parts_i)
 
 
-def _banded_panel_pallas(mz_pad, int_pad, starts, window, fragment_tol,
-                         rounds, with_matches, interpret=False):
-    """(n_pad, window) exact scores via the Pallas panel kernel with a
-    scalar-prefetched per-row column-window index map."""
+def _banded_panel_pallas(mz_rows, int_rows, mz_pool, int_pool, starts,
+                         window, fragment_tol, rounds, with_matches,
+                         interpret=False):
+    """(n_rows, window) exact scores via the Pallas panel kernel with a
+    scalar-prefetched per-row column-window index map.  ``mz_rows`` /
+    ``int_rows`` are a row block; columns gather from the full
+    ``mz_pool`` / ``int_pool`` via the per-row window starts."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -187,10 +254,10 @@ def _banded_panel_pallas(mz_pad, int_pad, starts, window, fragment_tol,
 
     from .pairwise import _pair_panel_kernel, _VMEM_LIMIT
 
-    n_pad, p = mz_pad.shape
+    n_rows, p = mz_rows.shape
     tile = COL_TILE
     n_tiles = window // tile
-    grid = (n_pad, n_tiles)
+    grid = (n_rows, n_tiles)
     impl = functools.partial(
         _pair_panel_kernel,
         fragment_tol=float(fragment_tol),
@@ -211,8 +278,8 @@ def _banded_panel_pallas(mz_pad, int_pad, starts, window, fragment_tol,
             impl(st_ref, mzi, inti, mzj, intj, score_ref, None)
 
     out_spec = pl.BlockSpec((1, tile, 1), lambda i, j, st: (i, j, 0))
-    score_shape = jax.ShapeDtypeStruct((n_pad, window, 1), jnp.float32)
-    match_shape = jax.ShapeDtypeStruct((n_pad, window, 1), jnp.int32)
+    score_shape = jax.ShapeDtypeStruct((n_rows, window, 1), jnp.float32)
+    match_shape = jax.ShapeDtypeStruct((n_rows, window, 1), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -238,40 +305,42 @@ def _banded_panel_pallas(mz_pad, int_pad, starts, window, fragment_tol,
         interpret=interpret,
     )(
         starts.astype(jnp.int32),
-        mz_pad[:, :, None], int_pad[:, :, None], mz_pad, int_pad,
+        mz_rows[:, :, None], int_rows[:, :, None], mz_pool, int_pool,
     )
     scores = outs[0][:, :, 0]
     matches = outs[1][:, :, 0] if with_matches else None
     return scores, matches
 
 
-def _banded_panel_xla(mz_pad, int_pad, starts, window, fragment_tol,
-                      rounds, with_matches):
-    """XLA fallback (CPU tests): same (n_pad, window) score layout via
+def _banded_panel_xla(mz_rows, int_rows, mz_pool, int_pool, starts,
+                      window, fragment_tol, rounds, with_matches):
+    """XLA fallback (CPU tests): same (n_rows, window) score layout via
     the chunked gather machinery of ``ops/rerank.py``."""
     import jax
     import jax.numpy as jnp
 
     from .rerank import rerank_scan_body
 
-    n_pad, p = mz_pad.shape
+    n_pool, p = mz_pool.shape
 
     @functools.partial(jax.jit, static_argnames=("window", "frag",
                                                  "rounds"))
-    def fn(mz, intensity, starts, window, frag, rounds):
+    def fn(mz, intensity, pool_mz, pool_int, starts, window, frag,
+           rounds):
+        n_rows = mz.shape[0]
         cand = (starts[:, None] * COL_TILE
                 + jnp.arange(window, dtype=jnp.int32))
-        cand = jnp.clip(cand, 0, n_pad - 1)
+        cand = jnp.clip(cand, 0, n_pool - 1)
         # keep ALL window columns; the postlude applies the masks.
         scores, ids, matches = rerank_scan_body(
-            mz, intensity, mz, intensity, cand, frag,
-            window, rounds, min(512, n_pad), 16,
+            mz, intensity, pool_mz, pool_int, cand, frag,
+            window, rounds, min(512, n_rows), 16,
         )
         # rerank sorts by score; restore window order via the ids.
         order = jnp.argsort(ids, axis=1)
         return (jnp.take_along_axis(scores, order, axis=1),
                 jnp.take_along_axis(matches, order, axis=1))
 
-    scores, matches = fn(mz_pad, int_pad, starts, int(window),
-                         float(fragment_tol), int(rounds))
+    scores, matches = fn(mz_rows, int_rows, mz_pool, int_pool, starts,
+                         int(window), float(fragment_tol), int(rounds))
     return scores, (matches if with_matches else None)

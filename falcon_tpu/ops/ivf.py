@@ -183,6 +183,8 @@ class IVFIndex:
         n_iters: int = 10,
         seed: int = 42,
         precise: bool = False,
+        coarse_vectors=None,
+        rank_vectors=None,
     ):
         """``vectors``: (n, D) L2-normalized, NumPy or DEVICE-resident
         (pass the vectorizer's device output — the big matrix then never
@@ -193,6 +195,32 @@ class IVFIndex:
         HBM; the probe scan runs in bfloat16 anyway when an exact
         rerank re-scores survivors); ``precise=True`` keeps float32
         storage for rerank-free runs.
+
+        ``coarse_vectors``: optional (n, D) L2-normalized embedding used
+        ONLY for the coarse quantizer (k-means training, list
+        assignment, probe ordering); the in-list scoring still uses
+        ``vectors``.  The round-4 root cause of the index's wideband
+        recall loss (eps-similar spectra whose fragment bins split
+        under m/z jitter land in unrelated lists;
+        ``benchmarks/ivf_attrib3.py``) is a property of the PLAIN
+        hashed embedding — the tolerance-SPREAD embedding
+        (``ops/vectorize.py``: each peak scattered into bins
+        {b-1, b, b+1}) guarantees within-tolerance peaks share bins, so
+        eps pairs stay coarse-similar and probing finds them.  Not
+        retained past __init__ (the extra (n, D) slab would double the
+        resident footprint at 2^19-row blocks — measured HBM fatal).
+
+        ``rank_vectors``: optional (n, D) QUERY-side embedding packed
+        into a second slab set; self-search then scores
+        ``rank_q . vectors_c`` instead of the symmetric inner product.
+        Pass the UNNORMALIZED spread embedding with UNNORMALIZED plain
+        ``vectors`` and the in-scan ranking becomes the tolerance-spread
+        upper bound — the same ranking whose banded exact-top-k has
+        measured recall 1.00 — which removes the top-k losses the plain
+        hashed cosine causes (scattered eps pairs rank at cos <= 0.43;
+        ``benchmarks/ivf_attrib4.py``).  Only meaningful when an exact
+        rerank re-scores the survivors (the returned similarities are
+        then bounds, not cosines).
         """
         from .xfer import device_put_chunked
 
@@ -213,6 +241,15 @@ class IVFIndex:
             )
         else:
             vectors_dev = vectors
+        if coarse_vectors is None:
+            coarse_dev = vectors_dev
+        elif isinstance(coarse_vectors, np.ndarray):
+            coarse_dev = device_put_chunked(
+                np.ascontiguousarray(coarse_vectors, dtype=np.float32)
+            )
+        else:
+            coarse_dev = coarse_vectors
+        self._coarse = coarse_vectors is not None
         # Train the quantizer on a power-of-two subsample (Faiss trains
         # on ~a few hundred points per centroid; more adds cost, not
         # quality) so the training shape is size-class stable too.
@@ -220,17 +257,18 @@ class IVFIndex:
                      _bucket(n, 512))
         train_rows = (np.arange(sample) * max(n // sample, 1)) % n
         init_rows = rng.choice(n, self.n_lists, replace=False)
-        train = vectors_dev[jnp.asarray(train_rows.astype(np.int32))]
-        init = vectors_dev[jnp.asarray(init_rows.astype(np.int32))]
+        train = coarse_dev[jnp.asarray(train_rows.astype(np.int32))]
+        init = coarse_dev[jnp.asarray(init_rows.astype(np.int32))]
         raw_centroids = np.asarray(_kmeans_fit(
             train, init, self.n_lists, n_iters
         ))
         self.centroids = raw_centroids
         # Only the n x 4 int32 centroid choices cross to the host.
         choices = np.asarray(_assign_topk(
-            vectors_dev, jnp.asarray(raw_centroids),
+            coarse_dev, jnp.asarray(raw_centroids),
             min(8, self.n_lists),
         ))[:n]
+        del coarse_dev  # see docstring: never resident past init
         # Capacity-capped balanced placement: the cap (2x the mean list
         # size, pow2-bucketed) makes the padded slab width — and hence
         # the layout's HBM footprint — deterministic.  Overflow rows
@@ -285,6 +323,25 @@ class IVFIndex:
             parts.append(part.astype(store_dtype))
         self._corpus3d = (parts[0] if len(parts) == 1
                           else jnp.concatenate(parts))
+        self._query3d = None
+        if rank_vectors is not None:
+            if isinstance(rank_vectors, np.ndarray):
+                rank_dev = device_put_chunked(
+                    np.ascontiguousarray(rank_vectors, dtype=np.float32)
+                )
+            else:
+                rank_dev = rank_vectors
+            qparts = []
+            for c0 in range(0, self.n_lists, lists_per_chunk):
+                c1 = min(c0 + lists_per_chunk, self.n_lists)
+                idx = jnp.asarray(idx3d[c0 * self._lb:c1 * self._lb])
+                part = rank_dev[idx].reshape(c1 - c0, self._lb, dim)
+                part = part * jnp.asarray(mask[c0:c1]).reshape(
+                    c1 - c0, self._lb, 1)
+                qparts.append(part.astype(store_dtype))
+            self._query3d = (qparts[0] if len(qparts) == 1
+                             else jnp.concatenate(qparts))
+            del rank_dev
         self._mz3d = jnp.asarray(mz3d.reshape(self.n_lists, self._lb))
         self._row3d_host = row3d.reshape(self.n_lists, self._lb)
         self._row3d = jnp.asarray(self._row3d_host)
@@ -329,6 +386,7 @@ class IVFIndex:
         tol_mode: str = "Da",
         per_list_k: Optional[int] = None,
         precise: bool = False,
+        q_coarse=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """k-NN of each query; returns (similarities, original row ids).
 
@@ -339,6 +397,12 @@ class IVFIndex:
         so eps-threshold comparisons see full-precision similarities
         (bfloat16's ~2-3 significant digits would shift membership near
         the threshold; advisor round-2 finding).
+
+        ``q_coarse``: (nq, D) coarse-space query vectors, required for
+        NON-self searches against an index built with
+        ``coarse_vectors`` (query assignment must happen in the same
+        embedding the quantizer was trained in); self-searches reuse
+        the build-time assignments and ignore it.
         """
         nq = len(q_mz)
         n = len(self.mzs)
@@ -349,7 +413,9 @@ class IVFIndex:
 
         self_search = q_vec is self._source and nq == n
         if self_search:
-            q3d, qmz3d, qrow3d = self._corpus3d, self._mz3d, self._row3d
+            q3d = (self._query3d if self._query3d is not None
+                   else self._corpus3d)
+            qmz3d, qrow3d = self._mz3d, self._row3d
             qlb = lb
         else:
             if isinstance(q_vec, np.ndarray):
@@ -359,8 +425,23 @@ class IVFIndex:
                     np.ascontiguousarray(q_vec, np.float32))
             else:
                 q_vec_dev = q_vec
+            if self._coarse and q_coarse is None:
+                logger.warning(
+                    "IVF index built on a coarse embedding but the "
+                    "query passed none; assigning queries with the "
+                    "scoring embedding (degraded probe locality)"
+                )
+            q_assign_src = q_vec_dev
+            if q_coarse is not None:
+                if isinstance(q_coarse, np.ndarray):
+                    from .xfer import device_put_chunked
+
+                    q_assign_src = device_put_chunked(
+                        np.ascontiguousarray(q_coarse, np.float32))
+                else:
+                    q_assign_src = q_coarse
             q_assign = np.asarray(
-                _assign(q_vec_dev, jnp.asarray(self.centroids)))[:nq]
+                _assign(q_assign_src, jnp.asarray(self.centroids)))[:nq]
             q_order = np.argsort(q_assign, kind="stable")
             q_counts = np.bincount(q_assign, minlength=self.n_lists)
             qlb = _bucket(int(q_counts.max(initial=1)), 128)

@@ -274,6 +274,7 @@ def grouped_condensed_distances(
     min_matches: int = 0,
     rounds: int = DEFAULT_ROUNDS,
     max_group_cells: int = 16 * 2**20,
+    devices=None,
 ):
     """Condensed distance matrices for many small intervals, batched.
 
@@ -281,6 +282,13 @@ def grouped_condensed_distances(
     scored in groups of up to ``max_group_cells`` (B * m_pad^2) cells per
     dispatch.  Yields (original interval index, condensed float32 pdist)
     in arbitrary order.
+
+    ``devices``: optional list of JAX devices.  Group dispatches are
+    round-robined over them with a bounded in-flight window (async
+    dispatch keeps every device busy; results are fetched in dispatch
+    order), so the linkage engine's per-component scoring scales over a
+    ``--devices N`` mesh (SURVEY §2.4 / §7 step 5) instead of idling
+    N - 1 chips during its dominant stage.
     """
     by_size = {}
     for idx, (mz, intensity) in enumerate(interval_peaks):
@@ -290,35 +298,59 @@ def grouped_condensed_distances(
             m_pad *= 2
         by_size.setdefault(m_pad, []).append(idx)
 
+    tasks = []
     for m_pad, indices in sorted(by_size.items()):
         group_cap = max(1, max_group_cells // (m_pad * m_pad))
-        # Pad the group count to a power of two for stable shapes.
         for g0 in range(0, len(indices), group_cap):
-            group = indices[g0:g0 + group_cap]
-            b_pad = 1
-            while b_pad < len(group):
-                b_pad *= 2
-            p = interval_peaks[group[0]][0].shape[1]
-            mz_g = np.full((b_pad, m_pad, p), PAD_MZ, np.float32)
-            int_g = np.zeros((b_pad, m_pad, p), np.float32)
-            for gi, idx in enumerate(group):
-                mz_i, int_i = interval_peaks[idx]
-                mz_g[gi, : mz_i.shape[0]] = mz_i
-                int_g[gi, : int_i.shape[0]] = int_i
-            scores, matches = batched_block_scores(
-                jnp.asarray(mz_g), jnp.asarray(int_g),
-                float(fragment_tol), rounds,
+            tasks.append((m_pad, indices[g0:g0 + group_cap]))
+
+    def dispatch(task_i):
+        m_pad, group = tasks[task_i]
+        # Pad the group count to a power of two for stable shapes.
+        b_pad = 1
+        while b_pad < len(group):
+            b_pad *= 2
+        p = interval_peaks[group[0]][0].shape[1]
+        mz_g = np.full((b_pad, m_pad, p), PAD_MZ, np.float32)
+        int_g = np.zeros((b_pad, m_pad, p), np.float32)
+        for gi, idx in enumerate(group):
+            mz_i, int_i = interval_peaks[idx]
+            mz_g[gi, : mz_i.shape[0]] = mz_i
+            int_g[gi, : int_i.shape[0]] = int_i
+        if devices:
+            dev = devices[task_i % len(devices)]
+            mz_d = jax.device_put(mz_g, dev)
+            int_d = jax.device_put(int_g, dev)
+        else:
+            mz_d, int_d = jnp.asarray(mz_g), jnp.asarray(int_g)
+        scores, matches = batched_block_scores(
+            mz_d, int_d, float(fragment_tol), rounds,
+        )
+        return group, scores, matches
+
+    def drain(pending):
+        group, scores, matches = pending.pop(0)
+        scores = np.asarray(scores)
+        if min_matches > 0:
+            matches = np.asarray(matches)
+            scores = np.where(matches >= min_matches, scores, 0.0)
+        out = []
+        for gi, idx in enumerate(group):
+            m = interval_peaks[idx][0].shape[0]
+            iu = np.triu_indices(m, k=1)
+            out.append(
+                (idx, (1.0 - scores[gi][:m, :m][iu]).astype(np.float32))
             )
-            scores = np.asarray(scores)
-            if min_matches > 0:
-                matches = np.asarray(matches)
-                scores = np.where(matches >= min_matches, scores, 0.0)
-            for gi, idx in enumerate(group):
-                m = interval_peaks[idx][0].shape[0]
-                iu = np.triu_indices(m, k=1)
-                yield idx, (1.0 - scores[gi][:m, :m][iu]).astype(
-                    np.float32
-                )
+        return out
+
+    window = 2 * len(devices) if devices else 1
+    pending = []
+    for task_i in range(len(tasks)):
+        pending.append(dispatch(task_i))
+        if len(pending) >= window:
+            yield from drain(pending)
+    while pending:
+        yield from drain(pending)
 
 
 @functools.partial(jax.jit, static_argnames=("thr", "panel"))
@@ -394,6 +426,7 @@ def pruned_condensed_distances(
     min_matches: int = 0,
     rounds: int = 4,
     panel_rows: int = 1024,
+    device=None,
 ) -> np.ndarray:
     """Condensed distances with provably-unused pairs clamped to 1.0.
 
@@ -436,12 +469,13 @@ def pruned_condensed_distances(
     if thr <= 0.0:
         # eps ~ 1: nothing can be pruned.
         return condensed_distances(mz, intensity, fragment_tol,
-                                   min_matches, rounds=DEFAULT_ROUNDS)
+                                   min_matches, rounds=DEFAULT_ROUNDS,
+                                   device=device)
     m_pad = _pow2_at_least(n, 512)
-    mz_d = jnp.asarray(_pad_rows(np.asarray(mz, np.float32), m_pad,
-                                 PAD_MZ))
-    int_d = jnp.asarray(_pad_rows(np.asarray(intensity, np.float32),
-                                  m_pad, 0.0))
+    put = ((lambda a: jax.device_put(a, device)) if device is not None
+           else jnp.asarray)
+    mz_d = put(_pad_rows(np.asarray(mz, np.float32), m_pad, PAD_MZ))
+    int_d = put(_pad_rows(np.asarray(intensity, np.float32), m_pad, 0.0))
     # Padding rows hash to zero vectors (PAD_MZ is outside the binning
     # range), so their bounds are 0 < thr and they can never pass.
     spread = hasher.vectorize(mz_d, int_d, norm=False, spread=True)
@@ -457,7 +491,8 @@ def pruned_condensed_distances(
         # Dense component: most pairs pass the bound, the panel kernel
         # is cheaper than gather-based pair scoring.
         return condensed_distances(mz, intensity, fragment_tol,
-                                   min_matches, rounds=DEFAULT_ROUNDS)
+                                   min_matches, rounds=DEFAULT_ROUNDS,
+                                   device=device)
     neigh = _ub_pass_topk(spread, plain, thr, k, panel)
 
     # Exact-score the pair lists, row-chunked so the resident
@@ -534,6 +569,7 @@ def condensed_distances(
     rounds: int = DEFAULT_ROUNDS,
     panel_rows: int = 2048,
     backend: Optional[str] = None,
+    device=None,
 ) -> np.ndarray:
     """Condensed upper-triangle distance matrix for one block of spectra.
 
@@ -555,9 +591,13 @@ def condensed_distances(
 
     out = np.ones(n * (n - 1) // 2, np.float32)
 
+    put = ((lambda a: jax.device_put(a, device)) if device is not None
+           else jnp.asarray)
+
     if backend == "xla":
         scores, matches = block_scores_xla(
-            jnp.asarray(mz), jnp.asarray(intensity), float(fragment_tol),
+            put(np.asarray(mz, np.float32)),
+            put(np.asarray(intensity, np.float32)), float(fragment_tol),
             rounds,
         )
         scores = np.asarray(scores)
@@ -570,10 +610,8 @@ def condensed_distances(
 
     interpret = backend == "pallas_interpret"
     n_cols = _bucket_size(n)
-    mz_cols = jnp.asarray(
-        _pad_rows(np.asarray(mz, np.float32), n_cols, PAD_MZ)
-    )
-    int_cols = jnp.asarray(
+    mz_cols = put(_pad_rows(np.asarray(mz, np.float32), n_cols, PAD_MZ))
+    int_cols = put(
         _pad_rows(np.asarray(intensity, np.float32), n_cols, 0.0)
     )
     panel = min(panel_rows, n_cols)
@@ -585,7 +623,7 @@ def condensed_distances(
         int_rows = _pad_rows(intensity[r0:r1].astype(np.float32), panel,
                              0.0)
         scores, matches = panel_scores_pallas(
-            jnp.asarray(mz_rows), jnp.asarray(int_rows),
+            put(mz_rows), put(int_rows),
             mz_cols, int_cols,
             jnp.int32(r0), float(fragment_tol), rounds,
             upper_only=True, interpret=interpret,

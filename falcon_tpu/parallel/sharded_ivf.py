@@ -77,9 +77,12 @@ def ivf_search_sharded(
            and chunk * 2 <= s_lists):
         chunk *= 2
 
-    def local_fn(c3, cm, cr, probes):
+    def local_fn(q3, c3, cm, cr, probes):
         me = jax.lax.axis_index(axis)
-        q = c3.astype(scan_dtype)  # local query lists stay resident
+        # Local query lists stay resident; with an asymmetric index
+        # (rank_vectors, e.g. the spread-UB ranking) they come from the
+        # query slab set instead of the corpus slabs.
+        q = q3.astype(scan_dtype)
         qm, qr = cm, cr
 
         def ring(carry, s):
@@ -156,12 +159,15 @@ def ivf_search_sharded(
     step = jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis)),
         check_vma=False,
     ))
     shard = functools.partial(jax.device_put)
+    q3d = (index._query3d if index._query3d is not None
+           else index._corpus3d)
     scores, slots = step(
+        shard(q3d, NamedSharding(mesh, P(axis))),
         shard(index._corpus3d, NamedSharding(mesh, P(axis))),
         shard(index._mz3d, NamedSharding(mesh, P(axis))),
         shard(index._row3d, NamedSharding(mesh, P(axis))),

@@ -825,3 +825,45 @@ def test_linkage_component_batch_size_cap(tmp_path, caplog):
     assert any("chunked for linkage" in r.message for r in caplog.records)
     assert (labels >= 0).all()
     assert len(medoids) == len(np.unique(labels))
+
+
+def test_exact_banded_topk_column_streamed(processed_rows, monkeypatch):
+    """Forced multi-pass column streaming + small row blocks return the
+    same exact top-k as the single-pass panel (round-4 verdict item 5:
+    the oracle path must run at ANY band width in bounded memory)."""
+    from falcon_tpu.ops.exact_knn import exact_banded_topk
+    from falcon_tpu.ops.pairwise import PAD_MZ
+
+    rows, _ = processed_rows
+    mz, intensity, _ = _padded(rows)
+    pmz = np.asarray([r["precursor_mz"] for r in rows])
+    order = np.argsort(pmz, kind="stable")
+    mz, intensity, pmz = mz[order], intensity[order], pmz[order]
+    n = len(pmz)
+    n_pad = 512
+    while n_pad < n:
+        n_pad *= 2
+    mz_pad = np.full((n_pad, mz.shape[1]), PAD_MZ, np.float32)
+    int_pad = np.zeros((n_pad, mz.shape[1]), np.float32)
+    mz_pad[:n], int_pad[:n] = mz, intensity
+    k = 8
+    # Wide tolerance so the window spans several forced sub-windows.
+    common = (jnp.asarray(mz_pad), jnp.asarray(int_pad), pmz, 500.0,
+              "Da", k, 0.05)
+    sims_ref, neigh_ref = exact_banded_topk(*common, backend="xla",
+                                            min_matches=4)
+    monkeypatch.setenv("FALCON_TPU_EXACT_COL_CHUNK", "128")
+    monkeypatch.setenv("FALCON_TPU_EXACT_BLOCK_ROWS", "128")
+    sims_mp, neigh_mp = exact_banded_topk(*common, backend="xla",
+                                          min_matches=4)
+    sims_ref, sims_mp = np.asarray(sims_ref)[:n], np.asarray(sims_mp)[:n]
+    neigh_ref = np.asarray(neigh_ref)[:n]
+    neigh_mp = np.asarray(neigh_mp)[:n]
+    np.testing.assert_allclose(sims_mp, sims_ref, atol=1e-5)
+    # Neighbor sets match wherever scores are distinct (ties may permute).
+    same = sims_ref > -1.0
+    assert (np.sort(neigh_ref, axis=1)[same.any(axis=1)].shape
+            == np.sort(neigh_mp, axis=1)[same.any(axis=1)].shape)
+    agree = (np.sort(np.where(same, neigh_ref, -1), axis=1)
+             == np.sort(np.where(same, neigh_mp, -1), axis=1))
+    assert agree.mean() > 0.99

@@ -198,3 +198,46 @@ def test_ivf_slab_memory_is_bounded(clustered_vectors):
         n_probe=16, tol_mass=np.inf, tol_mode="Da",
     )
     assert (idx[:, 0] >= 0).all()
+
+
+def test_ivf_coarse_and_rank_vectors(clustered_vectors):
+    """An index built with a separate coarse embedding and asymmetric
+    rank vectors (the spread-UB configuration, round-4 verdict item 4)
+    retrieves by rank_q . vectors_c and keeps at least the recall of
+    the symmetric index on well-separated clusters."""
+    vecs, mzs = clustered_vectors
+    n = len(vecs)
+    rng = np.random.default_rng(7)
+    # A "spread-like" coarse/rank embedding: the scoring vectors plus
+    # correlated noise (stands in for the tolerance-spread transform —
+    # the unit here is plumbing, not hash physics).
+    coarse = vecs + rng.normal(0, 0.02, vecs.shape).astype(np.float32)
+    coarse /= np.linalg.norm(coarse, axis=1, keepdims=True)
+    rank = 1.5 * vecs  # strict upper bound of the inner product
+
+    sym = IVFIndex(vecs, mzs, n_lists=32, seed=42)
+    asym = IVFIndex(vecs, mzs, n_lists=32, seed=42,
+                    coarse_vectors=coarse, rank_vectors=rank)
+    assert asym._query3d is not None
+    k = 10
+    s_sym, i_sym = sym.search(
+        vecs, mzs, np.arange(n, dtype=np.int32), k, n_probe=32,
+    )
+    s_asym, i_asym = asym.search(
+        vecs, mzs, np.arange(n, dtype=np.int32), k, n_probe=32,
+    )
+    # Asymmetric scan scores = 1.5x the symmetric inner products for
+    # the same pairs; neighbor sets stay high-overlap.
+    overlap = []
+    for q in range(0, n, 37):
+        a = set(i_sym[q][i_sym[q] >= 0].tolist())
+        b = set(i_asym[q][i_asym[q] >= 0].tolist())
+        if a or b:
+            overlap.append(len(a & b) / max(len(a | b), 1))
+    assert np.mean(overlap) > 0.8
+    got = s_asym[s_asym > -1.0]
+    assert got.max() <= 1.5 + 1e-3
+    # Determinism with the same coarse/rank inputs.
+    asym2 = IVFIndex(vecs, mzs, n_lists=32, seed=42,
+                     coarse_vectors=coarse, rank_vectors=rank)
+    np.testing.assert_array_equal(asym.order, asym2.order)

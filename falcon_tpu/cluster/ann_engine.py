@@ -62,6 +62,13 @@ _block_gauge = {"active": 0, "max": 0}
 _block_gauge_lock = _threading.Lock()
 
 
+def _scan_bf16() -> bool:
+    """bf16 upper-bound scan toggle (default ON; FALCON_TPU_KNN_DTYPE=
+    f32 restores the float32 scan).  Only the PREFILTER scan consults
+    this — eps-threshold consumers (no-rerank paths) always keep f32."""
+    return _os.environ.get("FALCON_TPU_KNN_DTYPE", "bf16") != "f32"
+
+
 @_contextlib.contextmanager
 def _block_gauge_tracked():
     with _block_gauge_lock:
@@ -925,12 +932,18 @@ def _single_device_chain(
         if sims is None and prefilter:
             # Upper-bound search: rank by spread_q . plain_c (a strict
             # upper bound on the exact matched score), exact top-k so
-            # no above-threshold candidate can be missed.
+            # no above-threshold candidate can be missed.  The scan
+            # runs in bfloat16 with f32 accumulation by default
+            # (round-4 verdict item 7: 2x MXU rate, half the HBM
+            # streaming) — sound because the compaction threshold
+            # below carries the certified bf16 rounding margin
+            # (ops/knn.py _banded_topk docstring) and the exact rerank
+            # re-scores every survivor in f32.
             sims, neigh = knn_banded(
                 plain_unnorm, mz_sorted, precursor_tol_mass,
                 precursor_tol_mode, k=k_ann, rts=rt_sorted,
                 rt_tol=rt_tol, as_device=True, exact_topk=True,
-                q_vectors=make_spread(),
+                q_vectors=make_spread(), scan_bf16=_scan_bf16(),
             )
             # Release the UB slabs: at a 2^19-row wideband block the
             # plain + spread (rows, D) arrays are 2 GB of HBM and
@@ -969,8 +982,12 @@ def _single_device_chain(
             # the LAST surviving column position, not the survivor
             # count (a count undercounts past holes and silently drops
             # valid candidates before the exact rerank).  One scalar
-            # fetch — the only host sync before dbscan.
-            thr = 1.0 - eps - 1e-3
+            # fetch — the only host sync before dbscan.  With the bf16
+            # scan the threshold carries the certified rounding margin
+            # (1%): a candidate whose TRUE bound reaches 1 - eps
+            # cannot read below (1 - eps) * 0.99 in bf16
+            # (ops/knn.py _banded_topk docstring).
+            thr = (1.0 - eps) * (0.99 if _scan_bf16() else 1.0) - 1e-3
             keep = sims >= thr
             neigh = jnp_.where(keep, neigh, -1)
             cols = jnp_.arange(sims.shape[1], dtype=jnp_.int32)

@@ -71,7 +71,7 @@ def band_bounds(mzs: np.ndarray, tol_mass: float, tol_is_da: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tol_is_da", "block_rows", "window",
-                     "exact_topk", "exclude_diag"),
+                     "exact_topk", "exclude_diag", "scan_bf16"),
 )
 def _banded_topk(
     vectors: jnp.ndarray,     # (n_pad, D) L2-normalized, row-padded with 0
@@ -87,6 +87,7 @@ def _banded_topk(
     q_mzs: Optional[jnp.ndarray] = None,      # query m/z when distinct
     exclude_diag: bool = True,
     row_offset=0,  # traced: first query row this dispatch covers
+    scan_bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Banded top-k for ``len(col_starts)`` row blocks starting at
     ``row_offset``: one scan over row blocks on device.
@@ -103,11 +104,28 @@ def _banded_topk(
     ``exclude_diag`` drops pairs whose query and column POSITIONS match
     (self-pairs when queries are the columns); disable it when query
     row i is unrelated to column row i (external queries, ops/ivf.py).
+
+    ``scan_bf16`` runs the matmul with bfloat16 INPUTS and float32
+    accumulation (MXU-native: 2x the matmul rate, half the HBM traffic
+    of the streamed window).  CERTIFIED ERROR BOUND for callers that
+    threshold the result (the upper-bound prefilter): each bf16 cast is
+    x(1 + e) with |e| <= 2^-8, so a product of two casts is >=
+    x*y*(1 - 2^-7), and f32 accumulation of D nonnegative products adds
+    <= D * 2^-23 relative error (~6e-5 at D = 512); hence
+    sims_bf16 >= sims_f32 * (1 - 2^-7 - 1e-4) > sims_f32 * (1 - 0.009).
+    A caller keeping candidates with sims_bf16 >= thr * (1 - 0.01)
+    therefore never drops a candidate whose true bound reaches ``thr``
+    (cluster/ann_engine.py applies exactly this margin).  Only sound
+    when a downstream exact stage re-scores survivors — eps-threshold
+    consumers must keep f32.
     """
     if q_vectors is None:
         q_vectors = vectors
     if q_mzs is None:
         q_mzs = mzs
+    if scan_bf16:
+        vectors = vectors.astype(jnp.bfloat16)
+        q_vectors = q_vectors.astype(jnp.bfloat16)
     n_blocks = col_starts.shape[0]
     k_c = min(k, window)
 
@@ -197,6 +215,7 @@ def knn_banded(
     as_device: bool = False,
     exact_topk: bool = False,
     q_vectors=None,
+    scan_bf16: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """k nearest neighbors within the precursor tolerance band.
 
@@ -332,6 +351,7 @@ def knn_banded(
                 int(block_rows), int(sub_window),
                 exact_topk=bool(exact_topk), q_vectors=q_dev,
                 row_offset=g0 * block_rows,
+                scan_bf16=bool(scan_bf16),
             )
             if acc_s is None:
                 acc_s, acc_i = s_g, i_g

@@ -867,3 +867,62 @@ def test_exact_banded_topk_column_streamed(processed_rows, monkeypatch):
     agree = (np.sort(np.where(same, neigh_ref, -1), axis=1)
              == np.sort(np.where(same, neigh_mp, -1), axis=1))
     assert agree.mean() > 0.99
+
+
+def test_knn_banded_bf16_certified_margin(processed_rows):
+    """bf16 upper-bound scan: every candidate the f32 scan finds is
+    present with a score >= f32 * (1 - 0.01) (the certified margin in
+    ops/knn._banded_topk), so thresholding at thr * 0.99 never drops a
+    candidate whose true bound reaches thr."""
+    rows, _ = processed_rows
+    hasher = SpectrumHasher(101.0, 1500.0, 0.05, low_dim=400, seed=0)
+    mz, intensity, _ = _padded(rows)
+    plain = np.asarray(hasher.vectorize(
+        jnp.asarray(mz), jnp.asarray(intensity), norm=False))
+    spread = np.asarray(hasher.vectorize(
+        jnp.asarray(mz), jnp.asarray(intensity), norm=False, spread=True))
+    pmz = np.asarray([r["precursor_mz"] for r in rows])
+    order = np.argsort(pmz, kind="stable")
+    plain, spread, pmz = plain[order], spread[order], pmz[order]
+    # k = 64 covers every in-band candidate for this fixture (bands are
+    # tiny), so top-k truncation cannot confound the set comparison.
+    k = 64
+    s32, n32 = knn_banded(plain, pmz, 20.0, "ppm", k, block_rows=64,
+                          exact_topk=True, q_vectors=spread)
+    s16, n16 = knn_banded(plain, pmz, 20.0, "ppm", k, block_rows=64,
+                          exact_topk=True, q_vectors=spread,
+                          scan_bf16=True)
+    n = len(pmz)
+    for i in range(n):
+        f32_set = {int(j): float(s) for j, s in zip(n32[i], s32[i])
+                   if j >= 0}
+        bf16_set = {int(j): float(s) for j, s in zip(n16[i], s16[i])
+                    if j >= 0}
+        assert set(f32_set) == set(bf16_set)
+        for j, s_f32 in f32_set.items():
+            assert bf16_set[j] >= s_f32 * (1.0 - 0.01) - 1e-6
+
+
+def test_engine_bf16_scan_matches_f32_labels(processed_rows, tmp_path,
+                                             monkeypatch):
+    """End-to-end labels are identical under the default bf16 prefilter
+    scan and the FALCON_TPU_KNN_DTYPE=f32 fallback, in both cluster
+    methods (the exact rerank re-scores every survivor in f32)."""
+    rows, _ = processed_rows
+    store = SpectrumStore(str(tmp_path / "spectra"))
+    w = store.writer()
+    w.add_many(rows)
+    w.close()
+    store.save_charges([2])
+    ds = store.dataset(2)
+    for method in ("dbscan", "linkage"):
+        out = {}
+        for dtype in ("bf16", "f32"):
+            monkeypatch.setenv("FALCON_TPU_KNN_DTYPE", dtype)
+            out[dtype], _ = ann_engine.generate_clusters(
+                ds, eps=0.1, min_samples=2, min_matches=0,
+                precursor_tol_mass=20.0, precursor_tol_mode="ppm",
+                rt_tol=None, fragment_tol=0.05, batch_size=2**15,
+                cluster_method=method,
+            )
+        np.testing.assert_array_equal(out["bf16"], out["f32"])

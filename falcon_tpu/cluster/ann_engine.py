@@ -624,27 +624,33 @@ def _single_device_chain(
     # width, the k-NN stage silently truncates above-eps-capable
     # neighbors and retrieval quality degrades with no signal.  Widen
     # the candidate width in power-of-two steps (compiled shapes stay
-    # cached) up to FALCON_TPU_MAX_NEIGHBORS; if bands exceed even
-    # that, warn with the affected row fraction.
+    # cached) up to FALCON_TPU_MAX_NEIGHBORS; coverage BEYOND the
+    # per-pass worker-fault envelope comes from successive boundary-
+    # continued scan passes (round-4 verdict item 8), so the budget is
+    # no longer a wall — only bands exceeding the total budget warn.
     span_max = int(spans.max(initial=1)) - 1  # candidates excl. self
+    widen_passes = 1
     # Only the rerank paths benefit: without a rerank the banded
     # scan's exact top-k is truncated back to k_final before DBSCAN,
     # so widening would only inflate HBM for bit-identical labels.
     if do_rerank and not exact_index and span_max > k_ann:
         budget = int(_os.environ.get("FALCON_TPU_MAX_NEIGHBORS", "1024"))
-        # Measured-safe widening envelope (2026-08-19, standalone
+        # Measured-safe per-PASS envelope (2026-08-19, standalone
         # repro on the real chip): the scan with widened k=256 at a
         # 262144-row padded block crashed the TPU worker at every
         # dispatch/chunk granularity, while k=256 at 131072 rows and
-        # k=128 at 262144 rows both pass — so cap the widened (rows, k)
-        # neighbor arrays at 2^28 bytes (k * rows * 8).
+        # k=128 at 262144 rows both pass — so cap each pass's widened
+        # (rows, k) neighbor arrays at 2^28 bytes (k * rows * 8).
         n_bucket_est = 512
         while n_bucket_est < n:
             n_bucket_est *= 2
-        budget = min(budget, 2**28 // (8 * n_bucket_est))
-        budget = max(budget, k_ann)
+        per_pass = max(
+            min(budget, 2**28 // (8 * n_bucket_est)), k_ann)
+        cap_env = _os.environ.get("FALCON_TPU_WIDEN_PASS_CAP")
+        if cap_env:  # test hook: force multi-pass at small scales
+            per_pass = max(min(per_pass, int(cap_env)), k_ann)
         new_k = k_ann
-        while new_k < min(span_max, budget, max(n - 1, 1)):
+        while new_k < min(span_max, per_pass, max(n - 1, 1)):
             new_k *= 2
         new_k = min(new_k, max(n - 1, 1))
         frac_over = float((spans - 1 > k_ann).mean())
@@ -652,18 +658,25 @@ def _single_device_chain(
             logger.info(
                 "Dense precursor bands (max %d candidates, %.1f%% of "
                 "rows exceed n_neighbors_ann=%d): widening the "
-                "retrieval width to %d (budget %d)",
-                span_max, 100.0 * frac_over, k_ann, new_k, budget,
+                "retrieval width to %d (per-pass budget %d)",
+                span_max, 100.0 * frac_over, k_ann, new_k, per_pass,
             )
             k_ann = new_k
         if span_max > k_ann:
+            # Cover the rest with boundary-continued passes on the
+            # prefilter path (each pass stays at the proven-safe
+            # (rows, k_ann) shape); passes stop early once every row's
+            # boundary bound falls below the prefilter threshold.
+            target = min(budget, span_max, max(n - 1, 1))
+            widen_passes = max(1, -(-target // k_ann))
+        if span_max > k_ann * widen_passes:
             logger.warning(
                 "%.1f%% of rows have more in-band candidates (max %d) "
                 "than the neighbor budget %d; retrieval may truncate "
                 "true neighbors in those bands (raise "
                 "FALCON_TPU_MAX_NEIGHBORS or --n_neighbors_ann)",
-                100.0 * float((spans - 1 > k_ann).mean()), span_max,
-                k_ann,
+                100.0 * float((spans - 1 > k_ann * widen_passes).mean()),
+                span_max, k_ann * widen_passes,
             )
     if exact_index:
         use_ivf = False
@@ -686,6 +699,10 @@ def _single_device_chain(
     # by the exact rerank — typically cutting its (q, c, P, P) work by
     # ~8x with label-identical output (tests/test_ann.py).
     prefilter = bool(do_rerank and not use_ivf)
+    # Multi-pass widening state (set by the prefilter scan below when
+    # bands outgrow one pass; the IVF/exact/sharded paths keep their
+    # single-retrieval semantics).
+    widen_boundary = widen_slabs = None
 
     timer.stage("vectorize")
     # 1. Vectorize (chunked through the device).  Chunk row counts are
@@ -939,18 +956,35 @@ def _single_device_chain(
             # below carries the certified bf16 rounding margin
             # (ops/knn.py _banded_topk docstring) and the exact rerank
             # re-scores every survivor in f32.
-            sims, neigh = knn_banded(
-                plain_unnorm, mz_sorted, precursor_tol_mass,
-                precursor_tol_mode, k=k_ann, rts=rt_sorted,
-                rt_tol=rt_tol, as_device=True, exact_topk=True,
-                q_vectors=make_spread(), scan_bf16=_scan_bf16(),
-            )
-            # Release the UB slabs: at a 2^19-row wideband block the
-            # plain + spread (rows, D) arrays are 2 GB of HBM and
-            # nothing downstream reads them (the exact rerank gathers
-            # peaks; medoids read the sparse exact lists — prefilter
-            # implies do_rerank, so get_vectors_dev is never called).
-            plain_unnorm = None
+            spread_dev = make_spread()
+            if widen_passes > 1:
+                # Multi-pass retrieval: keep the UB slabs alive for the
+                # continuation scans in the rerank stage below; each
+                # pass reuses this pass's compiled program (the
+                # boundary program, sentinel on pass 1).
+                sims, neigh, widen_boundary = knn_banded(
+                    plain_unnorm, mz_sorted, precursor_tol_mass,
+                    precursor_tol_mode, k=k_ann, rts=rt_sorted,
+                    rt_tol=rt_tol, as_device=True, exact_topk=True,
+                    q_vectors=spread_dev, scan_bf16=_scan_bf16(),
+                    want_boundary=True,
+                )
+                widen_slabs = (plain_unnorm, spread_dev)
+            else:
+                sims, neigh = knn_banded(
+                    plain_unnorm, mz_sorted, precursor_tol_mass,
+                    precursor_tol_mode, k=k_ann, rts=rt_sorted,
+                    rt_tol=rt_tol, as_device=True, exact_topk=True,
+                    q_vectors=spread_dev, scan_bf16=_scan_bf16(),
+                )
+                widen_boundary = widen_slabs = None
+            # Release the UB slabs (on the single-pass path): at a
+            # 2^19-row wideband block the plain + spread (rows, D)
+            # arrays are 2 GB of HBM and nothing downstream reads them
+            # (the exact rerank gathers peaks; medoids read the sparse
+            # exact lists — prefilter implies do_rerank, so
+            # get_vectors_dev is never called).
+            plain_unnorm = spread_dev = None
             _vectors_cache.clear()
         elif sims is None:
             # Results stay on device (padded) — the density stage
@@ -974,43 +1008,88 @@ def _single_device_chain(
 
         from ..ops.rerank import rerank_exact
 
-        if prefilter and not isinstance(sims, np.ndarray):
-            # Candidates are sorted by descending upper bound, but the
-            # RT filter (when --rt_tol is set) punches holes into the
-            # sorted lists IN PLACE, so survivors (bound >= 1 - eps)
-            # need NOT form a prefix — size the compacted width from
-            # the LAST surviving column position, not the survivor
-            # count (a count undercounts past holes and silently drops
-            # valid candidates before the exact rerank).  One scalar
-            # fetch — the only host sync before dbscan.  With the bf16
-            # scan the threshold carries the certified rounding margin
-            # (1%): a candidate whose TRUE bound reaches 1 - eps
-            # cannot read below (1 - eps) * 0.99 in bf16
-            # (ops/knn.py _banded_topk docstring).
-            thr = (1.0 - eps) * (0.99 if _scan_bf16() else 1.0) - 1e-3
-            keep = sims >= thr
-            neigh = jnp_.where(keep, neigh, -1)
-            cols = jnp_.arange(sims.shape[1], dtype=jnp_.int32)
-            max_keep = int(jnp_.max(jnp_.where(keep, cols + 1, 0)))
-            k_compact = 16
-            while k_compact < max_keep:
-                k_compact *= 2
-        else:
-            # Candidate lists are score-sorted with -1 padding at the
-            # tail; when the precursor bands are narrower than
-            # n_neighbors_ann the trailing columns are all -1 — drop
-            # them (saves exact-kernel work proportionally).
-            real_k = max(min(int(spans.max(initial=1)) - 1, k_ann), 1)
-            k_compact = 16
-            while k_compact < real_k:
-                k_compact *= 2
-        neigh = neigh[:, :min(k_compact, neigh.shape[1])]
-        # The full padded device arrays go in as-is (padded rows carry
-        # only -1 candidates), so no re-padding ops are traced.
-        sims, neigh, n_match = rerank_exact(
-            mz_pad_dev, int_pad_dev, neigh, fragment_tol,
-            min(k_final, neigh.shape[1]), as_device=True,
-        )
+        thr = (1.0 - eps) * (0.99 if _scan_bf16() else 1.0) - 1e-3
+        prefilter_dev = prefilter and not isinstance(sims, np.ndarray)
+
+        def _compact_rerank(sims_in, neigh_in):
+            """Threshold-compact a scan pass and exact-score it.
+            Returns the rerank triple (scores, ids, match counts);
+            min_matches zeroing runs AFTER pass merging (identical to a
+            single wide pass, where rerank selects by TRUE score and
+            zeroing only rewrites kept values)."""
+            if prefilter_dev:
+                # Candidates are sorted by descending upper bound, but
+                # the RT filter (when --rt_tol is set) punches holes
+                # into the sorted lists IN PLACE, so survivors (bound
+                # >= 1 - eps) need NOT form a prefix — size the
+                # compacted width from the LAST surviving column
+                # position, not the survivor count (a count undercounts
+                # past holes and silently drops valid candidates before
+                # the exact rerank).  One scalar fetch — the only host
+                # sync before dbscan.  With the bf16 scan the threshold
+                # carries the certified rounding margin (1%): a
+                # candidate whose TRUE bound reaches 1 - eps cannot
+                # read below (1 - eps) * 0.99 in bf16 (ops/knn.py
+                # _banded_topk docstring).
+                keep = sims_in >= thr
+                neigh_in = jnp_.where(keep, neigh_in, -1)
+                cols = jnp_.arange(sims_in.shape[1], dtype=jnp_.int32)
+                max_keep = int(jnp_.max(jnp_.where(keep, cols + 1, 0)))
+                k_compact = 16
+                while k_compact < max_keep:
+                    k_compact *= 2
+            else:
+                # Candidate lists are score-sorted with -1 padding at
+                # the tail; when the precursor bands are narrower than
+                # n_neighbors_ann the trailing columns are all -1 —
+                # drop them (saves exact-kernel work proportionally).
+                real_k = max(
+                    min(int(spans.max(initial=1)) - 1, k_ann), 1)
+                k_compact = 16
+                while k_compact < real_k:
+                    k_compact *= 2
+            neigh_in = neigh_in[:, :min(k_compact, neigh_in.shape[1])]
+            # The full padded device arrays go in as-is (padded rows
+            # carry only -1 candidates), so no re-padding ops are
+            # traced.
+            return rerank_exact(
+                mz_pad_dev, int_pad_dev, neigh_in, fragment_tol,
+                min(k_final, neigh_in.shape[1]), as_device=True,
+            )
+
+        sims, neigh, n_match = _compact_rerank(sims, neigh)
+        if widen_boundary is not None:
+            # Boundary-continued widening passes (round-4 verdict item
+            # 8): each pass re-scans the band for the NEXT k_ann
+            # candidates per row in the strict (UB desc, id asc)
+            # retrieval order (ops/knn.py), reranks its survivors
+            # exactly, and merges into the running exact top-k_final —
+            # every device array stays at the proven-safe (rows, k)
+            # shape class, so k_ann * passes can exceed the single-pass
+            # worker-fault envelope.  Passes stop early once NO row's
+            # boundary bound can still reach the prefilter threshold
+            # (the k-th upper bound below thr proves the row's survivor
+            # list is complete).
+            from ..ops.knn import _merge_topk_payload
+
+            plain_w, spread_w = widen_slabs
+            b_s, b_i = widen_boundary
+            for _pass in range(1, widen_passes):
+                if not bool(jnp_.any(b_s >= thr)):
+                    break
+                s_p, g_p, (b_s, b_i) = knn_banded(
+                    plain_w, mz_sorted, precursor_tol_mass,
+                    precursor_tol_mode, k=k_ann, rts=rt_sorted,
+                    rt_tol=rt_tol, as_device=True, exact_topk=True,
+                    q_vectors=spread_w, scan_bf16=_scan_bf16(),
+                    want_boundary=True, resume_boundary=(b_s, b_i),
+                )
+                s_p, g_p, m_p = _compact_rerank(s_p, g_p)
+                sims, neigh, n_match = _merge_topk_payload(
+                    sims, neigh, n_match, s_p, g_p, m_p,
+                    min(k_final, sims.shape[1] + s_p.shape[1]),
+                )
+            widen_slabs = plain_w = spread_w = None
         if min_matches > 0:
             low = (neigh >= 0) & (n_match < min_matches)
             sims = jnp_.where(low, 0.0, sims)

@@ -88,6 +88,8 @@ def _banded_topk(
     exclude_diag: bool = True,
     row_offset=0,  # traced: first query row this dispatch covers
     scan_bf16: bool = False,
+    prev_scores: Optional[jnp.ndarray] = None,  # (n_pad,) continuation
+    prev_ids: Optional[jnp.ndarray] = None,     # (n_pad,) boundary ids
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Banded top-k for ``len(col_starts)`` row blocks starting at
     ``row_offset``: one scan over row blocks on device.
@@ -118,6 +120,19 @@ def _banded_topk(
     (cluster/ann_engine.py applies exactly this margin).  Only sound
     when a downstream exact stage re-scores survivors — eps-threshold
     consumers must keep f32.
+
+    ``prev_scores``/``prev_ids`` (both or neither): per-QUERY-row
+    continuation boundary for multi-pass retrieval beyond one top-k
+    width (round-4 verdict item 8).  The retrieval order is the strict
+    total order (score DESC, column id ASC) — ``lax.top_k`` breaks
+    score ties by lower position, positions are column ids within a
+    window, and the column passes merge left to right — so a pass that
+    keeps only candidates strictly AFTER boundary ``(b, b_id)`` in that
+    order (``sims < b`` or ``sims == b and id > b_id``) returns the
+    next k candidates exactly: no duplicates, no drops, deterministic
+    progress even on all-tied bands (duplicate spectra).  Soundness
+    needs bitwise-identical ``sims`` across passes, so pass 1 runs the
+    SAME program with the sentinel boundary ``(+inf, -1)``.
     """
     if q_vectors is None:
         q_vectors = vectors
@@ -151,6 +166,14 @@ def _banded_topk(
         if exclude_diag:
             valid &= q_rows[:, None] != c_rows[None, :]
         sims = jnp.where(valid, sims, NEG)
+        if prev_scores is not None:
+            b_s = jax.lax.dynamic_slice_in_dim(
+                prev_scores, r0, block_rows)[:, None]
+            b_i = jax.lax.dynamic_slice_in_dim(
+                prev_ids, r0, block_rows)[:, None]
+            after = (sims < b_s) | ((sims == b_s)
+                                    & (c_rows[None, :] > b_i))
+            sims = jnp.where(after, sims, NEG)
         if exact_topk:
             # No downstream rerank to absorb misses: exact top-k so the
             # band search really is "exact within the band".
@@ -188,6 +211,22 @@ def _merge_topk(s1, i1, s2, i2, k: int):
     return ms, jnp.take_along_axis(cat_i, mp, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_topk_payload(s1, i1, m1, s2, i2, m2, k: int):
+    """``_merge_topk`` carrying a per-candidate int payload (match
+    counts): rank by score, gather ids and payload with the same
+    permutation.  Used by the multi-pass neighbor widening so
+    min_matches zeroing can run AFTER the cross-pass selection —
+    identical semantics to a single wide pass (rerank selects by TRUE
+    exact score, zeroing only rewrites the kept values)."""
+    cat_s = jnp.concatenate([s1, s2], axis=1)
+    cat_i = jnp.concatenate([i1, i2], axis=1)
+    cat_m = jnp.concatenate([m1, m2], axis=1)
+    ms, mp = jax.lax.top_k(cat_s, k)
+    return (ms, jnp.take_along_axis(cat_i, mp, axis=1),
+            jnp.take_along_axis(cat_m, mp, axis=1))
+
+
 @jax.jit
 def _mask_invalid(scores, idx, n, rts, rt_tol):
     """Device-side invalid-neighbor masking (+ optional RT filter).
@@ -216,6 +255,8 @@ def knn_banded(
     exact_topk: bool = False,
     q_vectors=None,
     scan_bf16: bool = False,
+    want_boundary: bool = False,
+    resume_boundary=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """k nearest neighbors within the precursor tolerance band.
 
@@ -242,6 +283,24 @@ def knn_banded(
     plus a row block, capped at n_pad, and is STREAMED through HBM in
     fixed-size chunks with a running top-k merge — any band width runs
     in bounded memory (no index switch-over).
+
+    Multi-pass retrieval beyond one top-k width (``want_boundary`` /
+    ``resume_boundary``; requires ``as_device`` and ``exact_topk``):
+    with ``want_boundary=True`` the return gains a third element, the
+    per-row continuation boundary ``(scores (n_pad,), ids (n_pad,))``
+    of this pass's LAST retrieved candidate in the strict (score DESC,
+    id ASC) retrieval order, taken BEFORE the RT/validity mask (a
+    masked last column must not truncate the continuation).  Feeding it
+    back as ``resume_boundary`` returns the NEXT k candidates of every
+    row — exactly, with no duplicates (see ``_banded_topk``).  Rows
+    whose band is exhausted return boundary score -2 and only -1 ids on
+    later passes.  Callers bound total HBM by keeping each pass at the
+    proven-safe (rows, k) shape class instead of widening k past the
+    measured worker-fault envelope (round-4 verdict item 8).
+    Precondition: real candidate scores must stay above the NEG
+    sentinel (-2) — true for cosines of normalized vectors and for the
+    nonnegative-embedding upper-bound scan; a score at or below NEG is
+    indistinguishable from a masked candidate and would be dropped.
     """
     n = len(precursor_mzs)
     mzs = np.asarray(precursor_mzs, np.float64)
@@ -323,6 +382,24 @@ def knn_banded(
     mz_pad[:n] = mzs
     mz_dev = jnp.asarray(mz_pad)
     q_dev = None if q_vectors is None else to_dev(q_vectors)
+    boundary = want_boundary or resume_boundary is not None
+    if boundary and not (as_device and exact_topk):
+        raise ValueError(
+            "boundary continuation requires as_device=True and "
+            "exact_topk=True (tie order is only guaranteed by lax."
+            "top_k; host outputs would re-pad past the boundary)")
+    if resume_boundary is not None:
+        prev_s, prev_i = resume_boundary
+        prev_s = jnp.asarray(prev_s, jnp.float32)
+        prev_i = jnp.asarray(prev_i, jnp.int32)
+    elif boundary:
+        # Pass 1 of a multi-pass retrieval runs the SAME program with
+        # the sentinel boundary so sims stay bitwise identical across
+        # passes (the continuation mask compares floats for equality).
+        prev_s = jnp.full(n_pad, jnp.inf, jnp.float32)
+        prev_i = jnp.full(n_pad, -1, jnp.int32)
+    else:
+        prev_s = prev_i = None
     # Bound one dispatch's matmul work: grouping row blocks into
     # equal-sized dispatches keeps one compiled executable and adds
     # ~41 ms per extra dispatch — noise next to seconds of matmul —
@@ -352,6 +429,7 @@ def knn_banded(
                 exact_topk=bool(exact_topk), q_vectors=q_dev,
                 row_offset=g0 * block_rows,
                 scan_bf16=bool(scan_bf16),
+                prev_scores=prev_s, prev_ids=prev_i,
             )
             if acc_s is None:
                 acc_s, acc_i = s_g, i_g
@@ -365,6 +443,11 @@ def knn_banded(
     else:
         scores = jnp.concatenate(parts_s)[:n_pad]
         idx = jnp.concatenate(parts_i)[:n_pad]
+    # Continuation boundary = each row's LAST retrieved candidate,
+    # extracted from the RAW merged top-k (before the RT/validity mask
+    # below rewrites scores — a masked candidate still consumed its
+    # position in the retrieval order).
+    out_boundary = (scores[:, -1], idx[:, -1]) if want_boundary else None
     if as_device:
         # Mask out-of-range neighbor ids (padded rows of the column
         # windows) and optionally RT-filter, all on device.
@@ -377,6 +460,8 @@ def knn_banded(
             )),
             np.inf if rt_tol is None else float(rt_tol),
         )
+        if want_boundary:
+            return scores, idx, out_boundary
         return scores, idx
     out_scores = np.array(scores[:n])  # writable host copies
     out_idx = np.asarray(idx)[:n].astype(np.int64)

@@ -957,7 +957,38 @@ def _single_device_chain(
             # (ops/knn.py _banded_topk docstring) and the exact rerank
             # re-scores every survivor in f32.
             spread_dev = make_spread()
-            if widen_passes > 1:
+            thr_pref = (1.0 - eps) * (0.99 if _scan_bf16() else 1.0) - 1e-3
+            # Certified-approx retrieval first (measured 2026-08-20:
+            # the exact-top-k scan is ~8x slower than approx_max_k and
+            # entirely top-k-bound, ops/knn.py).  The certificate
+            # (exact in-scan >=thr counts == retrieved >=thr
+            # candidates) PROVES the lists contain every candidate the
+            # threshold compaction below can keep — which also proves
+            # any boundary-continued widening pass would retrieve
+            # nothing above thr, so widening is skipped when certified.
+            # On failure (a row with more above-thr candidates than
+            # k_ann, or an approx miss) fall back to the exact paths
+            # below, unchanged.
+            certified = False
+            if (thr_pref > 0.0 and _os.environ.get(
+                    "FALCON_TPU_KNN_CERTIFIED", "1") != "0"):
+                sims, neigh, certified = knn_banded(
+                    plain_unnorm, mz_sorted, precursor_tol_mass,
+                    precursor_tol_mode, k=k_ann, rts=rt_sorted,
+                    rt_tol=rt_tol, as_device=True,
+                    q_vectors=spread_dev, scan_bf16=_scan_bf16(),
+                    certified_thr=thr_pref,
+                )
+                if not certified:
+                    logger.info(
+                        "Certified-approx retrieval not complete at "
+                        "k=%d (dense above-threshold rows or approx "
+                        "misses); re-running with exact top-k", k_ann,
+                    )
+                    sims = neigh = None
+            if certified:
+                widen_boundary = widen_slabs = None
+            elif widen_passes > 1:
                 # Multi-pass retrieval: keep the UB slabs alive for the
                 # continuation scans in the rerank stage below; each
                 # pass reuses this pass's compiled program (the

@@ -71,7 +71,8 @@ def band_bounds(mzs: np.ndarray, tol_mass: float, tol_is_da: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tol_is_da", "block_rows", "window",
-                     "exact_topk", "exclude_diag", "scan_bf16"),
+                     "exact_topk", "exclude_diag", "scan_bf16",
+                     "with_counts"),
 )
 def _banded_topk(
     vectors: jnp.ndarray,     # (n_pad, D) L2-normalized, row-padded with 0
@@ -90,6 +91,8 @@ def _banded_topk(
     scan_bf16: bool = False,
     prev_scores: Optional[jnp.ndarray] = None,  # (n_pad,) continuation
     prev_ids: Optional[jnp.ndarray] = None,     # (n_pad,) boundary ids
+    with_counts: bool = False,
+    count_thr=0.0,  # traced scalar: threshold for the exact counts
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Banded top-k for ``len(col_starts)`` row blocks starting at
     ``row_offset``: one scan over row blocks on device.
@@ -133,6 +136,18 @@ def _banded_topk(
     progress even on all-tied bands (duplicate spectra).  Soundness
     needs bitwise-identical ``sims`` across passes, so pass 1 runs the
     SAME program with the sentinel boundary ``(+inf, -1)``.
+
+    ``with_counts``: additionally return the EXACT per-query-row count
+    of masked-valid candidates with ``sims >= count_thr`` in this
+    window — one elementwise compare + row sum fused into the step
+    (bandwidth-trivial next to the matmul).  This is the certificate
+    the approx retrieval path rides on (``knn_banded`` certified mode,
+    see there): ``lax.top_k`` on the (block_rows, window) panel costs
+    ~8x the rest of the step on this backend (measured 2026-08-20:
+    0.997 s/dispatch exact vs 0.125 s approx at window 65536), so the
+    prefilter scan retrieves with ``approx_max_k`` and PROVES
+    completeness against these counts instead of paying for exact
+    order it doesn't need.
     """
     if q_vectors is None:
         q_vectors = vectors
@@ -189,13 +204,21 @@ def _banded_topk(
         top_idx = jnp.where(
             top_scores > NEG, c0 + top_pos.astype(jnp.int32), -1
         )
+        if with_counts:
+            cnt = jnp.sum(sims >= count_thr, axis=1).astype(jnp.int32)
+            return row_offset, (top_scores, top_idx, cnt)
         return row_offset, (top_scores, top_idx)
 
-    _, (scores, idx) = jax.lax.scan(
+    _, out = jax.lax.scan(
         step, jnp.asarray(row_offset, jnp.int32),
         jnp.arange(n_blocks, dtype=jnp.int32),
     )
     nq = n_blocks * block_rows
+    if with_counts:
+        scores, idx, counts = out
+        return (scores.reshape(nq, k_c), idx.reshape(nq, k_c),
+                counts.reshape(nq))
+    scores, idx = out
     return (
         scores.reshape(nq, k_c),
         idx.reshape(nq, k_c),
@@ -257,6 +280,7 @@ def knn_banded(
     scan_bf16: bool = False,
     want_boundary: bool = False,
     resume_boundary=None,
+    certified_thr: Optional[float] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """k nearest neighbors within the precursor tolerance band.
 
@@ -301,6 +325,26 @@ def knn_banded(
     sentinel (-2) — true for cosines of normalized vectors and for the
     nonnegative-embedding upper-bound scan; a score at or below NEG is
     indistinguishable from a masked candidate and would be dropped.
+
+    ``certified_thr`` (requires ``as_device=True``, incompatible with
+    ``exact_topk``/boundary): CERTIFIED threshold retrieval.  The scan
+    retrieves with ``approx_max_k`` at wide sub-windows (where exact
+    ``lax.top_k`` dominates the dispatch — see the geometry gate in
+    the body) and with exact top-k at narrow ones, and ALWAYS
+    computes, fused into each step, the EXACT per-row count of
+    band-valid candidates with score >= ``certified_thr``; the return
+    gains a third element ``ok`` (host bool) that is True iff every
+    real row's retrieved >=thr candidates equal its exact count.
+    ``ok=True`` PROVES the lists contain every band-valid candidate
+    with score >= the threshold (the only candidates a downstream
+    threshold compaction keeps — their order is irrelevant because the
+    exact rerank re-scores survivors); a count exceeding ``k`` or an
+    approx miss above the threshold both surface as ``ok=False``, and
+    the caller falls back to the exact-top-k path.  Motivation
+    (measured 2026-08-20, window 65536 geometry): exact ``lax.top_k``
+    makes the scan ~8x slower than ``approx_max_k`` (0.997 s vs
+    0.125 s per dispatch), with bf16-vs-f32 immaterial — the exact
+    scan is top-k-bound, not MXU- or HBM-bound.
     """
     n = len(precursor_mzs)
     mzs = np.asarray(precursor_mzs, np.float64)
@@ -388,6 +432,25 @@ def knn_banded(
             "boundary continuation requires as_device=True and "
             "exact_topk=True (tie order is only guaranteed by lax."
             "top_k; host outputs would re-pad past the boundary)")
+    if certified_thr is not None and (exact_topk or boundary
+                                      or not as_device):
+        raise ValueError(
+            "certified_thr is the approx-retrieval certificate: it "
+            "requires as_device=True and excludes exact_topk/boundary "
+            "(those paths already guarantee exact order)")
+    # Geometry gate for the certified mode's RETRIEVAL mechanism
+    # (measured 2026-08-20, real chip): at wide sub-windows the exact
+    # ``lax.top_k`` dominates the whole scan (~8x at window 65536,
+    # 0.997 s vs 0.125 s per dispatch) and ``approx_max_k`` + the
+    # count certificate wins; at narrow sub-windows (window 8192,
+    # k=128) the sort is cheap and approx retrieval measured SLOWER
+    # (9.7 s vs 5.9 s) — so certified mode keeps exact top-k retrieval
+    # there (the certificate test is unchanged: exact top-k trivially
+    # contains every above-thr candidate whenever the count fits k,
+    # and a count > k still surfaces as ok=False for the caller's
+    # widening/fallback logic).
+    cert_exact = certified_thr is not None and not (
+        sub_window >= 16384 and sub_window >= 64 * k_eff)
     if resume_boundary is not None:
         prev_s, prev_i = resume_boundary
         prev_s = jnp.asarray(prev_s, jnp.float32)
@@ -416,21 +479,31 @@ def knn_banded(
         starts,
         np.full(pad_blocks, max(n_pad - window, 0), np.int32),
     ]).astype(np.int32)
-    parts_s, parts_i = [], []
+    with_counts = certified_thr is not None
+    parts_s, parts_i, parts_c = [], [], []
     for g0 in range(0, len(starts_pad), per_dispatch):
         group = starts_pad[g0:g0 + per_dispatch]
-        acc_s = acc_i = None
+        acc_s = acc_i = acc_c = None
         for p in range(n_passes):
-            s_g, i_g = _banded_topk(
+            out = _banded_topk(
                 v_dev, mz_dev,
                 jnp.asarray(group + np.int32(p * sub_window)),
                 jnp.float32(tol_mass), int(k_eff), tol_is_da,
                 int(block_rows), int(sub_window),
-                exact_topk=bool(exact_topk), q_vectors=q_dev,
+                exact_topk=bool(exact_topk) or cert_exact,
+                q_vectors=q_dev,
                 row_offset=g0 * block_rows,
                 scan_bf16=bool(scan_bf16),
                 prev_scores=prev_s, prev_ids=prev_i,
+                with_counts=with_counts,
+                count_thr=jnp.float32(certified_thr or 0.0),
             )
+            if with_counts:
+                s_g, i_g, c_g = out
+                # Column sub-windows are disjoint: counts add.
+                acc_c = c_g if acc_c is None else acc_c + c_g
+            else:
+                s_g, i_g = out
             if acc_s is None:
                 acc_s, acc_i = s_g, i_g
             else:
@@ -438,11 +511,29 @@ def knn_banded(
                                            int(k_eff))
         parts_s.append(acc_s)
         parts_i.append(acc_i)
+        if with_counts:
+            parts_c.append(acc_c)
     if len(parts_s) == 1:
         scores, idx = parts_s[0][:n_pad], parts_i[0][:n_pad]
+        counts = parts_c[0][:n_pad] if with_counts else None
     else:
         scores = jnp.concatenate(parts_s)[:n_pad]
         idx = jnp.concatenate(parts_i)[:n_pad]
+        counts = jnp.concatenate(parts_c)[:n_pad] if with_counts else None
+    certified_ok = None
+    if with_counts:
+        # Certificate: every REAL row's retrieved >=thr candidates must
+        # equal its exact in-band count (computed pre-RT-mask, like the
+        # retrieval itself — the RT mask only removes candidates and is
+        # applied identically downstream on both paths).  One scalar
+        # crosses the tunnel.
+        retrieved = jnp.sum(
+            scores >= jnp.float32(certified_thr), axis=1
+        ).astype(jnp.int32)
+        row_real = jnp.arange(n_pad, dtype=jnp.int32) < n
+        certified_ok = bool(jnp.all(
+            jnp.where(row_real, retrieved == counts, True)
+        ))
     # Continuation boundary = each row's LAST retrieved candidate,
     # extracted from the RAW merged top-k (before the RT/validity mask
     # below rewrites scores — a masked candidate still consumed its
@@ -462,6 +553,8 @@ def knn_banded(
         )
         if want_boundary:
             return scores, idx, out_boundary
+        if certified_thr is not None:
+            return scores, idx, certified_ok
         return scores, idx
     out_scores = np.array(scores[:n])  # writable host copies
     out_idx = np.asarray(idx)[:n].astype(np.int64)

@@ -160,6 +160,10 @@ def test_multipass_widening_matches_single_wide_pass(dense_store,
     pass — across both cluster methods and both scan dtypes."""
     kwargs = dict(COMMON, n_neighbors=16, n_neighbors_ann=16,
                   cluster_method=method)
+    # Pin the exact boundary-continued path: certified-approx retrieval
+    # (tests/test_certified.py) would otherwise satisfy these configs
+    # in one pass and leave the widening machinery unexercised.
+    monkeypatch.setenv("FALCON_TPU_KNN_CERTIFIED", "0")
     monkeypatch.setenv("FALCON_TPU_MAX_NEIGHBORS", "1024")
     labels_wide, _ = ann_engine.generate_clusters(dense_store, **kwargs)
     monkeypatch.setenv("FALCON_TPU_WIDEN_PASS_CAP", "16")
@@ -173,6 +177,7 @@ def test_multipass_widening_bf16_and_f32(dense_store, monkeypatch):
     and the per-pass boundary continuation never drops a candidate)."""
     kwargs = dict(COMMON, n_neighbors=16, n_neighbors_ann=16,
                   cluster_method="dbscan")
+    monkeypatch.setenv("FALCON_TPU_KNN_CERTIFIED", "0")
     monkeypatch.setenv("FALCON_TPU_MAX_NEIGHBORS", "1024")
     monkeypatch.setenv("FALCON_TPU_WIDEN_PASS_CAP", "16")
     monkeypatch.setenv("FALCON_TPU_KNN_DTYPE", "f32")
@@ -197,6 +202,7 @@ def test_widening_stops_early_below_threshold(dense_store, monkeypatch,
         return real(*a, **kw)
 
     monkeypatch.setattr(eng, "knn_banded", counting)
+    monkeypatch.setenv("FALCON_TPU_KNN_CERTIFIED", "0")
     monkeypatch.setenv("FALCON_TPU_MAX_NEIGHBORS", "1024")
     monkeypatch.setenv("FALCON_TPU_WIDEN_PASS_CAP", "16")
     kwargs = dict(COMMON, n_neighbors=16, n_neighbors_ann=16,
